@@ -1,0 +1,130 @@
+"""Frame-level one-shot buffer API: the block loop around the block codecs.
+
+Mirrors zxc_compress / zxc_decompress_frame (zxc_dispatch.c:671-1055):
+header -> data blocks -> EOF -> optional SEK -> footer, with per-block and
+rolling global checksums.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import constants as C
+from ..errors import (ZxcError, ERROR_BAD_HEADER, ERROR_CORRUPT_DATA, ERROR_SRC_TOO_SMALL,
+                      ERROR_BAD_CHECKSUM, ERROR_DICT_REQUIRED, ERROR_DICT_MISMATCH,
+                      ERROR_DICT_TOO_LARGE, ERROR_BAD_BLOCK_SIZE)
+from ..format import headers
+from ..format.hashes import rapidhash32, global_hash_update
+from ..format.dictionary import dict_id as compute_dict_id
+from . import block_decode, huffman
+
+
+@dataclass
+class DecodeOpts:
+    checksum: bool = False         # verify per-block + global checksums
+    dict_content: bytes | None = None
+    dict_huf: bytes | None = None  # 128-byte packed shared table
+
+
+def _dict_state(opts: DecodeOpts | None):
+    """Returns (dict_buf, dict_tree, provided_id)."""
+    if opts is None or not opts.dict_content:
+        return None, None, 0
+    dict_buf = np.frombuffer(opts.dict_content, np.uint8)
+    tree = None
+    if opts.dict_huf is not None:
+        cl = huffman.unpack_lengths(opts.dict_huf)
+        tree = huffman.build_tree(cl)
+    did = compute_dict_id(opts.dict_content, opts.dict_huf)
+    return dict_buf, tree, did
+
+
+def iter_blocks(archive: bytes):
+    """Yield (pos, BlockHeader) for each data block; stops at EOF.
+
+    ``pos`` is the offset of the 8-byte block header. Raises on corrupt
+    headers or missing EOF.
+    """
+    fh = headers.read_file_header(archive)
+    pos = C.FILE_HEADER_SIZE
+    while True:
+        if pos + C.BLOCK_HEADER_SIZE > len(archive):
+            raise ZxcError(ERROR_SRC_TOO_SMALL, "missing EOF block")
+        bh = headers.read_block_header(archive, pos)
+        if bh.block_type == C.BLOCK_EOF:
+            if bh.comp_size != 0:
+                raise ZxcError(ERROR_BAD_HEADER, "EOF with non-zero comp_size")
+            return
+        yield pos, bh
+        pos += C.BLOCK_HEADER_SIZE + bh.comp_size + \
+            (C.BLOCK_CHECKSUM_SIZE if fh.has_checksum else 0)
+
+
+def decompress(archive: bytes, opts: DecodeOpts | None = None) -> bytes:
+    """One-shot frame decode (zxc_decompress equivalent, always bounds-safe)."""
+    if len(archive) < C.FILE_HEADER_SIZE + C.FILE_FOOTER_SIZE:
+        raise ZxcError(ERROR_SRC_TOO_SMALL)
+    fh = headers.read_file_header(archive)
+    verify = bool(opts and opts.checksum) and fh.has_checksum
+    dict_buf, dict_tree, provided_id = _dict_state(opts)
+    if fh.dict_id != 0:
+        if dict_buf is None:
+            raise ZxcError(ERROR_DICT_REQUIRED)
+        if provided_id != fh.dict_id:
+            raise ZxcError(ERROR_DICT_MISMATCH)
+
+    buf = np.frombuffer(archive, np.uint8)
+    out_parts: list[np.ndarray] = []
+    produced = 0
+    global_hash = 0
+    pos = C.FILE_HEADER_SIZE
+    saw_eof = False
+    while pos + C.BLOCK_HEADER_SIZE <= len(archive):
+        bh = headers.read_block_header(archive, pos)
+        if bh.block_type == C.BLOCK_EOF:
+            if bh.comp_size != 0:
+                raise ZxcError(ERROR_BAD_HEADER, "EOF with non-zero comp_size")
+            saw_eof = True
+            break
+        payload_off = pos + C.BLOCK_HEADER_SIZE
+        tail = C.BLOCK_CHECKSUM_SIZE if fh.has_checksum else 0
+        if payload_off + bh.comp_size + tail > len(archive):
+            raise ZxcError(ERROR_SRC_TOO_SMALL, "block payload truncated")
+        if bh.comp_size > C.compress_block_bound(fh.block_size):
+            raise ZxcError(ERROR_CORRUPT_DATA, "comp_size exceeds block bound")
+        payload = buf[payload_off:payload_off + bh.comp_size]
+        stored = None
+        if fh.has_checksum:
+            stored = int(buf[payload_off + bh.comp_size:
+                             payload_off + bh.comp_size + 4].view("<u4")[0])
+            if verify:
+                global_hash = global_hash_update(global_hash, stored)
+        out = block_decode.decode_block(bh.block_type, payload, fh.block_size,
+                                        dict_buf, dict_tree,
+                                        verify_checksum=verify, stored_checksum=stored)
+        out_parts.append(out)
+        produced += len(out)
+        pos = payload_off + bh.comp_size + tail
+    if not saw_eof:
+        raise ZxcError(ERROR_SRC_TOO_SMALL, "missing EOF block")
+
+    stored_size, stored_hash = headers.read_file_footer(archive)
+    if stored_size != produced:
+        raise ZxcError(ERROR_CORRUPT_DATA, "footer size mismatch")
+    if verify and stored_hash != global_hash:
+        raise ZxcError(ERROR_BAD_CHECKSUM, "global hash mismatch")
+    if not out_parts:
+        return b""
+    return np.concatenate(out_parts).tobytes()
+
+
+def get_decompressed_size(archive: bytes) -> int:
+    """Footer-derived size with plausibility checks (zxc_get_decompressed_size)."""
+    headers.read_file_header(archive)
+    size, _ = headers.read_file_footer(archive)
+    return size
+
+
+def get_dict_id(archive: bytes) -> int:
+    return headers.read_file_header(archive).dict_id
