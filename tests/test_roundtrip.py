@@ -1,0 +1,88 @@
+"""Encoder tests: self-roundtrip, cross-decode with the reference C library,
+and compressed-size tracking vs the reference per level."""
+import os
+
+import numpy as np
+import pytest
+
+from zxc_tpu import constants as C
+from zxc_tpu.codec.frame import compress, decompress, EncodeOpts, DecodeOpts
+from ref_oracle import ref_compress, ref_decompress
+
+
+def _corpora():
+    rng = np.random.default_rng(42)
+    text = (open("/root/reference/README.md", "rb").read()
+            + open("/root/reference/docs/FORMAT.md", "rb").read())
+    out = {
+        "text": text,
+        "binary_struct": np.arange(0, 1 << 16, dtype="<u4").tobytes(),
+        "zeros": b"\x00" * 100_000,
+        "random": rng.integers(0, 256, 50_000, dtype=np.uint8).tobytes(),
+        "repetitive": b"abcde" * 20_000,
+        "semi": bytes(rng.integers(0, 16, 120_000, dtype=np.uint8)),
+        "one_byte": b"x",
+        "empty": b"",
+        "runs": b"".join(bytes([i % 7]) * (i % 300 + 1) for i in range(300)),
+    }
+    return out
+
+
+CORPORA = _corpora()
+LEVELS = [1, 2, 3, 4, 5, 6, 7]
+
+
+@pytest.mark.parametrize("name", list(CORPORA))
+@pytest.mark.parametrize("level", LEVELS)
+def test_self_roundtrip(name, level):
+    data = CORPORA[name]
+    arc = compress(data, EncodeOpts(level=level, checksum=True))
+    assert decompress(arc, DecodeOpts(checksum=True)) == data
+
+
+@pytest.mark.parametrize("name", list(CORPORA))
+@pytest.mark.parametrize("level", LEVELS)
+def test_reference_decodes_ours(name, level):
+    data = CORPORA[name]
+    arc = compress(data, EncodeOpts(level=level, checksum=True))
+    assert ref_decompress(arc, len(data)) == data
+
+
+@pytest.mark.parametrize("name", list(CORPORA))
+@pytest.mark.parametrize("level", [1, 3, 6, 7])
+def test_we_decode_reference(name, level):
+    data = CORPORA[name]
+    arc = ref_compress(data, level=level, checksum=True)
+    assert decompress(arc, DecodeOpts(checksum=True)) == data
+
+
+@pytest.mark.parametrize("level", LEVELS)
+def test_size_vs_reference(level):
+    """Track compressed-size parity. BASELINE target: ours <= reference.
+    Allow a small slack while the optimal parse is not yet implemented;
+    tighten to <= 1.0 as the encoder matures."""
+    data = CORPORA["text"] * 4
+    ours = len(compress(data, EncodeOpts(level=level)))
+    refs = len(ref_compress(data, level=level))
+    ratio = ours / refs
+    assert ratio <= 1.10, f"level {level}: ours {ours} vs ref {refs} ({ratio:.3f})"
+
+
+def test_block_sizes_sweep():
+    data = CORPORA["text"]
+    for bs_log in (12, 14, 19, 21):
+        arc = compress(data, EncodeOpts(level=3, block_size=1 << bs_log, checksum=True))
+        assert decompress(arc, DecodeOpts(checksum=True)) == data
+        assert ref_decompress(arc, len(data)) == data
+
+
+def test_seekable_roundtrip():
+    data = CORPORA["text"]
+    arc = compress(data, EncodeOpts(level=3, seekable=True, checksum=True,
+                                    block_size=C.BLOCK_SIZE_MIN))
+    assert decompress(arc, DecodeOpts(checksum=True)) == data
+    assert ref_decompress(arc, len(data)) == data
+    from zxc_tpu.format.headers import parse_seek_table
+    table = parse_seek_table(arc)
+    n_blocks = (len(data) + C.BLOCK_SIZE_MIN - 1) // C.BLOCK_SIZE_MIN
+    assert table is not None and len(table) == n_blocks

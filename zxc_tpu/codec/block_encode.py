@@ -1,0 +1,487 @@
+"""Block encoders: GHI (levels 1-2), GLO (levels 3-7), RAW fallback.
+
+TPU-native formulation (no hash-chain pointer chasing, no serial parse):
+
+1. **Candidate generation**: every position hashes its next 5 bytes; a
+   single stable sort groups equal hashes, and the k-th previous element of
+   each group is the k-th most recent candidate — the vectorized equivalent
+   of walking a hash chain (reference: zxc_lz77_find_best_match,
+   zxc_compress.c:193-560).
+2. **Match extension**: all (position, candidate) pairs extend together in
+   8-byte word-compare rounds; long same-byte runs are resolved
+   analytically (offset-1 matches) so run-heavy blocks never iterate.
+3. **Parse**: greedy/lazy becomes a per-position ``next[]`` jump table;
+   the chosen sequence boundaries are the chain from position 0, recovered
+   by pointer doubling — the same primitive the decoder uses.
+4. **Sections**: token/offset/extras streams are pure cumsum+scatter;
+   literal-section candidates (RAW / RLE / Huffman / shared-dict Huffman)
+   are priced with the reference's space-speed rule
+   ``J = size + (n_decoded * premium) >> 8`` and the minimum wins.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import constants as C
+from ..errors import ZxcError, ERROR_CORRUPT_DATA
+from ..format import headers
+from ..format.varint import varint_encode
+from . import huffman
+
+_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+_HASH_BITS = 17
+
+
+@dataclass
+class LevelParams:
+    n_candidates: int
+    lazy: bool
+    max_code_len: int  # Huffman cap (8 below ULTRA, 11 at ULTRA)
+
+
+def level_params(level: int) -> LevelParams:
+    level = max(C.LEVEL_MIN, min(C.LEVEL_MAX, level))
+    table = {
+        1: LevelParams(2, False, 8),
+        2: LevelParams(2, False, 8),
+        3: LevelParams(4, True, 8),
+        4: LevelParams(4, True, 8),
+        5: LevelParams(8, True, 8),
+        6: LevelParams(16, True, 8),
+        7: LevelParams(32, True, 11),
+    }
+    return table[level]
+
+
+def _prem_rle(level: int) -> int:
+    return 1 if level >= 6 else 8
+
+
+def _prem_huf(level: int) -> int:
+    return 4 if level >= 6 else 8
+
+
+# ---------------------------------------------------------------------------
+# Match finding
+# ---------------------------------------------------------------------------
+
+def _run_lengths(data: np.ndarray) -> np.ndarray:
+    """run[p] = number of consecutive bytes equal to data[p] starting at p."""
+    n = len(data)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    change = np.empty(n, bool)
+    change[-1] = True
+    np.not_equal(data[:-1], data[1:], out=change[:-1])
+    # index of the next change at or after p
+    idx = np.nonzero(change)[0]
+    nxt = idx[np.searchsorted(idx, np.arange(n))]
+    return nxt - np.arange(n) + 1
+
+
+def _true_run_lengths(mask: np.ndarray) -> np.ndarray:
+    """r[i] = number of consecutive True starting at i (0 where False)."""
+    n = len(mask)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    # index of next False at or after i
+    falses = np.nonzero(~mask)[0]
+    falses = np.concatenate([falses, [n]])
+    nxt = falses[np.searchsorted(falses, np.arange(n))]
+    return nxt - np.arange(n)
+
+
+def find_matches(data: np.ndarray, start: int, n_candidates: int
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Best (length, offset) per position in data[start:].
+
+    ``data`` includes any dictionary prefix of length ``start``; candidate
+    sources may lie in the prefix, match positions may not.
+    Returns (lens, offs) of length len(data) - start; lens==0 means no match.
+    """
+    n = len(data)
+    P = n - start
+    lens = np.zeros(P, np.int64)
+    offs = np.ones(P, np.int64)
+    if n < C.MIN_MATCH + 1:
+        return lens, offs
+
+    run = _run_lengths(data)
+
+    # offset-1 run matches: p continues the run of p-1
+    in_run = np.zeros(P, bool)
+    pos_abs = np.arange(start, n, dtype=np.int64)
+    cont = pos_abs >= 1
+    prev_same = np.zeros(P, bool)
+    prev_same[cont] = data[pos_abs[cont] - 1] == data[pos_abs[cont]]
+    run_here = run[pos_abs]
+    run_match = prev_same & (run_here >= C.MIN_MATCH)
+    lens[run_match] = run_here[run_match]
+    offs[run_match] = 1
+    # exclude deep-run interiors from hash candidate search (their offset-1
+    # match is maximal within the run; this bounds the word-compare rounds)
+    in_run = prev_same & (run_here >= 64)
+
+    # 5-byte hash per position
+    nh = n - (C.MIN_MATCH - 1)
+    d64 = data.astype(np.uint64)
+    v5 = (d64[:nh]
+          | (d64[1:nh + 1] << np.uint64(8))
+          | (d64[2:nh + 2] << np.uint64(16))
+          | (d64[3:nh + 3] << np.uint64(24))
+          | (d64[4:nh + 4] << np.uint64(32)))
+    h = ((v5 * _HASH_MULT) >> np.uint64(64 - _HASH_BITS)).astype(np.int64)
+
+    order = np.argsort(h, kind="stable")  # groups by hash, position-ascending
+    h_sorted = h[order]
+    same_group = np.zeros(nh, bool)
+    same_group[1:] = h_sorted[1:] == h_sorted[:-1]
+
+    # precomputed u64 words at every byte offset for the extension rounds
+    pad = np.concatenate([data, np.zeros(8, np.uint8)]).astype(np.uint64)
+    w64 = pad[:n].copy()
+    for k in range(1, 8):
+        w64 |= pad[k:n + k] << np.uint64(8 * k)
+
+    # rank of each element within the sorted order
+    rank = np.empty(nh, np.int64)
+    rank[order] = np.arange(nh)
+
+    pos_block = pos_abs[pos_abs < nh]          # positions that have a hash
+    pr = rank[pos_block]
+    mask_search = ~in_run[:len(pos_block)] if start == 0 else ~in_run[pos_block - start]
+
+    best_len = np.zeros(len(pos_block), np.int64)
+    best_off = np.zeros(len(pos_block), np.int64)
+    for k in range(1, n_candidates + 1):
+        cr = pr - k
+        valid = (cr >= 0) & mask_search
+        # same hash group k back
+        grp_ok = np.zeros(len(pos_block), bool)
+        vi = np.nonzero(valid)[0]
+        if len(vi) == 0:
+            break
+        # all of (cr, pr] must be in the same group: since groups are
+        # contiguous, it suffices that same_group holds over the span; check
+        # via group-id comparison instead (cheaper): equal hash values.
+        grp_ok[vi] = h_sorted[cr[vi]] == h_sorted[pr[vi]]
+        cand = np.full(len(pos_block), -1, np.int64)
+        cand[vi] = order[cr[vi]]
+        p_arr = pos_block
+        ok = grp_ok & (cand >= 0) & (p_arr - cand >= 1) & (p_arr - cand <= C.WINDOW_SIZE)
+        # confirm real 5-byte equality (hash collisions)
+        oi = np.nonzero(ok)[0]
+        oi = oi[v5[p_arr[oi]] == v5[cand[oi]]]
+        if len(oi) == 0:
+            continue
+        # extend: word-compare rounds, capped; deep survivors are resolved
+        # exactly via per-lag equality runs (O(n) per distinct lag), which
+        # bounds the work on periodic data where every candidate matches
+        # thousands of bytes deep.
+        p_s = p_arr[oi]
+        c_s = cand[oi]
+        max_len = n - p_s
+        mlen = np.zeros(len(oi), np.int64)
+        active = np.arange(len(oi))
+        rounds = 0
+        while len(active) and rounds < 16:
+            a_p = p_s[active] + mlen[active]
+            a_c = c_s[active] + mlen[active]
+            rem = max_len[active] - mlen[active]
+            can8 = rem >= 8
+            wa = w64[np.minimum(a_p, n - 1)]
+            wb = w64[np.minimum(a_c, n - 1)]
+            x = wa ^ wb
+            eq_full = (x == 0) & can8
+            # mismatch within the next min(rem, 8) bytes
+            tz_bytes = np.zeros(len(active), np.int64)
+            nz = x != 0
+            if nz.any():
+                xv = x[nz]
+                tz = np.zeros(len(xv), np.int64)
+                for shift in (32, 16, 8):
+                    m = (xv & ((np.uint64(1) << np.uint64(shift)) - np.uint64(1))) == 0
+                    tz[m] += shift
+                    xv[m] >>= np.uint64(shift)
+                tz_bytes[nz] = tz >> 3
+            adv = np.where(eq_full, 8, np.minimum(tz_bytes, rem))
+            mlen[active] += adv
+            active = active[eq_full]
+            rounds += 1
+        if len(active):
+            # survivors matched >= 128 bytes: exact lcp from per-lag runs
+            lags = p_s[active] - c_s[active]
+            for lag in np.unique(lags):
+                sel = active[lags == lag]
+                eq = data[lag:] == data[:-lag]
+                eq_run = _true_run_lengths(eq)
+                mlen[sel] = np.minimum(eq_run[c_s[sel]], max_len[sel])
+        take = mlen >= C.MIN_MATCH
+        ti = oi[take]
+        better = mlen[take] > best_len[ti]
+        ti = ti[better]
+        best_len[ti] = mlen[take][better]
+        best_off[ti] = (p_arr - cand)[ti]
+
+    # merge hash matches with run matches (prefer longer; ties prefer run/off-1)
+    blk_idx = pos_block - start
+    hb = best_len > lens[blk_idx]
+    lens[blk_idx[hb]] = best_len[hb]
+    offs[blk_idx[hb]] = best_off[hb]
+    return lens, offs
+
+
+# ---------------------------------------------------------------------------
+# Parse: greedy / lazy via jump-table doubling
+# ---------------------------------------------------------------------------
+
+def parse_sequences(lens: np.ndarray, offs: np.ndarray, lazy: bool
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Chain-of-jumps parse. Returns (match_pos, match_len, match_off)."""
+    P = len(lens)
+    good = lens >= C.MIN_MATCH
+    if lazy and P > 1:
+        nxt_len = np.concatenate([lens[1:], [0]])
+        nxt_good = np.concatenate([good[1:], [False]])
+        defer = good & nxt_good & (nxt_len > lens)
+        emit = good & ~defer
+    else:
+        emit = good
+    step = np.where(emit, lens, 1)
+    jt = np.minimum(np.arange(P, dtype=np.int64) + step, P)
+    jt = np.concatenate([jt, [P]])
+    mark = np.zeros(P + 1, bool)
+    mark[0] = True
+    covered = 1
+    while covered < P:
+        idx = np.nonzero(mark[:P])[0]
+        mark[jt[idx]] = True
+        jt = jt[jt]
+        covered *= 2
+    chosen = np.nonzero(mark[:P] & emit)[0]
+    return chosen, lens[chosen], offs[chosen]
+
+
+# ---------------------------------------------------------------------------
+# Section emitters
+# ---------------------------------------------------------------------------
+
+def encode_rle_literals(lit: np.ndarray) -> bytes:
+    """RLE tokenization, byte-compatible with the reference emitter
+    (zxc_compress.c:1745-1800): runs >= 4 become run tokens chunked at 131
+    with a 1-3 byte raw tail; gaps up to the next 4-byte run become raw
+    tokens chunked at 128."""
+    n = len(lit)
+    if n == 0:
+        return b""
+    run = _run_lengths(lit)
+    idx4 = np.nonzero(run >= C.RLE_RUN_MIN)[0]
+    out = bytearray()
+    p = 0
+    while p < n:
+        r = int(run[p])
+        if r >= C.RLE_RUN_MIN:
+            b = int(lit[p])
+            rem = r
+            while rem >= C.RLE_RUN_MIN:
+                chunk = min(C.RLE_RUN_MAX, rem)
+                out.append(C.LIT_RLE_FLAG | (chunk - 4))
+                out.append(b)
+                rem -= chunk
+            if rem:
+                out.append(rem - 1)
+                out += lit[p + r - rem:p + r].tobytes()
+            p += r
+        else:
+            j = np.searchsorted(idx4, p)
+            q = int(idx4[j]) if j < len(idx4) else n
+            while p < q:
+                chunk = min(C.RLE_RAW_MAX, q - p)
+                out.append(chunk - 1)
+                out += lit[p:p + chunk].tobytes()
+                p += chunk
+    return bytes(out)
+
+
+def _emit_extras(vals: list[int]) -> bytes:
+    return b"".join(varint_encode(v) for v in vals)
+
+
+def _extras_stream(ll: np.ndarray, mlb: np.ndarray, ll_mask: int, ml_mask: int) -> bytes:
+    """Interleaved LL/ML overflow varints in sequence order."""
+    out = bytearray()
+    sat_ll = ll >= ll_mask
+    sat_ml = mlb >= ml_mask
+    if not (sat_ll.any() or sat_ml.any()):
+        return b""
+    for i in np.nonzero(sat_ll | sat_ml)[0]:
+        if sat_ll[i]:
+            out += varint_encode(int(ll[i]) - ll_mask)
+        if sat_ml[i]:
+            out += varint_encode(int(mlb[i]) - ml_mask)
+    return bytes(out)
+
+
+@dataclass
+class DictState:
+    """Encoder-side dictionary state: content + optional shared table."""
+    content: np.ndarray
+    huf_lengths: bytes | None = None
+    tree: "huffman.PivcoTree" = None
+
+    def __post_init__(self):
+        if self.huf_lengths is not None and self.tree is None:
+            self.tree = huffman.build_tree(huffman.unpack_lengths(self.huf_lengths))
+
+
+def _build_sequences(data: np.ndarray, level: int, dict_state: DictState | None):
+    """Shared front half: match find + parse. Returns (ll, ml, off, literals,
+    block) in block coordinates."""
+    params = level_params(level)
+    if dict_state is not None and len(dict_state.content):
+        full = np.concatenate([dict_state.content, data])
+        start = len(dict_state.content)
+    else:
+        full = data
+        start = 0
+    lens, offs = find_matches(full, start, params.n_candidates)
+    m_pos, m_len, m_off = parse_sequences(lens, offs, params.lazy)
+    P = len(data)
+    n_seq = len(m_pos)
+    if n_seq == 0:
+        ll = np.zeros(0, np.int64)
+        ml = np.zeros(0, np.int64)
+        off = np.zeros(0, np.int64)
+        literals = data
+        return ll, ml, off, literals
+    prev_end = np.concatenate([[0], m_pos[:-1] + m_len[:-1]])
+    ll = m_pos - prev_end
+    # literal bytes = positions not covered by any match (order-preserving)
+    cover = np.zeros(P + 1, np.int64)
+    np.add.at(cover, m_pos, 1)
+    np.add.at(cover, m_pos + m_len, -1)
+    in_match = np.cumsum(cover[:P]) > 0
+    literals = data[~in_match]
+    return ll, m_len, m_off, literals
+
+
+def encode_block_glo(data: np.ndarray, level: int,
+                     dict_state: DictState | None = None) -> bytes | None:
+    """GLO payload (no block header); None when the caller should fall back
+    to RAW (reference: zxc_encode_block_glo, zxc_compress.c:1179-1864)."""
+    ll, ml, off, literals = _build_sequences(data, level, dict_state)
+    n_seq = len(ml)
+    n_lit = len(literals)
+    mlb = ml - C.MIN_MATCH  # token field basis
+
+    # token bytes
+    tok_ll = np.minimum(ll, C.TOKEN_LL_MASK)
+    tok_ml = np.minimum(mlb, C.TOKEN_ML_MASK)
+    tokens = ((tok_ll << C.TOKEN_LIT_BITS) | tok_ml).astype(np.uint8)
+    extras = _extras_stream(ll, mlb, C.TOKEN_LL_MASK, C.TOKEN_ML_MASK)
+
+    use_8bit = bool(n_seq == 0 or off.max(initial=1) <= 256)
+    if use_8bit:
+        off_stream = (off - C.OFFSET_BIAS).astype(np.uint8).tobytes()
+    else:
+        off_stream = (off - C.OFFSET_BIAS).astype("<u2").tobytes()
+
+    # --- literal section candidates, priced J = size + tax ---
+    enc_lit = C.ENC_RAW
+    lit_stream = literals.tobytes()
+    best_j = n_lit
+    best_stream = lit_stream
+    if n_lit > 0:
+        rle = encode_rle_literals(literals)
+        j = len(rle) + ((n_lit * _prem_rle(level)) >> 8)
+        if j < best_j:
+            enc_lit, best_j, best_stream = C.ENC_RLE, j, rle
+        if level >= 6 and n_lit >= 139:
+            freq = np.bincount(literals, minlength=256)
+            cl = huffman.build_code_lengths(freq, level_params(level).max_code_len)
+            if cl is not None:
+                tree = huffman.build_tree(cl)
+                size = huffman.calc_size(freq, tree, with_header=True)
+                j = size + ((n_lit * _prem_huf(level)) >> 8)
+                if j < best_j:
+                    enc_lit, best_j = C.ENC_HUFFMAN, j
+                    best_stream = huffman.pack_lengths(cl) + huffman.encode_payload(literals, tree)
+        if level >= 6 and dict_state is not None and dict_state.tree is not None and n_lit > 0:
+            freq = np.bincount(literals, minlength=256)
+            try:
+                size = huffman.calc_size(freq, dict_state.tree, with_header=False)
+                j = size + ((n_lit * _prem_huf(level)) >> 8)
+                if j < best_j:
+                    enc_lit, best_j = C.ENC_HUFFMAN_DICT, j
+                    best_stream = huffman.encode_payload(literals, dict_state.tree)
+            except ZxcError:
+                pass  # a literal byte without a shared code: candidate invalid
+
+    # --- token section candidate (ULTRA): Huffman over token bytes ---
+    enc_tok = C.ENC_RAW
+    tok_stream = tokens.tobytes()
+    if level >= 7 and n_seq >= 139:
+        tfreq = np.bincount(tokens, minlength=256)
+        tcl = huffman.build_code_lengths(tfreq, level_params(level).max_code_len)
+        if tcl is not None:
+            ttree = huffman.build_tree(tcl)
+            tsize = huffman.calc_size(tfreq, ttree, with_header=True)
+            if tsize + ((n_seq * _prem_huf(level)) >> 8) < n_seq:
+                enc_tok = C.ENC_HUFFMAN
+                tok_stream = huffman.pack_lengths(tcl) + huffman.encode_payload(tokens, ttree)
+
+    gh = headers.GnrHeader(n_seq, n_lit, enc_lit, enc_tok, 0, 1 if use_8bit else 0)
+    descs = [(len(best_stream), n_lit),
+             (len(tok_stream), n_seq),
+             (len(off_stream), len(off_stream)),
+             (len(extras), len(extras))]
+    return headers.write_gnr_header(gh, descs) + best_stream + tok_stream + off_stream + extras
+
+
+def encode_block_ghi(data: np.ndarray, level: int,
+                     dict_state: DictState | None = None) -> bytes:
+    """GHI payload (reference: zxc_encode_block_ghi, zxc_compress.c:1895)."""
+    ll, ml, off, literals = _build_sequences(data, level, dict_state)
+    n_seq = len(ml)
+    n_lit = len(literals)
+    mlb = ml - C.MIN_MATCH
+    w_ll = np.minimum(ll, C.SEQ_LL_MASK)
+    w_ml = np.minimum(mlb, C.SEQ_ML_MASK)
+    words = ((w_ll.astype(np.uint32) << 24)
+             | (w_ml.astype(np.uint32) << 16)
+             | (off - C.OFFSET_BIAS).astype(np.uint32)).astype("<u4")
+    extras = _extras_stream(ll, mlb, C.SEQ_LL_MASK, C.SEQ_ML_MASK)
+    gh = headers.GnrHeader(n_seq, n_lit, C.ENC_RAW, C.ENC_RAW, 0, 0)
+    lit_stream = literals.tobytes()
+    seq_stream = words.tobytes()
+    descs = [(len(lit_stream), n_lit),
+             (len(seq_stream), len(seq_stream)),
+             (len(extras), len(extras))]
+    return headers.write_gnr_header(gh, descs) + lit_stream + seq_stream + extras
+
+
+def encode_chunk(data: np.ndarray, level: int,
+                 dict_state: DictState | None = None,
+                 checksum: bool = False) -> bytes:
+    """Chunk wrapper: block header + payload (+ checksum), RAW fallback on
+    expansion (reference: zxc_compress_chunk_wrapper, zxc_compress.c:2122)."""
+    from ..format.hashes import rapidhash32
+
+    if level <= 2:
+        payload = encode_block_ghi(data, level, dict_state)
+        btype = C.BLOCK_GHI
+    else:
+        payload = encode_block_glo(data, level, dict_state)
+        btype = C.BLOCK_GLO
+    total = C.BLOCK_HEADER_SIZE + len(payload)
+    if total >= len(data):
+        payload = data.tobytes()
+        btype = C.BLOCK_RAW
+    elif isinstance(payload, (bytes, bytearray)):
+        pass
+    out = headers.write_block_header(btype, len(payload)) + bytes(payload)
+    if checksum:
+        out += int(rapidhash32(bytes(payload))).to_bytes(4, "little")
+    return out

@@ -128,3 +128,51 @@ def get_decompressed_size(archive: bytes) -> int:
 
 def get_dict_id(archive: bytes) -> int:
     return headers.read_file_header(archive).dict_id
+
+
+@dataclass
+class EncodeOpts:
+    level: int = C.LEVEL_DEFAULT
+    block_size: int = C.BLOCK_SIZE_DEFAULT
+    checksum: bool = False
+    seekable: bool = False
+    dict_content: bytes | None = None
+    dict_huf: bytes | None = None
+
+
+def compress(data: bytes, opts: EncodeOpts | None = None) -> bytes:
+    """One-shot frame encode (zxc_compress equivalent, zxc_dispatch.c:671)."""
+    from . import block_encode
+
+    opts = opts or EncodeOpts()
+    level = max(C.LEVEL_MIN, min(C.LEVEL_MAX, opts.level or C.LEVEL_DEFAULT))
+    block_size = opts.block_size or C.BLOCK_SIZE_DEFAULT
+    if block_size != 1 << C.block_size_code(block_size):
+        raise ZxcError(ERROR_BAD_BLOCK_SIZE)
+    dict_state = None
+    dict_id = 0
+    if opts.dict_content:
+        if len(opts.dict_content) > C.DICT_SIZE_MAX:
+            raise ZxcError(ERROR_DICT_TOO_LARGE)
+        dict_state = block_encode.DictState(
+            np.frombuffer(opts.dict_content, np.uint8), opts.dict_huf)
+        dict_id = compute_dict_id(opts.dict_content, opts.dict_huf)
+
+    out = bytearray()
+    out += headers.write_file_header(block_size, opts.checksum, dict_id)
+    arr = np.frombuffer(data, np.uint8)
+    global_hash = 0
+    seek_sizes: list[int] = []
+    for pos in range(0, len(arr), block_size):
+        chunk = arr[pos:pos + block_size]
+        blk = block_encode.encode_chunk(chunk, level, dict_state, opts.checksum)
+        if opts.checksum:
+            stored = int.from_bytes(blk[-4:], "little")
+            global_hash = global_hash_update(global_hash, stored)
+        seek_sizes.append(len(blk))
+        out += blk
+    out += headers.write_block_header(C.BLOCK_EOF, 0)
+    if opts.seekable and seek_sizes:
+        out += headers.write_seek_table(seek_sizes)
+    out += headers.write_file_footer(len(data), global_hash, opts.checksum)
+    return bytes(out)
