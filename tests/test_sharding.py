@@ -1,0 +1,49 @@
+"""Multi-device sharded decode on the virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+
+from zxc_tpu.codec import frame
+from zxc_tpu.codec.frame import EncodeOpts
+from zxc_tpu.ops import plan_frame
+from zxc_tpu import parallel
+
+
+def _data(seed=0, n=200_000):
+    rng = np.random.default_rng(seed)
+    seg = rng.integers(0, 256, 1231, dtype=np.uint8).tobytes()
+    return (seg * 50 + rng.integers(0, 64, n // 2, dtype=np.uint8).tobytes()
+            + b"run" * 10_000)[:n]
+
+
+def test_eight_cpu_devices_present():
+    assert len(jax.devices()) >= 8
+
+
+def test_dp_sharded_decode_matches():
+    data = _data()
+    archive = frame.compress(data, EncodeOpts(level=3, block_size=8192))
+    plan = plan_frame(archive)
+    assert plan.n_blocks > 8  # actually exercises the shards
+    mesh = parallel.make_mesh(jax.devices()[:8], axes=("dp",))
+    assert parallel.decode_plan_sharded(plan, mesh) == data
+
+
+def test_dp_sp_sharded_decode_matches():
+    data = _data(seed=3, n=96_000)
+    archive = frame.compress(data, EncodeOpts(level=4, block_size=4096))
+    plan = plan_frame(archive)
+    mesh = parallel.make_mesh(jax.devices()[:8], axes=("dp", "sp"),
+                              shape=(4, 2))
+    assert parallel.decode_plan_dp_sp(plan, mesh) == data
+
+
+def test_dp_sp_mesh_shapes():
+    data = _data(seed=5, n=40_000)
+    archive = frame.compress(data, EncodeOpts(level=2, block_size=4096))
+    plan = plan_frame(archive)
+    for shape in ((2, 4), (1, 8), (8, 1)):
+        mesh = parallel.make_mesh(jax.devices()[:8], axes=("dp", "sp"),
+                                  shape=shape)
+        assert parallel.decode_plan_dp_sp(plan, mesh) == data

@@ -224,9 +224,13 @@ def _decode_literal_section(enc_lit: int, stream: np.ndarray, required_size: int
     raise ZxcError(ERROR_CORRUPT_DATA, f"bad enc_lit {enc_lit}")
 
 
-def decode_block_glo(payload: np.ndarray, dst_capacity: int,
-                     dict_buf: np.ndarray | None = None,
-                     dict_tree=None) -> np.ndarray:
+def parse_block_glo(payload: np.ndarray, dst_capacity: int,
+                    dict_tree=None) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Phase 1 only: GLO payload -> (ll, ml, off, literals) int64/uint8 arrays.
+
+    Shared by the host expander below and the device batch planner
+    (:mod:`zxc_tpu.ops.batch`), which ships these arrays to the TPU.
+    """
     gh, descs = headers.read_gnr_header(payload.tobytes()[:C.GNR_HEADER_SIZE +
                                                           C.GLO_SECTIONS * 8], C.GLO_SECTIONS)
     p = C.GNR_HEADER_SIZE + C.GLO_SECTIONS * C.SECTION_DESC_SIZE
@@ -270,11 +274,19 @@ def decode_block_glo(payload: np.ndarray, dst_capacity: int,
     ext_ll, ext_ml = _resolve_extras(ll == C.TOKEN_LL_MASK, mlf == C.TOKEN_ML_MASK, extras)
     ll = ll + ext_ll
     ml = mlf + ext_ml + C.MIN_MATCH
+    return ll, ml, off, literals
+
+
+def decode_block_glo(payload: np.ndarray, dst_capacity: int,
+                     dict_buf: np.ndarray | None = None,
+                     dict_tree=None) -> np.ndarray:
+    ll, ml, off, literals = parse_block_glo(payload, dst_capacity, dict_tree)
     return expand_sequences(ll, ml, off, literals, dst_capacity, dict_buf)
 
 
-def decode_block_ghi(payload: np.ndarray, dst_capacity: int,
-                     dict_buf: np.ndarray | None = None) -> np.ndarray:
+def parse_block_ghi(payload: np.ndarray, dst_capacity: int
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Phase 1 only: GHI payload -> (ll, ml, off, literals)."""
     gh, descs = headers.read_gnr_header(payload.tobytes()[:C.GNR_HEADER_SIZE +
                                                           C.GHI_SECTIONS * 8], C.GHI_SECTIONS)
     p = C.GNR_HEADER_SIZE + C.GHI_SECTIONS * C.SECTION_DESC_SIZE
@@ -299,7 +311,32 @@ def decode_block_ghi(payload: np.ndarray, dst_capacity: int,
     ext_ll, ext_ml = _resolve_extras(ll == C.SEQ_LL_MASK, mlf == C.SEQ_ML_MASK, extras)
     ll = ll + ext_ll
     ml = mlf + ext_ml + C.MIN_MATCH
+    return ll, ml, off, literals
+
+
+def decode_block_ghi(payload: np.ndarray, dst_capacity: int,
+                     dict_buf: np.ndarray | None = None) -> np.ndarray:
+    ll, ml, off, literals = parse_block_ghi(payload, dst_capacity)
     return expand_sequences(ll, ml, off, literals, dst_capacity, dict_buf)
+
+
+def parse_block(block_type: int, payload: np.ndarray, dst_capacity: int,
+                dict_tree=None) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Uniform phase-1 parse for any data block type.
+
+    RAW blocks become the degenerate (no sequences, all-literal) case, so the
+    device expansion kernel handles mixed-type batches uniformly.
+    """
+    if block_type == C.BLOCK_RAW:
+        if len(payload) > dst_capacity:
+            raise ZxcError(ERROR_OVERFLOW, "RAW block exceeds capacity")
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), z.copy(), payload
+    if block_type == C.BLOCK_GLO:
+        return parse_block_glo(payload, dst_capacity, dict_tree)
+    if block_type == C.BLOCK_GHI:
+        return parse_block_ghi(payload, dst_capacity)
+    raise ZxcError(ERROR_BAD_BLOCK_TYPE, f"type {block_type}")
 
 
 def decode_block(block_type: int, payload: np.ndarray, dst_capacity: int,

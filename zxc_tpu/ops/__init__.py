@@ -1,0 +1,3 @@
+"""Device (JAX/XLA/Pallas) compute path: batched block decode kernels."""
+from . import expand, batch  # noqa: F401
+from .batch import decompress, plan_frame, decode_plan_device  # noqa: F401

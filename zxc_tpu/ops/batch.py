@@ -1,0 +1,216 @@
+"""Batched frame decode on device.
+
+The host does phase 1 (headers, section descriptors, varint extras, entropy
+literal decode — all O(sections), cheap and variable-length), producing
+fixed-shape padded batches; the device runs the output-sized expansion
+kernel (:mod:`zxc_tpu.ops.expand`) over many independent blocks at once.
+This split mirrors the reference's MT pipeline (zxc_driver.c:639-1035):
+reader/section-parser on host threads, the per-byte work on the wide
+engine — except the wide engine here is a TPU chip, not a SIMD lane set.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..errors import (ZxcError, ERROR_CORRUPT_DATA, ERROR_BAD_OFFSET, ERROR_OVERFLOW,
+                      ERROR_BAD_HEADER, ERROR_SRC_TOO_SMALL, ERROR_BAD_CHECKSUM,
+                      ERROR_DICT_REQUIRED, ERROR_DICT_MISMATCH)
+from ..format import headers
+from ..format.hashes import rapidhash32, global_hash_update
+from ..format.dictionary import dict_id as compute_dict_id
+from ..codec import block_decode, huffman
+from ..codec.frame import DecodeOpts
+from . import expand
+
+# Blocks expanded per device dispatch. Sized so scratch (int32 node array,
+# 4x block) stays comfortably under a few hundred MB of HBM per dispatch
+# while keeping the chip busy.
+DEFAULT_BATCH = 64
+
+
+@dataclass
+class FramePlan:
+    """Host-side phase-1 parse of a whole frame, ready for device batching."""
+    block_size: int
+    ll: list = field(default_factory=list)       # per-block int32 (n_seq,)
+    ml: list = field(default_factory=list)
+    off: list = field(default_factory=list)
+    lit: list = field(default_factory=list)      # per-block uint8 (lit_len,)
+    totals: list = field(default_factory=list)   # expected decoded size
+    dict_buf: np.ndarray | None = None
+    dict_len: int = 0
+    decompressed_size: int = 0
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.totals)
+
+    @property
+    def max_seq(self) -> int:
+        return max((len(a) for a in self.ll), default=0)
+
+    @property
+    def max_lit(self) -> int:
+        return max((len(a) for a in self.lit), default=0)
+
+
+def plan_frame(archive: bytes, opts: DecodeOpts | None = None) -> FramePlan:
+    """Walk the frame, parse every block's sections on host (phase 1)."""
+    if len(archive) < C.FILE_HEADER_SIZE + C.FILE_FOOTER_SIZE:
+        raise ZxcError(ERROR_SRC_TOO_SMALL)
+    fh = headers.read_file_header(archive)
+    verify = bool(opts and opts.checksum) and fh.has_checksum
+
+    dict_buf = dict_tree = None
+    provided_id = 0
+    if opts is not None and opts.dict_content:
+        dict_buf = np.frombuffer(opts.dict_content, np.uint8)
+        if opts.dict_huf is not None:
+            dict_tree = huffman.build_tree(huffman.unpack_lengths(opts.dict_huf))
+        provided_id = compute_dict_id(opts.dict_content, opts.dict_huf)
+    if fh.dict_id != 0:
+        if dict_buf is None:
+            raise ZxcError(ERROR_DICT_REQUIRED)
+        if provided_id != fh.dict_id:
+            raise ZxcError(ERROR_DICT_MISMATCH)
+
+    buf = np.frombuffer(archive, np.uint8)
+    plan = FramePlan(block_size=fh.block_size, dict_buf=dict_buf,
+                     dict_len=0 if dict_buf is None else len(dict_buf))
+    global_hash = 0
+    pos = C.FILE_HEADER_SIZE
+    saw_eof = False
+    while pos + C.BLOCK_HEADER_SIZE <= len(archive):
+        bh = headers.read_block_header(archive, pos)
+        if bh.block_type == C.BLOCK_EOF:
+            if bh.comp_size != 0:
+                raise ZxcError(ERROR_BAD_HEADER, "EOF with non-zero comp_size")
+            saw_eof = True
+            break
+        payload_off = pos + C.BLOCK_HEADER_SIZE
+        tail = C.BLOCK_CHECKSUM_SIZE if fh.has_checksum else 0
+        if payload_off + bh.comp_size + tail > len(archive):
+            raise ZxcError(ERROR_SRC_TOO_SMALL, "block payload truncated")
+        if bh.comp_size > C.compress_block_bound(fh.block_size):
+            raise ZxcError(ERROR_CORRUPT_DATA, "comp_size exceeds block bound")
+        payload = buf[payload_off:payload_off + bh.comp_size]
+        if fh.has_checksum:
+            stored = int(buf[payload_off + bh.comp_size:
+                             payload_off + bh.comp_size + 4].view("<u4")[0])
+            if verify:
+                if rapidhash32(payload.tobytes()) != stored:
+                    raise ZxcError(ERROR_BAD_CHECKSUM, "block payload checksum")
+                global_hash = global_hash_update(global_hash, stored)
+        ll, ml, off, lit = block_decode.parse_block(
+            bh.block_type, payload, fh.block_size, dict_tree)
+        lit_used = int(ll.sum())
+        if lit_used > len(lit):
+            raise ZxcError(ERROR_OVERFLOW, "literal stream exhausted")
+        total = int((ll + ml).sum()) + len(lit) - lit_used
+        if total > fh.block_size:
+            raise ZxcError(ERROR_OVERFLOW, "decoded size exceeds capacity")
+        plan.ll.append(ll.astype(np.int32))
+        plan.ml.append(ml.astype(np.int32))
+        plan.off.append(off.astype(np.int32))
+        plan.lit.append(np.ascontiguousarray(lit))
+        plan.totals.append(total)
+        plan.decompressed_size += total
+        pos = payload_off + bh.comp_size + tail
+    if not saw_eof:
+        raise ZxcError(ERROR_SRC_TOO_SMALL, "missing EOF block")
+
+    stored_size, stored_hash = headers.read_file_footer(archive)
+    if stored_size != plan.decompressed_size:
+        raise ZxcError(ERROR_CORRUPT_DATA, "footer size mismatch")
+    if verify and stored_hash != global_hash:
+        raise ZxcError(ERROR_BAD_CHECKSUM, "global hash mismatch")
+    return plan
+
+
+def _pow2(n: int, lo: int = 8) -> int:
+    return max(lo, 1 << (max(n, 1) - 1).bit_length())
+
+
+def _pad_batch(plan: FramePlan, idx: range, S: int, L: int, B: int | None = None):
+    """Stack blocks idx into fixed (B, S)/(B, L) arrays (host numpy).
+
+    Rows past len(idx) are empty blocks (n_seq=0, lit_len=0) so the final
+    chunk of a frame reuses the same compiled shape."""
+    if B is None:
+        B = len(idx)
+    ll = np.zeros((B, S), np.int32)
+    ml = np.zeros((B, S), np.int32)
+    off = np.ones((B, S), np.int32)
+    lit = np.zeros((B, L), np.uint8)
+    n_seq = np.zeros(B, np.int32)
+    lit_len = np.zeros(B, np.int32)
+    for j, i in enumerate(idx):
+        s = len(plan.ll[i])
+        l = len(plan.lit[i])
+        ll[j, :s] = plan.ll[i]
+        ml[j, :s] = plan.ml[i]
+        off[j, :s] = plan.off[i]
+        lit[j, :l] = plan.lit[i]
+        n_seq[j] = s
+        lit_len[j] = l
+    return ll, ml, off, lit, n_seq, lit_len
+
+
+_ERRBIT_CODES = {1: (ERROR_OVERFLOW, "literal stream exhausted"),
+                 2: (ERROR_OVERFLOW, "decoded size exceeds capacity"),
+                 4: (ERROR_BAD_OFFSET, "offset out of window")}
+
+
+def _raise_errbits(bits: int):
+    for bit, (code, msg) in _ERRBIT_CODES.items():
+        if bits & bit:
+            raise ZxcError(code, msg)
+    raise ZxcError(ERROR_CORRUPT_DATA)
+
+
+def decode_plan_device(plan: FramePlan, batch: int = DEFAULT_BATCH,
+                       device=None) -> bytes:
+    """Run a FramePlan through the device expansion kernel, batch by batch."""
+    nb = plan.n_blocks
+    if nb == 0:
+        return b""
+    S = _pow2(plan.max_seq)
+    L = _pow2(plan.max_lit)
+    has_dict = plan.dict_buf is not None
+    kern = expand.expand_kernel(plan.block_size, has_dict)
+    dict_args = ()
+    if has_dict:
+        dict_args = (jax.device_put(expand.pad_dict(plan.dict_buf), device),
+                     jnp.int32(plan.dict_len))
+
+    # pow2 bucket keeps the number of distinct compiled shapes bounded
+    Bsz = _pow2(min(batch, nb), lo=4)
+    out_parts: list[np.ndarray] = []
+    for base in range(0, nb, Bsz):
+        idx = range(base, min(base + Bsz, nb))
+        host = _pad_batch(plan, idx, S, L, B=Bsz)
+        dev = tuple(jax.device_put(a, device) for a in host)
+        out, total, err = kern(*dev, *dict_args)
+        err_np = np.asarray(err)[:len(idx)]
+        if err_np.any():
+            _raise_errbits(int(err_np[err_np != 0][0]))
+        total_np = np.asarray(total)[:len(idx)]
+        exp = np.asarray(plan.totals[base:base + len(idx)])
+        if not (total_np == exp).all():
+            raise ZxcError(ERROR_CORRUPT_DATA, "device/plan size disagreement")
+        out_np = np.asarray(out)
+        for j, i in enumerate(idx):
+            out_parts.append(out_np[j, :plan.totals[i]])
+    return np.concatenate(out_parts).tobytes() if out_parts else b""
+
+
+def decompress(archive: bytes, opts: DecodeOpts | None = None,
+               batch: int = DEFAULT_BATCH, device=None) -> bytes:
+    """One-shot frame decode with the hot path on the TPU."""
+    plan = plan_frame(archive, opts)
+    return decode_plan_device(plan, batch=batch, device=device)

@@ -1,0 +1,228 @@
+"""Multi-chip decode: block data-parallelism + in-block sequence parallelism.
+
+The reference's parallelism is pthreads over independent blocks
+(zxc_driver.c:639-1035) and fork-join over seekable ranges
+(zxc_seekable.c:1005-1123). The TPU-native equivalents:
+
+* **dp** — independent blocks shard across chips on the leading batch axis
+  (the ring-buffer worker pool becomes one sharded dispatch);
+* **sp** — inside a block, output positions shard across chips; the
+  pointer-doubling rounds exchange the resolution array with
+  ``lax.all_gather`` over ICI (the reference has no equivalent — its window
+  always fits one cache);
+* per-block error flags reduce with ``psum``-style collectives, and frame
+  assembly is an ordered gather on host 0 (``jax.device_get`` of the
+  dp-sharded output respects batch order by construction).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import expand
+from ..ops.batch import FramePlan, _pad_batch, _raise_errbits, _pow2
+from ..errors import ZxcError, ERROR_CORRUPT_DATA
+
+
+def make_mesh(devices=None, axes: tuple[str, ...] = ("dp",),
+              shape: tuple[int, ...] | None = None) -> Mesh:
+    """Build a device mesh; defaults to 1-D data-parallel over all devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n,) if len(axes) == 1 else (n // 2, 2)
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, axes)
+
+
+# ---------------------------------------------------------------------------
+# dp: batched blocks sharded over the mesh
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _dp_kernel(block: int, mesh_key, dp_axis: str):
+    """Jitted dp-sharded expansion: the batch axis partitioned over chips."""
+    mesh = _MESHES[mesh_key]
+    kern = expand.expand_kernel(block, False)
+    shard = NamedSharding(mesh, P(dp_axis))
+    repl = NamedSharding(mesh, P())
+    in_sh = (shard,) * 6
+    out_sh = (shard, shard, shard)
+    return jax.jit(kern, in_shardings=in_sh, out_shardings=out_sh), shard, repl
+
+
+_MESHES: dict = {}
+
+
+def _mesh_key(mesh: Mesh):
+    key = (tuple(d.id for d in mesh.devices.flat), mesh.devices.shape,
+           mesh.axis_names)
+    _MESHES[key] = mesh
+    return key
+
+
+def decode_plan_sharded(plan: FramePlan, mesh: Mesh, dp_axis: str = "dp",
+                        batch: int | None = None) -> bytes:
+    """Decode a FramePlan with blocks sharded data-parallel over the mesh.
+
+    Outputs are device_get in batch order — the frame-ordered gather on
+    host 0 (the reference's ordering writer, zxc_driver.c:521-597).
+    """
+    if plan.dict_buf is not None:
+        raise ZxcError(ERROR_CORRUPT_DATA,
+                       "dict frames use the single-device path for now")
+    nb = plan.n_blocks
+    if nb == 0:
+        return b""
+    ndev = int(np.prod([mesh.shape[a] for a in (dp_axis,)]))
+    if batch is None:
+        batch = max(ndev, ((min(nb, 64) + ndev - 1) // ndev) * ndev)
+    S = _pow2(plan.max_seq)
+    L = _pow2(plan.max_lit)
+    kern, shard, _ = _dp_kernel(plan.block_size, _mesh_key(mesh), dp_axis)
+
+    out_parts: list[np.ndarray] = []
+    for base in range(0, nb, batch):
+        hi = min(base + batch, nb)
+        idx = range(base, hi)
+        host = _pad_batch(plan, idx, S, L)
+        # pad batch to a multiple of the mesh so shards are equal
+        pad_to = ((len(idx) + ndev - 1) // ndev) * ndev
+        if pad_to != len(idx):
+            host = tuple(np.concatenate(
+                [a, np.zeros((pad_to - len(idx),) + a.shape[1:], a.dtype)
+                 + (1 if i == 2 else 0)])  # off pads with 1
+                for i, a in enumerate(host))
+        dev = tuple(jax.device_put(a, shard) for a in host)
+        out, total, err = kern(*dev)
+        err_np = np.asarray(err)[:len(idx)]
+        if err_np.any():
+            _raise_errbits(int(err_np[err_np != 0][0]))
+        out_np = np.asarray(out)
+        for j, i in enumerate(idx):
+            out_parts.append(out_np[j, :plan.totals[i]])
+    return np.concatenate(out_parts).tobytes() if out_parts else b""
+
+
+# ---------------------------------------------------------------------------
+# dp x sp: positions inside each block sharded too (shard_map + all_gather)
+# ---------------------------------------------------------------------------
+
+def _expand_sp_local(ll, ml, off, lit, n_seq, lit_len, *, block: int,
+                     sp_axis: str, n_sp: int):
+    """Per-shard body: this chip owns ``block / n_sp`` output positions of
+    every local block; pointer-doubling all_gathers the resolution array."""
+    S = ll.shape[0]
+    L = lit.shape[0]
+    chunk = block // n_sp
+    me = jax.lax.axis_index(sp_axis)
+    p0 = me * chunk
+
+    sidx = jnp.arange(S, dtype=jnp.int32)
+    valid = sidx < n_seq
+    ll = jnp.where(valid, ll, 0)
+    ml = jnp.where(valid, ml, 0)
+    off = jnp.where(valid, jnp.maximum(off, 1), 1)
+    seq_out = ll + ml
+    out_start = jnp.cumsum(seq_out) - seq_out
+    match_start = out_start + ll
+    cum_ll = jnp.cumsum(ll) - ll
+    total_seq = jnp.sum(seq_out)
+    lit_used = jnp.sum(ll)
+    trailing = jnp.maximum(lit_len - lit_used, 0)
+    total = total_seq + trailing
+    err = ((lit_used > lit_len).astype(jnp.int32)
+           | ((total > block).astype(jnp.int32) << 1)
+           | (jnp.any(valid & (off > match_start)).astype(jnp.int32) << 2))
+
+    # local positions
+    p = p0 + jnp.arange(chunk, dtype=jnp.int32)
+    # segment id via branchless searchsorted (S is small in the dryrun/test
+    # regime; the dp kernel's scatter+cumsum needs global positions)
+    sid = jnp.clip(jnp.searchsorted(
+        jnp.where(valid, out_start, jnp.int32(2 ** 30)), p, side="right") - 1,
+        0, jnp.maximum(n_seq - 1, 0)).astype(jnp.int32)
+    in_seq = (p < total_seq) & (n_seq > 0)
+    ms = match_start[sid]
+    osr = out_start[sid]
+    is_match = in_seq & (p >= ms)
+    lit_idx = jnp.where(in_seq, cum_ll[sid] + (p - osr),
+                        lit_used + (p - total_seq))
+    lit_byte = lit[jnp.clip(lit_idx, 0, L - 1)]
+    offv = off[sid]
+    rel = p - ms
+    collapsed = jnp.where(rel >= offv, rel % offv, rel) - offv
+    q_target = jnp.maximum(ms + collapsed, 0)
+    node = jnp.where(is_match, q_target, -(lit_byte.astype(jnp.int32) + 1))
+
+    # Fixed trip count: the loop body contains a collective (all_gather), so
+    # every sp shard MUST run the same number of rounds — a data-dependent
+    # while_loop would diverge across shards and deadlock the collective.
+    max_iters = int(math.ceil(math.log2(max(block, 2)))) + 1
+
+    def body(_, nd):
+        # assemble the full resolution array over the sp axis, then jump
+        full = jax.lax.all_gather(nd, sp_axis, axis=0, tiled=True)
+        return jnp.where(nd >= 0, full[jnp.maximum(nd, 0)], nd)
+
+    node = jax.lax.fori_loop(0, max_iters, body, node)
+    out = (-node - 1).astype(jnp.uint8)
+    out = jnp.where(p < total, out, 0)
+    # every shard reports the same totals; err reduces with max (psum-style)
+    err = jax.lax.pmax(err, sp_axis)
+    return out, total, err
+
+
+@functools.lru_cache(maxsize=None)
+def dp_sp_kernel(block: int, mesh_key, dp_axis: str = "dp",
+                 sp_axis: str = "sp"):
+    """Fully-sharded decode step: blocks over dp, positions over sp.
+
+    Input batch axis shards over dp; each block's ``block`` output positions
+    shard over sp. This is the kernel ``__graft_entry__.dryrun_multichip``
+    compiles over an N-device mesh.
+    """
+    mesh = _MESHES[mesh_key]
+    n_sp = mesh.shape[sp_axis]
+    body = functools.partial(_expand_sp_local, block=block,
+                             sp_axis=sp_axis, n_sp=n_sp)
+    vb = jax.vmap(body, in_axes=(0, 0, 0, 0, 0, 0))
+
+    from jax.experimental.shard_map import shard_map
+    sm = shard_map(
+        vb, mesh=mesh,
+        in_specs=(P(dp_axis), P(dp_axis), P(dp_axis), P(dp_axis),
+                  P(dp_axis), P(dp_axis)),
+        out_specs=(P(dp_axis, sp_axis), P(dp_axis), P(dp_axis)),
+        check_rep=False)
+    return jax.jit(sm)
+
+
+def decode_plan_dp_sp(plan: FramePlan, mesh: Mesh) -> bytes:
+    """Decode with the fully-sharded dp x sp kernel (demonstration/dryrun
+    path; production single-host decode uses decode_plan_sharded)."""
+    nb = plan.n_blocks
+    if nb == 0:
+        return b""
+    ndp = mesh.shape["dp"]
+    S = _pow2(plan.max_seq)
+    L = _pow2(plan.max_lit)
+    B = ((nb + ndp - 1) // ndp) * ndp
+    host = _pad_batch(plan, range(nb), S, L)
+    host = tuple(np.concatenate(
+        [a, np.zeros((B - nb,) + a.shape[1:], a.dtype) + (1 if i == 2 else 0)])
+        for i, a in enumerate(host))
+    kern = dp_sp_kernel(plan.block_size, _mesh_key(mesh))
+    out, total, err = kern(*host)
+    err_np = np.asarray(err)[:nb]
+    if err_np.any():
+        _raise_errbits(int(err_np[err_np != 0][0]))
+    out_np = np.asarray(out)
+    return np.concatenate([out_np[i, :plan.totals[i]]
+                           for i in range(nb)]).tobytes()
