@@ -1,0 +1,327 @@
+"""zxc-compatible command-line interface.
+
+Mirrors the reference CLI surface (src/cli/main.c:490-523): modes
+-z/-d/-l/-t/-b/--train, multi/recursive input, levels -1..-7, block size,
+checksum toggles, dictionaries, seekable output, stdout/keep/force, verbose
+and quiet, JSON bench output, progress policy. File processing uses the
+streaming codec; ``--device`` routes decode through the TPU batch path.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from . import constants as C
+from .errors import ZxcError
+from .format.dictionary import Dictionary
+from .codec import frame
+from .codec.frame import DecodeOpts, EncodeOpts
+
+VERSION = "0.1.0"
+SUFFIX = ".zxc"
+
+
+class Log:
+    def __init__(self, verbose: bool, quiet: bool):
+        self.verbose = verbose
+        self.quiet = quiet
+
+    def info(self, *a):
+        if not self.quiet:
+            print(*a, file=sys.stderr)
+
+    def debug(self, *a):
+        if self.verbose and not self.quiet:
+            print(*a, file=sys.stderr)
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="zxc", add_help=True,
+        description="ZXC v7 codec (TPU-native implementation)")
+    mode = p.add_mutually_exclusive_group()
+    mode.add_argument("-z", "--compress", action="store_true")
+    mode.add_argument("-d", "--decompress", action="store_true")
+    mode.add_argument("-l", "--list", action="store_true",
+                      help="list archive or dictionary info")
+    mode.add_argument("-t", "--test", action="store_true",
+                      help="test compressed file integrity")
+    mode.add_argument("-b", "--bench", nargs="?", const=5, type=int,
+                      metavar="N", help="benchmark in-memory (N seconds)")
+    mode.add_argument("--train", action="store_true",
+                      help="train a dictionary from input files")
+    p.add_argument("-m", "--multiple", action="store_true")
+    p.add_argument("-r", "--recursive", action="store_true")
+    p.add_argument("-V", "--version", action="store_true")
+    for lv in range(1, 8):
+        p.add_argument(f"-{lv}", dest="level", action="store_const", const=lv)
+    p.add_argument("-B", "--block-size", default="512K",
+                   help="block size 4K..2M, power of two")
+    p.add_argument("-T", "--threads", type=int, default=0)
+    p.add_argument("-C", "--checksum", dest="checksum", action="store_true",
+                   default=True)
+    p.add_argument("-N", "--no-checksum", dest="checksum", action="store_false")
+    p.add_argument("-D", "--dict", metavar="FILE")
+    p.add_argument("-S", "--seekable", action="store_true")
+    p.add_argument("-o", "--output", metavar="FILE")
+    p.add_argument("-k", "--keep", action="store_true")
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("-c", "--stdout", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("-j", "--json", action="store_true")
+    p.add_argument("--progress", choices=("auto", "always", "never"),
+                   default="auto")
+    p.add_argument("--device", action="store_true",
+                   help="decode through the TPU batch path")
+    p.add_argument("--dict-size", type=int, default=16384,
+                   help="target dictionary size for --train")
+    p.add_argument("files", nargs="*", metavar="FILE")
+    return p
+
+
+def parse_block_size(text: str) -> int:
+    t = text.strip().upper()
+    mult = 1
+    if t.endswith("K"):
+        mult, t = 1024, t[:-1]
+    elif t.endswith("M"):
+        mult, t = 1024 * 1024, t[:-1]
+    try:
+        size = int(t) * mult
+        C.block_size_code(size)  # validates power-of-two and range
+    except ValueError:
+        raise ZxcError(-14, f"bad block size {text!r} (4K..2M, power of two)")
+    return size
+
+
+def _load_dict(path: str | None) -> Dictionary | None:
+    if not path:
+        return None
+    with open(path, "rb") as f:
+        return Dictionary.load(f.read())
+
+
+def _gather_inputs(args, log: Log) -> list[str]:
+    files = list(args.files)
+    if args.recursive:
+        out = []
+        for f in files:
+            if os.path.isdir(f):
+                for dirpath, _, names in sorted(os.walk(f)):
+                    out += [os.path.join(dirpath, n) for n in sorted(names)]
+            else:
+                out.append(f)
+        files = out
+    for f in files:
+        if not os.path.exists(f):
+            raise ZxcError(-11, f"no such file: {f}")
+    return files
+
+
+def _read(path: str | None) -> bytes:
+    if path is None or path == "-":
+        return sys.stdin.buffer.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _write(path: str | None, data: bytes, force: bool, log: Log):
+    if path is None or path == "-":
+        sys.stdout.buffer.write(data)
+        sys.stdout.buffer.flush()
+        return
+    if os.path.exists(path) and not force:
+        raise ZxcError(-11, f"output exists (use -f): {path}")
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _decode(archive: bytes, opts: DecodeOpts, use_device: bool) -> bytes:
+    if use_device:
+        from . import ops
+        return ops.decompress(archive, opts)
+    return frame.decompress(archive, opts)
+
+
+def cmd_compress(args, log: Log) -> int:
+    d = _load_dict(args.dict)
+    eopts = EncodeOpts(level=args.level or C.LEVEL_DEFAULT,
+                       block_size=parse_block_size(args.block_size),
+                       checksum=args.checksum, seekable=args.seekable,
+                       dict_content=d.content if d else None,
+                       dict_huf=d.huf_lengths if d else None)
+    files = _gather_inputs(args, log) or [None]
+    for src in files:
+        data = _read(src)
+        t0 = time.time()
+        out = frame.compress(data, eopts)
+        dt = time.time() - t0
+        if args.stdout or src is None:
+            dst = None
+        else:
+            dst = args.output or (src + SUFFIX)
+        _write(dst, out, args.force, log)
+        ratio = len(out) / max(len(data), 1) * 100
+        log.info(f"{src or 'stdin'}: {len(data)} -> {len(out)} bytes "
+                 f"({ratio:.2f}%) in {dt:.3f}s")
+        if src is not None and dst is not None and not args.keep:
+            os.unlink(src)
+    return 0
+
+
+def cmd_decompress(args, log: Log) -> int:
+    d = _load_dict(args.dict)
+    dopts = DecodeOpts(checksum=args.checksum,
+                       dict_content=d.content if d else None,
+                       dict_huf=d.huf_lengths if d else None)
+    files = _gather_inputs(args, log) or [None]
+    for src in files:
+        blob = _read(src)
+        t0 = time.time()
+        out = _decode(blob, dopts, args.device)
+        dt = time.time() - t0
+        if args.stdout or src is None:
+            dst = None
+        elif args.output:
+            dst = args.output
+        elif src.endswith(SUFFIX):
+            dst = src[:-len(SUFFIX)]
+        else:
+            raise ZxcError(-11, f"cannot derive output name for {src}")
+        _write(dst, out, args.force, log)
+        log.info(f"{src or 'stdin'}: {len(blob)} -> {len(out)} bytes in {dt:.3f}s")
+        if src is not None and dst is not None and not args.keep:
+            os.unlink(src)
+    return 0
+
+
+def cmd_list(args, log: Log) -> int:
+    for src in _gather_inputs(args, log):
+        blob = _read(src)
+        if len(blob) >= 4 and int.from_bytes(blob[:4], "little") == C.DICT_MAGIC:
+            d = Dictionary.load(blob)
+            print(f"{src}: zxc dictionary, id=0x{d.id:08x}, "
+                  f"content={len(d.content)} bytes, shared-table=yes")
+            continue
+        fh = frame.headers.read_file_header(blob) if False else None
+        from .format import headers as H
+        fh = H.read_file_header(blob)
+        size, ghash = H.read_file_footer(blob)
+        n_blocks = sum(1 for _ in frame.iter_blocks(blob))
+        sek = H.parse_seek_table(blob)
+        print(f"{src}: zxc v{C.FORMAT_VERSION} archive")
+        print(f"  block size:      {fh.block_size}")
+        print(f"  blocks:          {n_blocks}")
+        print(f"  decompressed:    {size} bytes")
+        print(f"  compressed:      {len(blob)} bytes "
+              f"({len(blob) / max(size, 1) * 100:.2f}%)")
+        print(f"  checksums:       {'yes' if fh.has_checksum else 'no'}")
+        print(f"  global hash:     0x{ghash:08x}")
+        print(f"  dictionary id:   "
+              f"{'0x%08x' % fh.dict_id if fh.dict_id else 'none'}")
+        print(f"  seekable:        {'yes (%d entries)' % len(sek) if sek else 'no'}")
+    return 0
+
+
+def cmd_test(args, log: Log) -> int:
+    d = _load_dict(args.dict)
+    dopts = DecodeOpts(checksum=True,
+                       dict_content=d.content if d else None,
+                       dict_huf=d.huf_lengths if d else None)
+    rc = 0
+    for src in _gather_inputs(args, log):
+        try:
+            out = _decode(_read(src), dopts, args.device)
+            log.info(f"{src}: OK ({len(out)} bytes)")
+        except ZxcError as e:
+            log.info(f"{src}: FAILED ({e})")
+            rc = 1
+    return rc
+
+
+def cmd_bench(args, log: Log) -> int:
+    seconds = args.bench or 5
+    d = _load_dict(args.dict)
+    eopts = EncodeOpts(level=args.level or C.LEVEL_DEFAULT,
+                       block_size=parse_block_size(args.block_size),
+                       checksum=args.checksum,
+                       dict_content=d.content if d else None,
+                       dict_huf=d.huf_lengths if d else None)
+    dopts = DecodeOpts(checksum=args.checksum,
+                       dict_content=d.content if d else None,
+                       dict_huf=d.huf_lengths if d else None)
+    for src in _gather_inputs(args, log):
+        data = _read(src)
+        arc = frame.compress(data, eopts)
+        # encode timing
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < seconds / 2:
+            frame.compress(data, eopts)
+            n += 1
+        enc_mbps = len(data) * n / (time.time() - t0) / 1e6
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < seconds / 2:
+            _decode(arc, dopts, args.device)
+            n += 1
+        dec_mbps = len(data) * n / (time.time() - t0) / 1e6
+        ratio = len(arc) / max(len(data), 1) * 100
+        if args.json:
+            print(json.dumps({
+                "file": src, "level": eopts.level, "size": len(data),
+                "compressed": len(arc), "ratio_pct": round(ratio, 2),
+                "compress_mbps": round(enc_mbps, 2),
+                "decompress_mbps": round(dec_mbps, 2)}))
+        else:
+            print(f"{src}: level -{eopts.level}  ratio {ratio:.2f}%  "
+                  f"enc {enc_mbps:.1f} MB/s  dec {dec_mbps:.1f} MB/s")
+    return 0
+
+
+def cmd_train(args, log: Log) -> int:
+    from .codec import dict_train
+    files = _gather_inputs(args, log)
+    if not files:
+        raise ZxcError(-12, "training requires sample files")
+    samples = [_read(f) for f in files]
+    d = dict_train.dict_train(samples, args.dict_size)
+    out = args.output or f"dictionary_{d.id:08x}.zxd"
+    _write(out, d.save(), args.force, log)
+    log.info(f"trained dictionary id=0x{d.id:08x} "
+             f"({len(d.content)} bytes content) -> {out}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    log = Log(args.verbose, args.quiet)
+    if args.version:
+        print(f"zxc {VERSION} (zxc_tpu, format v{C.FORMAT_VERSION})")
+        return 0
+    try:
+        if args.train:
+            return cmd_train(args, log)
+        if args.list:
+            return cmd_list(args, log)
+        if args.test:
+            return cmd_test(args, log)
+        if args.bench is not None:
+            return cmd_bench(args, log)
+        if args.decompress:
+            return cmd_decompress(args, log)
+        return cmd_compress(args, log)
+    except ZxcError as e:
+        print(f"zxc: {e}", file=sys.stderr)
+        return 1
+    except (OSError, BrokenPipeError) as e:
+        print(f"zxc: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
