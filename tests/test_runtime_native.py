@@ -1,0 +1,100 @@
+"""Native C++ host runtime vs pure-Python implementations (differential)."""
+import numpy as np
+import pytest
+
+from zxc_tpu import runtime
+from zxc_tpu.format import hashes, varint
+from zxc_tpu.codec import block_decode, frame
+from zxc_tpu.codec.frame import EncodeOpts
+from zxc_tpu.errors import ZxcError
+
+pytestmark = pytest.mark.skipif(not runtime.available(),
+                                reason="native toolchain unavailable")
+
+
+def test_rapidhash_parity():
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 3, 4, 7, 8, 15, 16, 17, 48, 111, 112, 113, 1000, 65536):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert runtime.rapidhash32(data) == hashes._py_rapidhash32(data), n
+        L = runtime.lib()
+        assert L.zxch_rapidhash64(data, n, 7) == hashes.rapidhash64(data, 7)
+
+
+def test_header_hash_parity():
+    rng = np.random.default_rng(1)
+    L = runtime.lib()
+    for _ in range(50):
+        b8 = rng.integers(0, 256, 8, dtype=np.uint8).tobytes()
+        b16 = rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+        assert L.zxch_hash8(b8) == hashes.hash8(b8)
+        assert L.zxch_hash16(b16) == hashes.hash16(b16)
+
+
+def test_rle_parity():
+    rng = np.random.default_rng(2)
+    data = (b"\x00" * 500 + rng.integers(0, 256, 300, dtype=np.uint8).tobytes()
+            + b"zz" * 400)
+    from zxc_tpu.codec.block_encode import encode_rle_literals
+    stream = np.frombuffer(encode_rle_literals(np.frombuffer(data, np.uint8)),
+                           np.uint8)
+    native = runtime.rle_decode(stream, len(data))
+    py = block_decode.decode_rle_literals(stream, len(data))
+    assert native.tobytes() == py.tobytes() == data
+
+
+def test_rle_native_rejects_corrupt():
+    with pytest.raises(ZxcError):
+        runtime.rle_decode(np.frombuffer(b"\xff", np.uint8), 100)
+
+
+def test_varint_chain_parity():
+    vals = [0, 1, 127, 128, 5000, 16383, 16384, (1 << 21) - 1, 7, 99]
+    blob = b"".join(varint.varint_encode(v) for v in vals)
+    out, ok = runtime.varint_chain(np.frombuffer(blob, np.uint8), len(vals))
+    assert ok and list(out) == vals
+    _, ok_bad = runtime.varint_chain(np.frombuffer(b"\xe0\x01", np.uint8), 1)
+    assert not ok_bad
+
+
+def test_native_expand_parity():
+    rng = np.random.default_rng(3)
+    seg = rng.integers(0, 256, 333, dtype=np.uint8).tobytes()
+    data = seg * 30 + b"\x01" * 5000 + seg[:100]
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=4096))
+    from zxc_tpu.ops.batch import plan_frame
+    plan = plan_frame(arc)
+    out = b"".join(
+        runtime.expand(plan.ll[i], plan.ml[i], plan.off[i], plan.lit[i],
+                       plan.block_size).tobytes()
+        for i in range(plan.n_blocks))
+    assert out == data
+
+
+def test_native_expand_bad_offset():
+    with pytest.raises(ZxcError):
+        runtime.expand(np.array([0], np.int32), np.array([5], np.int32),
+                       np.array([9], np.int32),
+                       np.zeros(0, np.uint8), 100)
+
+
+def test_native_rapidhash_in_frame_path():
+    """frame.decompress with checksums uses the native hash transparently."""
+    data = b"checksum me " * 5000
+    arc = frame.compress(data, EncodeOpts(level=3, checksum=True))
+    from zxc_tpu.codec.frame import DecodeOpts
+    assert frame.decompress(arc, DecodeOpts(checksum=True)) == data
+    assert hashes._native_rapidhash32 is not None
+
+
+def test_python_fallback_paths_still_work(monkeypatch):
+    """ZXC_NO_NATIVE forces the vectorized NumPy oracle; conformance-grade
+    roundtrip must still hold."""
+    monkeypatch.setenv("ZXC_NO_NATIVE", "1")
+    rng = np.random.default_rng(9)
+    seg = rng.integers(0, 256, 431, dtype=np.uint8).tobytes()
+    data = seg * 40 + b"\x00" * 3000
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=8192,
+                                          checksum=True))
+    from zxc_tpu.codec.frame import DecodeOpts
+    assert frame.decompress(arc, DecodeOpts(checksum=True)) == data

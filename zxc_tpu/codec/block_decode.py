@@ -45,6 +45,13 @@ def decode_rle_literals(stream: np.ndarray, required_size: int) -> np.ndarray:
         return np.zeros(0, np.uint8)
     if n == 0:
         raise ZxcError(ERROR_CORRUPT_DATA, "empty RLE stream")
+    try:  # native serial decode when the host runtime is built
+        from .. import runtime
+        out = runtime.rle_decode(stream, required_size)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
     b = stream.astype(np.int64)
     is_run = (b & C.LIT_RLE_FLAG) != 0
     consumed = np.where(is_run, 2, b + 2)          # token byte + payload
@@ -103,6 +110,16 @@ def expand_sequences(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
     off = off.astype(np.int64)
     n_lit = len(literals)
     dict_size = 0 if dict_buf is None else len(dict_buf)
+
+    try:  # native serial expansion when the host runtime is built; the
+        # vectorized path below stays as the TPU-shaped reference oracle
+        from .. import runtime
+        if runtime.available():
+            out = runtime.expand(ll, ml, off, literals, dst_capacity, dict_buf)
+            if out is not None:
+                return out
+    except ImportError:
+        pass
 
     lit_used = int(ll.sum())
     if lit_used > n_lit:

@@ -135,10 +135,19 @@ def _py_rapidhash32(data: bytes, seed: int = 0) -> int:
 # Native fast path (installed lazily by zxc_tpu.runtime when the C++ host
 # library is available); falls back to pure Python.
 _native_rapidhash32 = None
+_native_tried = False
 
 
 def rapidhash32(data: bytes, seed: int = 0) -> int:
     """Per-block payload checksum: rapidhash64 folded to u32."""
+    global _native_tried
+    if _native_rapidhash32 is None and not _native_tried:
+        _native_tried = True
+        try:
+            from .. import runtime
+            runtime.lib()  # installs _native_rapidhash32 when buildable
+        except Exception:
+            pass
     if _native_rapidhash32 is not None:
         return _native_rapidhash32(data, seed)
     return _py_rapidhash32(data, seed)

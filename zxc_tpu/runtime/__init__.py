@@ -1,0 +1,175 @@
+"""Native host runtime: C++ implementations of the host-side hot path.
+
+The reference implements its whole runtime in C; here the TPU does the
+per-byte decode work and this library covers what stays on the host:
+checksums (rapidhash32 at memory speed), frame walking, RLE/varint section
+parsing, and a serial expander for the CLI/host-only fallback.
+
+The shared library builds lazily from zxc_host.cpp with g++ on first use
+and is cached next to the source; every entry point degrades gracefully to
+the pure-Python implementation when the toolchain is unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "zxc_host.cpp")
+_SO = os.path.join(_DIR, "libzxchost.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", _SO + ".tmp", _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def lib() -> ctypes.CDLL | None:
+    """The native library, built on demand; None when unavailable.
+
+    Set ZXC_NO_NATIVE=1 to force the pure-Python paths (used by tests to
+    keep the vectorized oracle covered)."""
+    global _lib, _tried
+    if os.environ.get("ZXC_NO_NATIVE"):
+        return None
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        stale = (not os.path.exists(_SO)
+                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        if stale and not _build():
+            return None
+        try:
+            L = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        # argtypes are mandatory: several entry points take uint64_t in
+        # stack-passed positions, where ctypes' default c_int marshalling
+        # leaves garbage in the upper 32 bits.
+        vp, u64, i64, u32, i32 = (ctypes.c_void_p, ctypes.c_uint64,
+                                  ctypes.c_int64, ctypes.c_uint32,
+                                  ctypes.c_int32)
+        L.zxch_rapidhash64.restype = u64
+        L.zxch_rapidhash64.argtypes = [ctypes.c_char_p, ctypes.c_size_t, u64]
+        L.zxch_rapidhash32.restype = u32
+        L.zxch_rapidhash32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, u64]
+        L.zxch_rapidhash32_batch.restype = None
+        L.zxch_rapidhash32_batch.argtypes = [vp, vp, vp, vp, ctypes.c_size_t]
+        L.zxch_hash8.restype = ctypes.c_uint8
+        L.zxch_hash8.argtypes = [ctypes.c_char_p]
+        L.zxch_hash16.restype = ctypes.c_uint16
+        L.zxch_hash16.argtypes = [ctypes.c_char_p]
+        L.zxch_walk_frame.restype = i64
+        L.zxch_walk_frame.argtypes = [vp, u64, ctypes.c_int, u64, u64, vp,
+                                      vp, vp, u64, vp]
+        L.zxch_rle_decode.restype = ctypes.c_int
+        L.zxch_rle_decode.argtypes = [vp, u64, vp, u64]
+        L.zxch_varint_chain.restype = i64
+        L.zxch_varint_chain.argtypes = [vp, u64, u64, vp]
+        L.zxch_expand.restype = i64
+        L.zxch_expand.argtypes = [vp, vp, vp, u64, vp, u64, vp, u64, vp, u64]
+        L.zxch_glo_tokens.restype = ctypes.c_int
+        L.zxch_glo_tokens.argtypes = [vp, u64, vp, u64, vp, vp]
+        L.zxch_ghi_words.restype = ctypes.c_int
+        L.zxch_ghi_words.argtypes = [vp, u64, vp, u64, vp, vp, vp]
+        _lib = L
+        _install_fast_paths(L)
+        return _lib
+
+
+def available() -> bool:
+    return lib() is not None
+
+
+def _install_fast_paths(L: ctypes.CDLL) -> None:
+    """Swap the pure-Python hash entry points for the native ones."""
+    from ..format import hashes
+
+    def native_rapidhash32(data: bytes, seed: int = 0) -> int:
+        return L.zxch_rapidhash32(bytes(data), len(data), seed)
+
+    hashes._native_rapidhash32 = native_rapidhash32
+
+
+# ---------------------------------------------------------------------------
+# typed wrappers (None-safe: callers check available() or handle fallback)
+# ---------------------------------------------------------------------------
+
+def rapidhash32(data: bytes, seed: int = 0) -> int:
+    L = lib()
+    if L is None:
+        from ..format.hashes import _py_rapidhash32
+        return _py_rapidhash32(data, seed)
+    return L.zxch_rapidhash32(bytes(data), len(data), seed)
+
+
+def rle_decode(stream: np.ndarray, out_size: int) -> np.ndarray | None:
+    """Native RLE literal decode; None when the library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    src = np.ascontiguousarray(stream, np.uint8)
+    dst = np.empty(out_size, np.uint8)
+    rc = L.zxch_rle_decode(src.ctypes.data_as(ctypes.c_void_p),
+                           len(src), dst.ctypes.data_as(ctypes.c_void_p),
+                           out_size)
+    if rc != 0:
+        from ..errors import ZxcError, ERROR_CORRUPT_DATA
+        raise ZxcError(ERROR_CORRUPT_DATA, "RLE stream (native)")
+    return dst
+
+
+def varint_chain(extras: np.ndarray, count: int) -> tuple[np.ndarray, bool] | None:
+    L = lib()
+    if L is None:
+        return None
+    src = np.ascontiguousarray(extras, np.uint8)
+    out = np.empty(count, np.uint32)
+    rc = L.zxch_varint_chain(src.ctypes.data_as(ctypes.c_void_p), len(src),
+                             count, out.ctypes.data_as(ctypes.c_void_p))
+    return out, rc >= 0
+
+
+def expand(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
+           lit: np.ndarray, cap: int,
+           dict_buf: np.ndarray | None = None) -> np.ndarray | None:
+    """Serial native sequence expansion; None when unavailable, raises
+    ZxcError on malformed input (parity with the vectorized path)."""
+    L = lib()
+    if L is None:
+        return None
+    ll32 = np.ascontiguousarray(ll, np.int32)
+    ml32 = np.ascontiguousarray(ml, np.int32)
+    off32 = np.ascontiguousarray(off, np.int32)
+    lit8 = np.ascontiguousarray(lit, np.uint8)
+    d8 = np.ascontiguousarray(dict_buf, np.uint8) if dict_buf is not None \
+        else np.zeros(0, np.uint8)
+    dst = np.empty(cap, np.uint8)
+    n = L.zxch_expand(ll32.ctypes.data_as(ctypes.c_void_p),
+                      ml32.ctypes.data_as(ctypes.c_void_p),
+                      off32.ctypes.data_as(ctypes.c_void_p), len(ll32),
+                      lit8.ctypes.data_as(ctypes.c_void_p), len(lit8),
+                      d8.ctypes.data_as(ctypes.c_void_p), len(d8),
+                      dst.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        from ..errors import ZxcError, ERROR_BAD_OFFSET, ERROR_OVERFLOW
+        raise ZxcError(ERROR_BAD_OFFSET if n == -9 else ERROR_OVERFLOW,
+                       "native expand")
+    return dst[:n]

@@ -1,0 +1,338 @@
+// Native host runtime for zxc_tpu: the C++ pieces of the pipeline that
+// surround the TPU compute path — checksums, frame walking, section
+// parsing, and a serial fallback expander for CLI/host-only use.
+//
+// Everything here is a clean-room port of the project's own Python
+// implementations (zxc_tpu/format/hashes.py, codec/block_decode.py), which
+// are themselves conformance-verified against the format spec. ABI is
+// plain C (loaded with ctypes).
+//
+// Build: g++ -O3 -shared -fPIC -o libzxchost.so zxc_host.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// rapidhash v3 (public algorithm) folded to u32 — per-block checksum
+// ---------------------------------------------------------------------------
+
+static const uint64_t RAPID_SECRET[8] = {
+    0x2D358DCCAA6C78A5ull, 0x8BB84B93962EACC9ull, 0x4B33A62ED433D4A3ull,
+    0x4D5A2DA51DE1AA47ull, 0xA0761D6478BD642Full, 0xE7037ED1A0B428DBull,
+    0x90ED1765281C388Cull, 0xAAAAAAAAAAAAAAAAull};
+
+static inline void mum(uint64_t *a, uint64_t *b) {
+  __uint128_t r = (__uint128_t)*a * *b;
+  *a = (uint64_t)r;
+  *b = (uint64_t)(r >> 64);
+}
+
+static inline uint64_t mix(uint64_t a, uint64_t b) {
+  mum(&a, &b);
+  return a ^ b;
+}
+
+static inline uint64_t read64(const uint8_t *p) {
+  uint64_t v;
+  memcpy(&v, p, 8);
+  return v;  // little-endian hosts only (x86-64 / aarch64)
+}
+
+static inline uint64_t read32(const uint8_t *p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+
+uint64_t zxch_rapidhash64(const uint8_t *data, size_t len, uint64_t seed) {
+  const uint64_t *s = RAPID_SECRET;
+  seed ^= mix(seed ^ s[2], s[1]);
+  uint64_t a = 0, b = 0;
+  size_t i = len;
+  const uint8_t *p = data;
+  if (len <= 16) {
+    if (len >= 4) {
+      seed ^= len;
+      if (len >= 8) {
+        a = read64(data);
+        b = read64(data + len - 8);
+      } else {
+        a = read32(data);
+        b = read32(data + len - 4);
+      }
+    } else if (len > 0) {
+      a = ((uint64_t)data[0] << 45) | data[len - 1];
+      b = data[len >> 1];
+    }
+  } else {
+    if (len > 112) {
+      uint64_t see[7];
+      for (int k = 0; k < 7; k++) see[k] = seed;
+      while (i > 112) {
+        for (int k = 0; k < 7; k++)
+          see[k] = mix(read64(p + 16 * k) ^ s[k], read64(p + 16 * k + 8) ^ see[k]);
+        p += 112;
+        i -= 112;
+      }
+      seed = see[0] ^ see[1] ^ see[2] ^ see[3] ^ see[4] ^ see[5] ^ see[6];
+    }
+    if (i > 16) {
+      seed = mix(read64(p) ^ s[2], read64(p + 8) ^ seed);
+      if (i > 32) {
+        seed = mix(read64(p + 16) ^ s[2], read64(p + 24) ^ seed);
+        if (i > 48) {
+          seed = mix(read64(p + 32) ^ s[1], read64(p + 40) ^ seed);
+          if (i > 64) {
+            seed = mix(read64(p + 48) ^ s[1], read64(p + 56) ^ seed);
+            if (i > 80) {
+              seed = mix(read64(p + 64) ^ s[2], read64(p + 72) ^ seed);
+              if (i > 96)
+                seed = mix(read64(p + 80) ^ s[1], read64(p + 88) ^ seed);
+            }
+          }
+        }
+      }
+    }
+    a = read64(p + i - 16) ^ i;
+    b = read64(p + i - 8);
+  }
+  a ^= s[1];
+  b ^= seed;
+  mum(&a, &b);
+  return mix(a ^ s[7], b ^ s[1] ^ i);
+}
+
+uint32_t zxch_rapidhash32(const uint8_t *data, size_t len, uint64_t seed) {
+  uint64_t h = zxch_rapidhash64(data, len, seed);
+  return (uint32_t)(h ^ (h >> 32));
+}
+
+// batch: hash `count` payloads given (offset, size) pairs into out[]
+void zxch_rapidhash32_batch(const uint8_t *base, const uint64_t *offsets,
+                            const uint64_t *sizes, uint32_t *out,
+                            size_t count) {
+  for (size_t k = 0; k < count; k++)
+    out[k] = zxch_rapidhash32(base + offsets[k], sizes[k], 0);
+}
+
+// ---------------------------------------------------------------------------
+// header hashes (Marsaglia xorshift mixes)
+// ---------------------------------------------------------------------------
+
+static inline uint64_t xorshift_mix(uint64_t h) {
+  h ^= h << 13;
+  h ^= h >> 7;
+  h ^= h << 17;
+  return h;
+}
+
+uint8_t zxch_hash8(const uint8_t *data) {
+  uint64_t h = xorshift_mix(read64(data) ^ 0x9E3779B97F4A7C15ull);
+  return (uint8_t)((h >> 32) ^ h);
+}
+
+uint16_t zxch_hash16(const uint8_t *data) {
+  uint64_t h = xorshift_mix(read64(data) ^ read64(data + 8) ^
+                            0xD2D84A61D2D84A61ull);
+  uint32_t r = (uint32_t)((h >> 32) ^ h);
+  return (uint16_t)((r >> 16) ^ r);
+}
+
+// ---------------------------------------------------------------------------
+// frame walk: block table extraction with CRC8 validation
+// ---------------------------------------------------------------------------
+
+// Returns number of data blocks (>= 0) or a negative ZXC error code.
+// For each block k: pos[k] = offset of the 8-byte header, type[k], comp[k].
+// *eof_pos receives the offset just past the EOF block header.
+int64_t zxch_walk_frame(const uint8_t *src, uint64_t n, int has_checksum,
+                        uint64_t bound, uint64_t start, uint64_t *pos,
+                        uint8_t *type, uint64_t *comp, uint64_t max_blocks,
+                        uint64_t *eof_pos) {
+  uint64_t p = start;
+  uint64_t count = 0;
+  const uint64_t tail = has_checksum ? 4 : 0;
+  while (p + 8 <= n) {
+    uint8_t hdr[8];
+    memcpy(hdr, src + p, 8);
+    uint8_t crc = hdr[7];
+    hdr[7] = 0;
+    if (zxch_hash8(hdr) != crc) return -6;  // ZXC_ERROR_BAD_HEADER
+    uint8_t bt = hdr[0];
+    uint32_t csz;
+    memcpy(&csz, hdr + 3, 4);
+    if (bt == 255) {             // EOF
+      if (csz != 0) return -6;
+      *eof_pos = p + 8;
+      return (int64_t)count;
+    }
+    if (csz > bound) return -8;  // ZXC_ERROR_CORRUPT_DATA
+    if (p + 8 + csz + tail > n) return -3;  // SRC_TOO_SMALL
+    if (count >= max_blocks) return -10;    // OVERFLOW
+    pos[count] = p;
+    type[count] = bt;
+    comp[count] = csz;
+    count++;
+    p += 8 + csz + tail;
+  }
+  return -3;  // missing EOF
+}
+
+// ---------------------------------------------------------------------------
+// RLE literal decode (enc_lit=1)
+// ---------------------------------------------------------------------------
+
+// Returns 0 on success, negative error otherwise.
+int zxch_rle_decode(const uint8_t *src, uint64_t n, uint8_t *dst,
+                    uint64_t out_size) {
+  uint64_t r = 0, w = 0;
+  while (w < out_size) {
+    if (r >= n) return -8;
+    uint8_t tok = src[r];
+    if (tok & 0x80) {  // run
+      uint64_t len = (uint64_t)(tok & 0x7F) + 4;
+      if (r + 2 > n || w + len > out_size) return -8;
+      memset(dst + w, src[r + 1], len);
+      w += len;
+      r += 2;
+    } else {  // raw copy
+      uint64_t len = (uint64_t)tok + 1;
+      if (r + 1 + len > n || w + len > out_size) return -8;
+      memcpy(dst + w, src + r + 1, len);
+      w += len;
+      r += 1 + len;
+    }
+  }
+  return w == out_size ? 0 : -8;
+}
+
+// ---------------------------------------------------------------------------
+// varint chain (1..3 bytes, first byte >= 0xE0 invalid)
+// ---------------------------------------------------------------------------
+
+// Decodes exactly `count` varints; returns consumed bytes or negative error.
+int64_t zxch_varint_chain(const uint8_t *src, uint64_t n, uint64_t count,
+                          uint32_t *out) {
+  uint64_t p = 0;
+  for (uint64_t k = 0; k < count; k++) {
+    if (p >= n) return -8;
+    uint8_t b0 = src[p];
+    if (b0 < 0x80) {
+      out[k] = b0;
+      p += 1;
+    } else if (b0 < 0xC0) {
+      if (p + 2 > n) return -8;
+      out[k] = (uint32_t)(b0 & 0x3F) | ((uint32_t)src[p + 1] << 6);
+      p += 2;
+    } else if (b0 < 0xE0) {
+      if (p + 3 > n) return -8;
+      out[k] = (uint32_t)(b0 & 0x1F) | ((uint32_t)src[p + 1] << 5) |
+               ((uint32_t)src[p + 2] << 13);
+      p += 3;
+    } else {
+      return -8;
+    }
+  }
+  return (int64_t)p;
+}
+
+// ---------------------------------------------------------------------------
+// serial sequence expansion (host fallback / CLI fast path)
+// ---------------------------------------------------------------------------
+
+// ll/ml/off are int32 arrays (ml includes MIN_MATCH, off unbiased >= 1).
+// dict is the window prefix (may be NULL). Returns produced bytes or
+// negative error.
+int64_t zxch_expand(const int32_t *ll, const int32_t *ml, const int32_t *off,
+                    uint64_t n_seq, const uint8_t *lit, uint64_t n_lit,
+                    const uint8_t *dict, uint64_t n_dict, uint8_t *dst,
+                    uint64_t cap) {
+  uint64_t w = 0, r = 0;
+  for (uint64_t i = 0; i < n_seq; i++) {
+    uint64_t l = (uint64_t)ll[i], m = (uint64_t)ml[i], o = (uint64_t)off[i];
+    if (r + l > n_lit || w + l + m > cap) return -10;  // OVERFLOW
+    memcpy(dst + w, lit + r, l);
+    w += l;
+    r += l;
+    if (o == 0 || o > w + n_dict) return -9;  // BAD_OFFSET
+    // dict part
+    uint64_t mlen = m;
+    if (o > w) {
+      uint64_t from_dict = o - w;
+      uint64_t take = from_dict < mlen ? from_dict : mlen;
+      memcpy(dst + w, dict + n_dict - from_dict, take);
+      w += take;
+      mlen -= take;
+      // remaining bytes (if any) now copy from dst start with o == w_old
+    }
+    // overlap-safe byte copy (o may be < mlen)
+    uint8_t *d = dst + w;
+    const uint8_t *sp = dst + w - o;
+    if (o >= 16) {
+      uint64_t k = 0;
+      for (; k + 16 <= mlen; k += 16) memcpy(d + k, sp + k, 16);
+      for (; k < mlen; k++) d[k] = sp[k];
+    } else {
+      for (uint64_t k = 0; k < mlen; k++) d[k] = sp[k];
+    }
+    w += mlen;
+  }
+  uint64_t trailing = n_lit - r;
+  if (w + trailing > cap) return -10;
+  memcpy(dst + w, lit + r, trailing);
+  return (int64_t)(w + trailing);
+}
+
+// ---------------------------------------------------------------------------
+// GLO/GHI token unpack (merges extras) — phase-1 helpers
+// ---------------------------------------------------------------------------
+
+// tokens: n_seq GLO token bytes; extras resolved beforehand into ext[] pairs
+// consumed in wire order (LL first when both saturate).
+int zxch_glo_tokens(const uint8_t *tokens, uint64_t n_seq,
+                    const uint32_t *ext, uint64_t n_ext, int32_t *ll,
+                    int32_t *ml) {
+  uint64_t e = 0;
+  for (uint64_t i = 0; i < n_seq; i++) {
+    uint32_t t = tokens[i];
+    uint32_t l = t >> 4, m = t & 15;
+    if (l == 15) {
+      if (e >= n_ext) return -8;
+      l += ext[e++];
+    }
+    if (m == 15) {
+      if (e >= n_ext) return -8;
+      m += ext[e++];
+    }
+    ll[i] = (int32_t)l;
+    ml[i] = (int32_t)(m + 5);
+  }
+  return (int)e == (int)n_ext ? 0 : -8;
+}
+
+int zxch_ghi_words(const uint8_t *words, uint64_t n_seq, const uint32_t *ext,
+                   uint64_t n_ext, int32_t *ll, int32_t *ml, int32_t *off) {
+  uint64_t e = 0;
+  for (uint64_t i = 0; i < n_seq; i++) {
+    uint32_t wrd;
+    memcpy(&wrd, words + 4 * i, 4);
+    uint32_t l = wrd >> 24, m = (wrd >> 16) & 0xFF, o = wrd & 0xFFFF;
+    if (l == 255) {
+      if (e >= n_ext) return -8;
+      l += ext[e++];
+    }
+    if (m == 255) {
+      if (e >= n_ext) return -8;
+      m += ext[e++];
+    }
+    ll[i] = (int32_t)l;
+    ml[i] = (int32_t)(m + 5);
+    off[i] = (int32_t)(o + 1);
+  }
+  return (int)e == (int)n_ext ? 0 : -8;
+}
+
+}  // extern "C"
