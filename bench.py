@@ -99,20 +99,33 @@ def main():
     t0 = time.time()
     plan = plan_frame(archive)
     t_plan = time.time() - t0
+    t0 = time.time()
+    plan.resolve()
+    t_resolve = time.time() - t0
+    use_pieces = plan.all_pieces
     print(f"# host plan: {t_plan:.3f}s ({len(data)/1e9/t_plan:.2f} GB/s), "
-          f"{plan.n_blocks} blocks", file=sys.stderr)
+          f"{plan.n_blocks} blocks; resolve: {t_resolve:.3f}s "
+          f"({len(data)/1e9/max(t_resolve,1e-9):.2f} GB/s, "
+          f"pieces={'yes' if use_pieces else 'FALLBACK'})", file=sys.stderr)
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
     # One resident batch; timing excludes D2H of the decoded bytes (the
     # tunnel's readback path runs at ~0.3 MB/s, an environment artifact —
-    # correctness is checked with a device-side fingerprint instead, plus a
-    # small spot D2H compare).
+    # correctness is checked with a device-side fingerprint instead).
     nb = plan.n_blocks
-    S = _pow2(plan.max_seq)
-    L = _pow2(plan.max_lit)
-    host = _pad_batch(plan, range(nb), S, L)
+    from zxc_tpu.ops.batch import _pad_piece_batch
+    if use_pieces:
+        P = _pow2(plan.max_pieces)
+        L = _pow2(max(len(p[4]) for p in plan.pieces))
+        host = _pad_piece_batch(plan, range(nb), P, L)  # incl. totals arg
+        kern = expand.pieces_kernel(plan.block_size)
+    else:
+        S = _pow2(plan.max_seq)
+        L = _pow2(plan.max_lit)
+        host = _pad_batch(plan, range(nb), S, L)
+        kern = expand.expand_kernel(plan.block_size, False)
     t0 = time.time()
     dev_in = tuple(jax.device_put(a, dev) for a in host)
     jax.block_until_ready(dev_in)
@@ -121,19 +134,27 @@ def main():
     print(f"# H2D {in_bytes/1e6:.0f} MB in {t_h2d:.3f}s "
           f"({in_bytes/1e9/t_h2d:.2f} GB/s)", file=sys.stderr)
 
-    kern = expand.expand_kernel(plan.block_size, False)
     w = (jnp.arange(plan.block_size, dtype=jnp.uint32) % 8191).astype(jnp.uint32)
 
-    @jax.jit
-    def step(ll, ml, off, lit, n_seq, lit_len):
-        out, total, err = kern(ll, ml, off, lit, n_seq, lit_len)
-        fp1 = jnp.sum(out.astype(jnp.uint32))           # mod 2^32
-        fp2 = jnp.sum(out.astype(jnp.uint32) * w[None, :])
-        return total, err, fp1, fp2
+    if use_pieces:
+        @jax.jit
+        def step(*args):
+            out = kern(*args)
+            fp1 = jnp.sum(out.astype(jnp.uint32))       # mod 2^32
+            fp2 = jnp.sum(out.astype(jnp.uint32) * w[None, :])
+            return jnp.zeros(nb, jnp.int32), fp1, fp2
 
-    total, err, fp1, fp2 = map(np.asarray, step(*dev_in))  # warmup/compile
-    assert not err.any(), f"decode error bits {err[err != 0][:4]}"
-    assert (total[:nb] == np.asarray(plan.totals)).all()
+        _, fp1, fp2 = map(np.asarray, step(*dev_in))    # warmup/compile
+    else:
+        @jax.jit
+        def step(ll, ml, off, lit, n_seq, lit_len):
+            out, total, err = kern(ll, ml, off, lit, n_seq, lit_len)
+            fp1 = jnp.sum(out.astype(jnp.uint32))
+            fp2 = jnp.sum(out.astype(jnp.uint32) * w[None, :])
+            return err, fp1, fp2
+
+        err, fp1, fp2 = map(np.asarray, step(*dev_in))  # warmup/compile
+        assert not err.any(), f"decode error bits {err[err != 0][:4]}"
 
     times = []
     for _ in range(REPS):

@@ -42,6 +42,7 @@ class FramePlan:
     off: list = field(default_factory=list)
     lit: list = field(default_factory=list)      # per-block uint8 (lit_len,)
     totals: list = field(default_factory=list)   # expected decoded size
+    pieces: list = field(default_factory=list)   # (po,pc,ps,pk) or None
     dict_buf: np.ndarray | None = None
     dict_len: int = 0
     decompressed_size: int = 0
@@ -57,6 +58,32 @@ class FramePlan:
     @property
     def max_lit(self) -> int:
         return max((len(a) for a in self.lit), default=0)
+
+    @property
+    def all_pieces(self) -> bool:
+        return (self.n_blocks > 0 and len(self.pieces) == self.n_blocks
+                and all(p is not None for p in self.pieces))
+
+    @property
+    def max_pieces(self) -> int:
+        return max((len(p[0]) for p in self.pieces if p is not None),
+                   default=0)
+
+    def resolve(self) -> None:
+        """Flatten match chains into piece plans (host C++; phase 1.5).
+
+        Blocks that exceed the piece budget keep ``None`` and decode
+        through the iterative chase kernel."""
+        from .. import runtime
+        if not runtime.available():
+            self.pieces = [None] * self.n_blocks
+            return
+        self.pieces = []
+        for i in range(self.n_blocks):
+            r = runtime.resolve_pieces(
+                self.ll[i], self.ml[i], self.off[i], self.lit[i],
+                self.dict_buf)
+            self.pieces.append(r)
 
 
 def plan_frame(archive: bytes, opts: DecodeOpts | None = None) -> FramePlan:
@@ -173,12 +200,58 @@ def _raise_errbits(bits: int):
     raise ZxcError(ERROR_CORRUPT_DATA)
 
 
+def _pad_piece_batch(plan: FramePlan, idx: range, P: int, L: int,
+                     B: int | None = None):
+    """Stack piece plans for blocks idx into fixed (B, P)/(B, L) arrays."""
+    if B is None:
+        B = len(idx)
+    po = np.zeros((B, P), np.int32)
+    pc = np.zeros((B, P), np.int32)
+    ps = np.zeros((B, P), np.int32)
+    pk = np.ones((B, P), np.int32)
+    lit = np.zeros((B, L), np.uint8)
+    n_pieces = np.zeros(B, np.int32)
+    totals = np.zeros(B, np.int32)
+    for j, i in enumerate(idx):
+        p_o, p_c, p_s, p_k, lit_full = plan.pieces[i]
+        n = len(p_o)
+        po[j, :n] = p_o
+        pc[j, :n] = p_c
+        ps[j, :n] = p_s
+        pk[j, :n] = p_k
+        lit[j, :len(lit_full)] = lit_full
+        n_pieces[j] = n
+        totals[j] = plan.totals[i]
+    return po, pc, ps, pk, lit, n_pieces, totals
+
+
+def decode_plan_pieces_device(plan: FramePlan, batch: int = DEFAULT_BATCH,
+                              device=None) -> bytes:
+    """Decode through the piece-plan kernel (no pointer chase on device)."""
+    nb = plan.n_blocks
+    P = _pow2(plan.max_pieces)
+    L = _pow2(max(len(p[4]) for p in plan.pieces))
+    kern = expand.pieces_kernel(plan.block_size)
+    Bsz = _pow2(min(batch, nb), lo=4)
+    out_parts: list[np.ndarray] = []
+    for base in range(0, nb, Bsz):
+        idx = range(base, min(base + Bsz, nb))
+        host = _pad_piece_batch(plan, idx, P, L, B=Bsz)
+        dev = tuple(jax.device_put(a, device) for a in host)
+        out = np.asarray(kern(*dev))
+        for j, i in enumerate(idx):
+            out_parts.append(out[j, :plan.totals[i]])
+    return np.concatenate(out_parts).tobytes() if out_parts else b""
+
+
 def decode_plan_device(plan: FramePlan, batch: int = DEFAULT_BATCH,
                        device=None) -> bytes:
     """Run a FramePlan through the device expansion kernel, batch by batch."""
     nb = plan.n_blocks
     if nb == 0:
         return b""
+    if plan.all_pieces:
+        return decode_plan_pieces_device(plan, batch=batch, device=device)
     S = _pow2(plan.max_seq)
     L = _pow2(plan.max_lit)
     has_dict = plan.dict_buf is not None
@@ -210,7 +283,12 @@ def decode_plan_device(plan: FramePlan, batch: int = DEFAULT_BATCH,
 
 
 def decompress(archive: bytes, opts: DecodeOpts | None = None,
-               batch: int = DEFAULT_BATCH, device=None) -> bytes:
+               batch: int = DEFAULT_BATCH, device=None,
+               use_pieces: bool = True) -> bytes:
     """One-shot frame decode with the hot path on the TPU."""
     plan = plan_frame(archive, opts)
+    if use_pieces:
+        plan.resolve()
+    else:
+        plan.pieces = [None] * plan.n_blocks
     return decode_plan_device(plan, batch=batch, device=device)

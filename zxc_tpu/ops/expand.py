@@ -142,6 +142,42 @@ def expand_kernel(block: int, has_dict: bool):
     return jax.jit(jax.vmap(fn))
 
 
+def _expand_pieces_one(po, pc, ps, pk, lit, n_pieces, total, block: int):
+    """Piece-plan expansion: no pointer chase, two gathers total.
+
+    The host resolver (zxc_tpu.runtime.resolve_pieces) flattened all match
+    chains into ``out[p] = lit[c + (p - s) % k]`` pieces, so the device
+    does: rank assignment (scatter + cumsum), one packed table gather, the
+    modulo, and one byte gather — every pass dense or single-gather.
+
+    po/pc/ps/pk: (P,) int32 piece tables (po strictly increasing)
+    lit: (L,) uint8 = dict ++ literals; n_pieces/total: () int32.
+    """
+    P = po.shape[0]
+    L = lit.shape[0]
+    pidx = jnp.arange(P, dtype=jnp.int32)
+    valid = pidx < n_pieces
+    starts = jnp.where(valid, po, block)
+    seg = jnp.zeros(block + 1, jnp.int32).at[starts].add(1, mode="drop")
+    rank = jnp.clip(jnp.cumsum(seg[:block]) - 1, 0,
+                    jnp.maximum(n_pieces - 1, 0))
+    p = jnp.arange(block, dtype=jnp.int32)
+    c = pc[rank]
+    s = ps[rank]
+    k = jnp.maximum(pk[rank], 1)
+    lit_idx = c + (p - s) % k
+    out = lit[jnp.clip(lit_idx, 0, L - 1)]
+    return jnp.where(p < total, out, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def pieces_kernel(block: int):
+    """Jitted batched piece-plan kernel; leading batch axis via vmap."""
+    def fn(po, pc, ps, pk, lit, n_pieces, total):
+        return _expand_pieces_one(po, pc, ps, pk, lit, n_pieces, total, block)
+    return jax.jit(jax.vmap(fn))
+
+
 def pad_dict(dict_buf) -> jnp.ndarray:
     """Right-align a dictionary into the static DICT_PAD coordinate space."""
     import numpy as np

@@ -89,6 +89,9 @@ def lib() -> ctypes.CDLL | None:
         L.zxch_glo_tokens.argtypes = [vp, u64, vp, u64, vp, vp]
         L.zxch_ghi_words.restype = ctypes.c_int
         L.zxch_ghi_words.argtypes = [vp, u64, vp, u64, vp, vp, vp]
+        L.zxch_resolve_pieces.restype = i64
+        L.zxch_resolve_pieces.argtypes = [vp, vp, vp, u64, vp, u64, u64,
+                                          u64, vp, vp, vp, vp, u64, vp]
         _lib = L
         _install_fast_paths(L)
         return _lib
@@ -145,6 +148,65 @@ def varint_chain(extras: np.ndarray, count: int) -> tuple[np.ndarray, bool] | No
     rc = L.zxch_varint_chain(src.ctypes.data_as(ctypes.c_void_p), len(src),
                              count, out.ctypes.data_as(ctypes.c_void_p))
     return out, rc >= 0
+
+
+KBIG = 1 << 30
+
+
+def resolve_pieces(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
+                   literals: np.ndarray, dict_buf: np.ndarray | None = None,
+                   max_pieces: int | None = None, synth_cap: int | None = None):
+    """Resolve LZ chains into the flat piecewise-literal mapping
+    ``out[p] = lit_full[c + (p - s) % k]``.
+
+    lit_full = dict ++ literals ++ synthetic bytes (source regions the
+    resolver materialized to cap piece amplification).
+
+    Returns (out_start, c, s, k, lit_full) — int32 piece tables plus the
+    extended uint8 literal buffer — or None when the native library is
+    unavailable or the budget is exceeded (caller falls back to the
+    iterative device kernel). Raises ZxcError on bad offsets.
+    """
+    L = lib()
+    if L is None:
+        return None
+    n_seq = len(ll)
+    if max_pieces is None:
+        max_pieces = 8 * n_seq + 64
+    dict_len = 0 if dict_buf is None else len(dict_buf)
+    base = np.ascontiguousarray(literals, np.uint8)
+    total_out = int(np.asarray(ll).sum() + np.asarray(ml).sum()) + \
+        (len(base) - int(np.asarray(ll).sum()))
+    if synth_cap is None:
+        synth_cap = max(total_out, 1 << 16)
+    lit_len = dict_len + len(base)
+    lit_full = np.empty(lit_len + synth_cap, np.uint8)
+    if dict_len:
+        lit_full[:dict_len] = dict_buf
+    lit_full[dict_len:lit_len] = base
+    ll32 = np.ascontiguousarray(ll, np.int32)
+    ml32 = np.ascontiguousarray(ml, np.int32)
+    off32 = np.ascontiguousarray(off, np.int32)
+    po = np.empty(max_pieces, np.int32)
+    pc = np.empty(max_pieces, np.int32)
+    ps = np.empty(max_pieces, np.int32)
+    pk = np.empty(max_pieces, np.int32)
+    lit_out = ctypes.c_uint64(0)
+    n = L.zxch_resolve_pieces(
+        ll32.ctypes.data_as(ctypes.c_void_p),
+        ml32.ctypes.data_as(ctypes.c_void_p),
+        off32.ctypes.data_as(ctypes.c_void_p), n_seq,
+        lit_full.ctypes.data_as(ctypes.c_void_p), lit_len, len(lit_full),
+        dict_len,
+        po.ctypes.data_as(ctypes.c_void_p), pc.ctypes.data_as(ctypes.c_void_p),
+        ps.ctypes.data_as(ctypes.c_void_p), pk.ctypes.data_as(ctypes.c_void_p),
+        max_pieces, ctypes.byref(lit_out))
+    if n == -9:
+        from ..errors import ZxcError, ERROR_BAD_OFFSET
+        raise ZxcError(ERROR_BAD_OFFSET, "piece resolution")
+    if n < 0:
+        return None  # budget exceeded: fall back
+    return po[:n], pc[:n], ps[:n], pk[:n], lit_full[:lit_out.value]
 
 
 def expand(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,

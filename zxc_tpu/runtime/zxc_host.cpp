@@ -336,3 +336,189 @@ int zxch_ghi_words(const uint8_t *words, uint64_t n_seq, const uint32_t *ext,
 }
 
 }  // extern "C"
+
+// piece resolver: turn LZ sequences into a flat piecewise mapping
+//   out[p] = lit_full[c + (p - s) % k]
+// where lit_full = dict ++ literals ++ synthetic bytes. Closed under
+// composition: match chains, fills (k=1) and periodic overlaps (k=off)
+// resolve to direct literal references, so the device kernel needs NO
+// iterative pointer chase. Source regions that would fragment into many
+// pieces are MATERIALIZED once into the synthetic tail of lit_full and
+// referenced as a single piece — this caps piece amplification per match.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+static const int32_t ZXCH_KBIG = 1 << 30;
+
+// paged position->piece index: page[q >> PAGE_LOG] = a piece at or before
+// that page's start; lookups walk forward over a few tiny pieces.
+#define ZXCH_PAGE_LOG 5
+#define ZXCH_MAX_PAGES ((2 * 1024 * 1024) >> ZXCH_PAGE_LOG)
+
+// lit_full: caller-allocated buffer holding dict++literals in
+// [0, lit_len) with capacity lit_cap; synthetic bytes are appended and the
+// final length is returned via *lit_len_out.
+// Returns piece count >= 0, or -9 (bad offset), -10 (budget exceeded ->
+// caller falls back to the iterative kernel).
+int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
+                            const int32_t *off, uint64_t n_seq,
+                            uint8_t *lit_full, uint64_t lit_len,
+                            uint64_t lit_cap, uint64_t dict_len,
+                            int32_t *po, int32_t *pc, int32_t *ps,
+                            int32_t *pk, uint64_t max_pieces,
+                            uint64_t *lit_len_out) {
+  const int64_t D = (int64_t)dict_len;
+  uint64_t np = 0;
+  int64_t W = 0;        // output cursor
+  int64_t r = 0;        // literal cursor (within [D, lit_len))
+  int64_t lend = (int64_t)lit_len;  // current end of lit_full
+  static thread_local int32_t page[ZXCH_MAX_PAGES];
+  int64_t pages_filled = 0;
+  const int MAX_FRAG = 3;  // materialize sources spanning more pieces
+
+#define EMIT(o_, c_, s_, k_)                                   \
+  do {                                                         \
+    if (np >= max_pieces) return -10;                          \
+    po[np] = (int32_t)(o_);                                    \
+    pc[np] = (int32_t)(c_);                                    \
+    ps[np] = (int32_t)(s_);                                    \
+    pk[np] = (int32_t)(k_);                                    \
+    int64_t pg_ = (int64_t)(o_) >> ZXCH_PAGE_LOG;              \
+    while (pages_filled <= pg_ && pages_filled < ZXCH_MAX_PAGES) \
+      page[pages_filled++] = (int32_t)np - 1;                  \
+    np++;                                                      \
+  } while (0)
+
+  auto find_piece = [&](int64_t q) -> int64_t {
+    int64_t pg = q >> ZXCH_PAGE_LOG;
+    int64_t j = (pg < pages_filled) ? page[pg] : (int64_t)np - 1;
+    if (j < 0) j = 0;
+    while ((int64_t)po[j] > q) j--;
+    while (j + 1 < (int64_t)np && (int64_t)po[j + 1] <= q) j++;
+    return j;
+  };
+
+  auto piece_end = [&](int64_t j) -> int64_t {
+    return (j + 1 < (int64_t)np) ? (int64_t)po[j + 1] : W;
+  };
+
+  // number of pieces the out-range [sa, sa+len) spans (clipped at cap+1)
+  auto span_count = [&](int64_t sa, int64_t len, int cap) -> int {
+    int cnt = 0;
+    int64_t q = sa;
+    if (q < 0) { cnt++; if (q + len <= 0) return cnt; len += q; q = 0; }
+    int64_t j = find_piece(q);
+    while (len > 0 && cnt <= cap) {
+      int64_t pe = piece_end(j);
+      int64_t take = (pe - q) < len ? (pe - q) : len;
+      if (take <= 0) break;
+      cnt++; q += take; len -= take; j++;
+    }
+    return cnt;
+  };
+
+  // materialize the bytes of out-range [sa, sa+len) into lit_full's tail;
+  // returns the lit_full offset of the materialized range, or -1 on error.
+  auto materialize = [&](int64_t sa, int64_t len) -> int64_t {
+    if (lend + len > (int64_t)lit_cap) return -1;
+    int64_t base = lend;
+    int64_t q = sa, w = lend;
+    while (len > 0) {
+      if (q < 0) {
+        int64_t take = (-q) < len ? (-q) : len;
+        memcpy(lit_full + w, lit_full + (D + q), take);
+        q += take; w += take; len -= take;
+        continue;
+      }
+      int64_t j = find_piece(q);
+      int64_t pe = piece_end(j);
+      int64_t take = (pe - q) < len ? (pe - q) : len;
+      if (take <= 0) return -1;
+      int64_t kk = pk[j];
+      if (kk >= ZXCH_KBIG) {  // pure: one memcpy
+        memcpy(lit_full + w, lit_full + pc[j] + (q - ps[j]), take);
+      } else {                // periodic / fill: byte loop
+        for (int64_t t = 0; t < take; t++)
+          lit_full[w + t] = lit_full[pc[j] + ((q + t - ps[j]) % kk)];
+      }
+      q += take; w += take; len -= take;
+    }
+    lend = w;
+    return base;
+  };
+
+  // copy the resolved mapping of source out-range [sa, sa+len) to output
+  // starting at dst (assumes span <= MAX_FRAG or caller materialized).
+  auto emit_from = [&](int64_t sa, int64_t len, int64_t dst) -> int {
+    int64_t q = sa, d = dst;
+    while (len > 0) {
+      if (q < 0) {  // dict region: lit_idx(p) = (D + q) + (p - d)
+        int64_t take = (-q) < len ? (-q) : len;
+        EMIT(d, D + q, d, ZXCH_KBIG);
+        q += take; d += take; len -= take;
+        continue;
+      }
+      int64_t j = find_piece(q);
+      if (j < 0) return -9;
+      int64_t pe = piece_end(j);
+      int64_t take = (pe - q) < len ? (pe - q) : len;
+      if (take <= 0) return -9;
+      EMIT(d, pc[j], ps[j] + (d - q), pk[j]);
+      q += take; d += take; len -= take;
+    }
+    return 0;
+  };
+
+  for (uint64_t i = 0; i < n_seq; i++) {
+    int64_t l = ll[i], m = ml[i], o = off[i];
+    if (l < 0 || m < 0 || o <= 0) return -9;
+    if (l > 0) {
+      if (D + r + l > (int64_t)lit_len) return -10;
+      EMIT(W, D + r, W, ZXCH_KBIG);
+      W += l; r += l;
+    }
+    if (o > W + D) return -9;
+    int64_t a = W;
+    if (o >= m) {
+      // no self-overlap
+      int64_t sa = a - o;
+      if (span_count(sa, m, MAX_FRAG) > MAX_FRAG) {
+        int64_t base = materialize(sa, m);
+        if (base < 0) return -10;
+        EMIT(a, base, a, ZXCH_KBIG);
+      } else {
+        int rc = emit_from(sa, m, a);
+        if (rc) return rc;
+      }
+      W = a + m;
+    } else {
+      // self-overlap: the repeating unit is the o bytes before the match;
+      // materialize it unless it is a single clean piece, then emit one
+      // periodic piece for the whole match
+      int64_t sa = a - o;
+      int64_t j0 = sa >= 0 ? find_piece(sa) : -1;
+      if (sa >= 0 && j0 >= 0 && piece_end(j0) >= a && pk[j0] >= ZXCH_KBIG) {
+        // window inside one pure piece: periodic piece, no wrap inside
+        EMIT(a, pc[j0] + (sa - ps[j0]), a, o);
+      } else if (sa >= 0 && j0 >= 0 && piece_end(j0) >= a && pk[j0] == 1) {
+        EMIT(a, pc[j0], a, 1);  // fill run keeps filling
+      } else {
+        int64_t base = materialize(sa, o);
+        if (base < 0) return -10;
+        EMIT(a, base, a, o);
+      }
+      W = a + m;
+    }
+  }
+  // trailing literals
+  if (D + r < (int64_t)lit_len) {
+    EMIT(W, D + r, W, ZXCH_KBIG);
+    W += (int64_t)lit_len - D - r;
+  }
+#undef EMIT
+  *lit_len_out = (uint64_t)lend;
+  return (int64_t)np;
+}
+
+}  // extern "C"
