@@ -347,7 +347,28 @@ def _build_sequences(data: np.ndarray, level: int, dict_state: DictState | None)
         full = data
         start = 0
     lens, offs = find_matches(full, start, params.n_candidates)
-    m_pos, m_len, m_off = parse_sequences(lens, offs, params.lazy)
+    m_pos = None
+    if level >= 6:
+        # DP optimal parse (native; reference: zxc_lz77_optimal_parse_glo,
+        # zxc_compress.c:809). Literal costs come from the POST-LZ literal
+        # histogram of a first-pass lazy parse (cf. the reference's sampled
+        # estimate, zxc_opt_estimate_lit_bits :733).
+        try:
+            from .. import runtime
+            g_pos, g_len, _ = parse_sequences(lens, offs, True)
+            cover = np.zeros(len(data) + 1, np.int64)
+            np.add.at(cover, g_pos, 1)
+            np.add.at(cover, np.minimum(g_pos + g_len, len(data)), -1)
+            first_lit = data[np.cumsum(cover[:len(data)]) == 0]
+            freq = np.bincount(first_lit, minlength=256) + 1
+            cl = huffman.build_code_lengths(freq, params.max_code_len)
+            r = runtime.optimal_parse(lens, offs, data, cl.astype(np.uint16))
+            if r is not None:
+                m_pos, m_len, m_off = (a.astype(np.int64) for a in r)
+        except ImportError:
+            pass
+    if m_pos is None:
+        m_pos, m_len, m_off = parse_sequences(lens, offs, params.lazy)
     P = len(data)
     n_seq = len(m_pos)
     if n_seq == 0:

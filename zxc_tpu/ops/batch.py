@@ -69,21 +69,32 @@ class FramePlan:
         return max((len(p[0]) for p in self.pieces if p is not None),
                    default=0)
 
-    def resolve(self) -> None:
+    def resolve(self, workers: int | None = None) -> None:
         """Flatten match chains into piece plans (host C++; phase 1.5).
 
+        Runs the native resolver across blocks on a thread pool (ctypes
+        releases the GIL — this is the zxc_driver worker-pool equivalent).
         Blocks that exceed the piece budget keep ``None`` and decode
         through the iterative chase kernel."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
         from .. import runtime
         if not runtime.available():
             self.pieces = [None] * self.n_blocks
             return
-        self.pieces = []
-        for i in range(self.n_blocks):
-            r = runtime.resolve_pieces(
+        if workers is None:
+            workers = min(os.cpu_count() or 1, 8)
+
+        def one(i):
+            return runtime.resolve_pieces(
                 self.ll[i], self.ml[i], self.off[i], self.lit[i],
                 self.dict_buf)
-            self.pieces.append(r)
+
+        if workers <= 1 or self.n_blocks <= 1:
+            self.pieces = [one(i) for i in range(self.n_blocks)]
+        else:
+            with ThreadPoolExecutor(workers) as ex:
+                self.pieces = list(ex.map(one, range(self.n_blocks)))
 
 
 def plan_frame(archive: bytes, opts: DecodeOpts | None = None) -> FramePlan:
@@ -109,6 +120,8 @@ def plan_frame(archive: bytes, opts: DecodeOpts | None = None) -> FramePlan:
     buf = np.frombuffer(archive, np.uint8)
     plan = FramePlan(block_size=fh.block_size, dict_buf=dict_buf,
                      dict_len=0 if dict_buf is None else len(dict_buf))
+    # pass 1: walk headers, collect payload spans, verify checksums
+    spans: list[tuple[int, int, int]] = []   # (block_type, off, size)
     global_hash = 0
     pos = C.FILE_HEADER_SIZE
     saw_eof = False
@@ -125,31 +138,49 @@ def plan_frame(archive: bytes, opts: DecodeOpts | None = None) -> FramePlan:
             raise ZxcError(ERROR_SRC_TOO_SMALL, "block payload truncated")
         if bh.comp_size > C.compress_block_bound(fh.block_size):
             raise ZxcError(ERROR_CORRUPT_DATA, "comp_size exceeds block bound")
-        payload = buf[payload_off:payload_off + bh.comp_size]
         if fh.has_checksum:
             stored = int(buf[payload_off + bh.comp_size:
                              payload_off + bh.comp_size + 4].view("<u4")[0])
             if verify:
-                if rapidhash32(payload.tobytes()) != stored:
+                if rapidhash32(archive[payload_off:payload_off + bh.comp_size]
+                               ) != stored:
                     raise ZxcError(ERROR_BAD_CHECKSUM, "block payload checksum")
                 global_hash = global_hash_update(global_hash, stored)
+        spans.append((bh.block_type, payload_off, bh.comp_size))
+        pos = payload_off + bh.comp_size + tail
+    if not saw_eof:
+        raise ZxcError(ERROR_SRC_TOO_SMALL, "missing EOF block")
+
+    # pass 2: parse block sections (thread pool; numpy + native parsing
+    # release the GIL for the bulky parts)
+    def parse_one(span):
+        btype, p_off, p_size = span
+        payload = buf[p_off:p_off + p_size]
         ll, ml, off, lit = block_decode.parse_block(
-            bh.block_type, payload, fh.block_size, dict_tree)
+            btype, payload, fh.block_size, dict_tree)
         lit_used = int(ll.sum())
         if lit_used > len(lit):
             raise ZxcError(ERROR_OVERFLOW, "literal stream exhausted")
         total = int((ll + ml).sum()) + len(lit) - lit_used
         if total > fh.block_size:
             raise ZxcError(ERROR_OVERFLOW, "decoded size exceeds capacity")
-        plan.ll.append(ll.astype(np.int32))
-        plan.ml.append(ml.astype(np.int32))
-        plan.off.append(off.astype(np.int32))
-        plan.lit.append(np.ascontiguousarray(lit))
+        return (ll.astype(np.int32), ml.astype(np.int32),
+                off.astype(np.int32), np.ascontiguousarray(lit), total)
+
+    if len(spans) > 3:
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(_os.cpu_count() or 1, 8)) as ex:
+            parsed = list(ex.map(parse_one, spans))
+    else:
+        parsed = [parse_one(s) for s in spans]
+    for ll, ml, off, lit, total in parsed:
+        plan.ll.append(ll)
+        plan.ml.append(ml)
+        plan.off.append(off)
+        plan.lit.append(lit)
         plan.totals.append(total)
         plan.decompressed_size += total
-        pos = payload_off + bh.comp_size + tail
-    if not saw_eof:
-        raise ZxcError(ERROR_SRC_TOO_SMALL, "missing EOF block")
 
     stored_size, stored_hash = headers.read_file_footer(archive)
     if stored_size != plan.decompressed_size:

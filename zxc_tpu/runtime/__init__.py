@@ -92,6 +92,8 @@ def lib() -> ctypes.CDLL | None:
         L.zxch_resolve_pieces.restype = i64
         L.zxch_resolve_pieces.argtypes = [vp, vp, vp, u64, vp, u64, u64,
                                           u64, vp, vp, vp, vp, u64, vp]
+        L.zxch_optimal_parse.restype = i64
+        L.zxch_optimal_parse.argtypes = [vp, vp, u64, vp, vp, vp, vp, vp, u64]
         _lib = L
         _install_fast_paths(L)
         return _lib
@@ -207,6 +209,35 @@ def resolve_pieces(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
     if n < 0:
         return None  # budget exceeded: fall back
     return po[:n], pc[:n], ps[:n], pk[:n], lit_full[:lit_out.value]
+
+
+def optimal_parse(lens: np.ndarray, offs: np.ndarray, data: np.ndarray,
+                  lit_cost_bits: np.ndarray):
+    """DP optimal parse (levels 6-7): returns (pos, len, off) int32 arrays
+    or None when the native library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    P = len(data)
+    lens32 = np.ascontiguousarray(lens, np.int32)
+    offs32 = np.ascontiguousarray(offs, np.int32)
+    d8 = np.ascontiguousarray(data, np.uint8)
+    lc = np.ascontiguousarray(lit_cost_bits, np.uint16)
+    max_seq = P // 5 + 8
+    op = np.empty(max_seq, np.int32)
+    ol = np.empty(max_seq, np.int32)
+    oo = np.empty(max_seq, np.int32)
+    n = L.zxch_optimal_parse(
+        lens32.ctypes.data_as(ctypes.c_void_p),
+        offs32.ctypes.data_as(ctypes.c_void_p), P,
+        d8.ctypes.data_as(ctypes.c_void_p),
+        lc.ctypes.data_as(ctypes.c_void_p),
+        op.ctypes.data_as(ctypes.c_void_p),
+        ol.ctypes.data_as(ctypes.c_void_p),
+        oo.ctypes.data_as(ctypes.c_void_p), max_seq)
+    if n < 0:
+        return None
+    return op[:n], ol[:n], oo[:n]
 
 
 def expand(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,

@@ -522,3 +522,88 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// optimal parse (levels 6-7): forward DP over positions
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// lens/offs: best match candidate per position (0 = none). lit_cost_bits:
+// per byte value estimated bits (from a sampled Huffman build). Relaxation
+// considers the varint cost breakpoints {5,6,7,8,19,147,L} — the cost of a
+// match is piecewise constant in length between them (token nibble
+// saturation at ml=15 -> first varint byte at L=20, second at L=148).
+// Returns the number of sequences written, or -10 if max_seq is too small.
+int64_t zxch_optimal_parse(const int32_t *lens, const int32_t *offs,
+                           uint64_t P, const uint8_t *data,
+                           const uint16_t *lit_cost_bits,
+                           int32_t *out_pos, int32_t *out_len,
+                           int32_t *out_off, uint64_t max_seq) {
+  if (P == 0) return 0;
+  const uint32_t INF = 0x7FFFFFFF;
+  uint32_t *cost = new uint32_t[P + 1];
+  int32_t *fr_len = new int32_t[P + 1];   // 0 = literal step
+  for (uint64_t i = 1; i <= P; i++) cost[i] = INF;
+  cost[0] = 0;
+  fr_len[0] = 0;
+
+  auto match_bits = [](int64_t o, int64_t L) -> uint32_t {
+    uint32_t bits = 8;                       // token byte (ll|ml nibbles)
+    bits += (o <= 256) ? 8 : 16;             // offset byte(s)
+    int64_t mf = L - 5;
+    if (mf >= 15) {
+      int64_t ext = mf - 15;
+      bits += (ext < 128) ? 8 : (ext < 16384 ? 16 : 24);
+    }
+    return bits;
+  };
+
+  for (uint64_t p = 0; p < P; p++) {
+    uint32_t c = cost[p];
+    if (c >= INF) continue;
+    uint32_t lc = c + lit_cost_bits[data[p]];
+    if (lc < cost[p + 1]) { cost[p + 1] = lc; fr_len[p + 1] = 0; }
+    int64_t L = lens[p];
+    if (L >= 5) {
+      int64_t o = offs[p];
+      if ((uint64_t)(p + L) > P) L = (int64_t)(P - p);
+      static const int64_t bp[] = {5, 6, 7, 8, 19, 147};
+      for (int bi = 0; bi < 6; bi++) {
+        int64_t Ls = bp[bi];
+        if (Ls > L) break;
+        uint32_t mc = c + match_bits(o, Ls);
+        if (mc < cost[p + Ls]) { cost[p + Ls] = mc; fr_len[p + Ls] = (int32_t)Ls; }
+      }
+      if (L >= 5) {
+        uint32_t mc = c + match_bits(o, L);
+        if (mc < cost[p + L]) { cost[p + L] = mc; fr_len[p + L] = (int32_t)L; }
+      }
+    }
+  }
+
+  // backtrack: count matches, then fill forward
+  uint64_t nseq = 0;
+  uint64_t p = P;
+  while (p > 0) {
+    int32_t fl = fr_len[p];
+    if (fl == 0) { p -= 1; } else { p -= fl; nseq++; }
+  }
+  if (nseq > max_seq) { delete[] cost; delete[] fr_len; return -10; }
+  uint64_t k = nseq;
+  p = P;
+  while (p > 0) {
+    int32_t fl = fr_len[p];
+    if (fl == 0) { p -= 1; continue; }
+    p -= fl;
+    k--;
+    out_pos[k] = (int32_t)p;
+    out_len[k] = fl;
+    out_off[k] = offs[p];
+  }
+  delete[] cost;
+  delete[] fr_len;
+  return (int64_t)nseq;
+}
+
+}  // extern "C"
