@@ -22,6 +22,12 @@ BASELINE_GBPS = 7.020
 CORPUS_MB = int(os.environ.get("ZXC_BENCH_MB", "96"))
 LEVEL = int(os.environ.get("ZXC_BENCH_LEVEL", "3"))
 REPS = int(os.environ.get("ZXC_BENCH_REPS", "5"))
+# device kernel: "serial" = Pallas copy-engine (64KB blocks),
+# "pieces" = XLA two-gather kernel (512KB blocks)
+KERNEL = os.environ.get("ZXC_BENCH_KERNEL", "serial")
+BLOCK_SIZE = int(os.environ.get("ZXC_BENCH_BLOCK",
+                                str(64 * 1024 if KERNEL == "serial"
+                                    else 512 * 1024)))
 
 
 def build_corpus(target_bytes: int) -> bytes:
@@ -65,14 +71,100 @@ def build_corpus(target_bytes: int) -> bytes:
 def encode(data: bytes, level: int) -> bytes:
     try:
         import ref_oracle
-        return ref_oracle.ref_compress(data, level=level, block_size=512 * 1024)
+        return ref_oracle.ref_compress(data, level=level, block_size=BLOCK_SIZE)
     except Exception as e:
         print(f"# reference encoder unavailable ({e}); using own encoder",
               file=sys.stderr)
         from zxc_tpu.codec import frame
         from zxc_tpu.codec.frame import EncodeOpts
         return frame.compress(data, EncodeOpts(level=level,
-                                               block_size=512 * 1024))
+                                               block_size=BLOCK_SIZE))
+
+
+def bench_serial(data: bytes, plan, dev, t_plan: float):
+    """Pallas serial copy-engine benchmark path."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from zxc_tpu import runtime
+    from zxc_tpu.ops import pallas_decode as PD
+
+    t0 = time.time()
+    pieces, lits = [], []
+    for i in range(plan.n_blocks):
+        r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
+                                   plan.lit[i], plan.dict_buf,
+                                   device_pure=True)
+        assert r is not None, "piece budget exceeded"
+        pieces.append(r[:4])
+        lits.append(r[4])
+    t_res = time.time() - t0
+    tot_pieces = sum(len(p[0]) for p in pieces)
+    print(f"# resolve(device_pure): {t_res:.3f}s "
+          f"({len(data)/1e9/t_res:.2f} GB/s), {tot_pieces} pieces",
+          file=sys.stderr)
+
+    args, (PR, RL) = PD.pack_blocks(pieces, lits, plan.totals,
+                                    plan.block_size)
+    t0 = time.time()
+    dev_in = tuple(jax.device_put(a, dev) for a in args)
+    jax.block_until_ready(dev_in)
+    t_h2d = time.time() - t0
+    in_bytes = sum(a.nbytes for a in args)
+    print(f"# H2D {in_bytes/1e6:.0f} MB in {t_h2d:.3f}s", file=sys.stderr)
+
+    kern = PD.serial_kernel_wrapped(plan.block_size, PR, RL, False)
+    nb = plan.n_blocks
+    RO = plan.block_size // 128 + PD.WIN
+    flatpos = jnp.arange(RO * 128, dtype=jnp.uint32)
+    w = (flatpos % 8191).astype(jnp.uint32)
+    tot_dev = jnp.asarray(np.asarray(plan.totals, np.int64)
+                          .astype(np.uint32))
+
+    @jax.jit
+    def step(npieces, totals, pcs, lit32):
+        out = kern(npieces, totals, pcs, lit32)  # (B, RO, 128) i32
+        flat = out.reshape(nb, RO * 128).astype(jnp.uint32)
+        mask = flatpos[None, :] < tot_dev[:, None]
+        fp1 = jnp.sum(jnp.where(mask, flat, 0))
+        fp2 = jnp.sum(jnp.where(mask, flat * w[None, :], 0))
+        return fp1, fp2
+
+    t0 = time.time()
+    fp1, fp2 = map(np.asarray, step(*dev_in))   # warmup/compile
+    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        r = step(*dev_in)
+        jax.block_until_ready(r)
+        times.append(time.time() - t0)
+    t_dev = min(times)
+    gbps = len(data) / 1e9 / t_dev
+
+    # verify fingerprints against plaintext
+    exp1 = np.uint32(0)
+    exp2 = np.uint32(0)
+    wn = (np.arange(plan.block_size, dtype=np.uint32) % 8191).astype(np.uint32)
+    pos = 0
+    with np.errstate(over="ignore"):
+        for i in range(nb):
+            blk = np.frombuffer(data[pos:pos + plan.totals[i]], np.uint8)
+            exp1 += blk.astype(np.uint32).sum(dtype=np.uint32)
+            exp2 += (blk.astype(np.uint32) * wn[:len(blk)]).sum(dtype=np.uint32)
+            pos += plan.totals[i]
+    assert int(fp1) == int(exp1) and int(fp2) == int(exp2), \
+        "device fingerprint mismatch (serial kernel)"
+
+    print(f"# serial kernel: {t_dev:.3f}s = {gbps:.3f} GB/s "
+          f"(blocks={nb}, block={plan.block_size})", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"silesia_like_decode_level{LEVEL}_pallas_serial",
+        "value": round(gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / BASELINE_GBPS, 3),
+    }))
 
 
 def main():
@@ -99,6 +191,9 @@ def main():
     t0 = time.time()
     plan = plan_frame(archive)
     t_plan = time.time() - t0
+    dev = jax.devices()[0]
+    if KERNEL == "serial":
+        return bench_serial(data, plan, dev, t_plan)
     t0 = time.time()
     plan.resolve()
     t_resolve = time.time() - t0
@@ -108,7 +203,6 @@ def main():
           f"({len(data)/1e9/max(t_resolve,1e-9):.2f} GB/s, "
           f"pieces={'yes' if use_pieces else 'FALLBACK'})", file=sys.stderr)
 
-    dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
     # One resident batch; timing excludes D2H of the decoded bytes (the

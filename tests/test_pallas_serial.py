@@ -1,0 +1,77 @@
+"""Pallas serial copy-engine decoder (interpret mode: runs on CPU).
+
+The compiled-on-hardware path is exercised by bench.py on the real chip;
+these tests pin the kernel's semantics — the same Mosaic ops run in the
+interpreter.
+"""
+import numpy as np
+import pytest
+
+from zxc_tpu import runtime
+from zxc_tpu.codec import frame
+from zxc_tpu.codec.frame import EncodeOpts, DecodeOpts
+from zxc_tpu.ops.batch import plan_frame
+from zxc_tpu.ops import pallas_decode
+
+import ref_oracle
+
+pytestmark = pytest.mark.skipif(not runtime.available(),
+                                reason="native toolchain unavailable")
+
+
+def _decode(archive: bytes, opts=None) -> bytes:
+    plan = plan_frame(archive, opts)
+    pieces, lits = [], []
+    for i in range(plan.n_blocks):
+        r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
+                                   plan.lit[i], plan.dict_buf,
+                                   device_pure=True)
+        assert r is not None
+        pieces.append(r[:4])
+        lits.append(r[4])
+    res = pallas_decode.decode_blocks(pieces, lits, plan.totals,
+                                      plan.block_size, interpret=True)
+    return b"".join(res)
+
+
+@pytest.mark.parametrize("level", [1, 3, 5, 7])
+def test_serial_kernel_levels(level):
+    rng = np.random.default_rng(level)
+    seg = rng.integers(0, 256, 733, dtype=np.uint8).tobytes()
+    data = (seg * 20 + b"\x00" * 9000 + b"ab" * 4000 + seg[:500]
+            + rng.integers(0, 256, 3000, dtype=np.uint8).tobytes())
+    arc = frame.compress(data, EncodeOpts(level=level, block_size=8192))
+    assert _decode(arc) == data
+
+
+def test_serial_kernel_fills_and_periods():
+    data = (b"\x00" * 30_000 + b"xy" * 8_000
+            + b"".join(bytes(range(k)) * (2000 // k) for k in (3, 7, 13))
+            + b"\xff" * 5_000)
+    arc = frame.compress(data, EncodeOpts(level=4, block_size=4096))
+    assert _decode(arc) == data
+
+
+def test_serial_kernel_cross_window_pieces():
+    """Pieces straddling 1024-element window boundaries."""
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, 5000, dtype=np.uint8).tobytes()
+    data = base + base[100:3100] + base[:1024] + base[2000:2001] * 2000
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=16384))
+    assert _decode(arc) == data
+
+
+def test_serial_kernel_ref_archive():
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 64, 120_000, dtype=np.uint8).tobytes()
+    data = base + base[:40_000]
+    arc = ref_oracle.ref_compress(data, level=3, block_size=16384)
+    assert _decode(arc) == data
+
+
+def test_serial_kernel_dict():
+    d = b"shared dictionary content for the serial kernel " * 30
+    data = b"shared dictionary content appears here too! " * 25
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=4096,
+                                          dict_content=d))
+    assert _decode(arc, DecodeOpts(dict_content=d)) == data

@@ -91,7 +91,8 @@ def lib() -> ctypes.CDLL | None:
         L.zxch_ghi_words.argtypes = [vp, u64, vp, u64, vp, vp, vp]
         L.zxch_resolve_pieces.restype = i64
         L.zxch_resolve_pieces.argtypes = [vp, vp, vp, u64, vp, u64, u64,
-                                          u64, vp, vp, vp, vp, u64, vp]
+                                          u64, vp, vp, vp, vp, u64, vp,
+                                          ctypes.c_int]
         L.zxch_optimal_parse.restype = i64
         L.zxch_optimal_parse.argtypes = [vp, vp, u64, vp, vp, vp, vp, vp, u64]
         _lib = L
@@ -157,7 +158,8 @@ KBIG = 1 << 30
 
 def resolve_pieces(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
                    literals: np.ndarray, dict_buf: np.ndarray | None = None,
-                   max_pieces: int | None = None, synth_cap: int | None = None):
+                   max_pieces: int | None = None, synth_cap: int | None = None,
+                   device_pure: bool = False):
     """Resolve LZ chains into the flat piecewise-literal mapping
     ``out[p] = lit_full[c + (p - s) % k]``.
 
@@ -181,6 +183,8 @@ def resolve_pieces(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
         (len(base) - int(np.asarray(ll).sum()))
     if synth_cap is None:
         synth_cap = max(total_out, 1 << 16)
+        if device_pure:
+            synth_cap += total_out + (1 << 20)  # pattern buffers (2KB each)
     lit_len = dict_len + len(base)
     lit_full = np.empty(lit_len + synth_cap, np.uint8)
     if dict_len:
@@ -202,7 +206,7 @@ def resolve_pieces(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
         dict_len,
         po.ctypes.data_as(ctypes.c_void_p), pc.ctypes.data_as(ctypes.c_void_p),
         ps.ctypes.data_as(ctypes.c_void_p), pk.ctypes.data_as(ctypes.c_void_p),
-        max_pieces, ctypes.byref(lit_out))
+        max_pieces, ctypes.byref(lit_out), 1 if device_pure else 0)
     if n == -9:
         from ..errors import ZxcError, ERROR_BAD_OFFSET
         raise ZxcError(ERROR_BAD_OFFSET, "piece resolution")

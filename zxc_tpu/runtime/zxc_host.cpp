@@ -361,13 +361,18 @@ static const int32_t ZXCH_KBIG = 1 << 30;
 // final length is returned via *lit_len_out.
 // Returns piece count >= 0, or -9 (bad offset), -10 (budget exceeded ->
 // caller falls back to the iterative kernel).
+// device_pure mode (for the Pallas copy kernel): every periodic piece
+// (k <= 1024) points at a 2048-byte materialized repeating pattern, so a
+// chunked reader can fetch [c + (p0-s)%k, +1024) contiguously; periods
+// > 1024 are unrolled into per-repetition pure pieces. Fill patterns are
+// cached per byte value.
 int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
                             const int32_t *off, uint64_t n_seq,
                             uint8_t *lit_full, uint64_t lit_len,
                             uint64_t lit_cap, uint64_t dict_len,
                             int32_t *po, int32_t *pc, int32_t *ps,
                             int32_t *pk, uint64_t max_pieces,
-                            uint64_t *lit_len_out) {
+                            uint64_t *lit_len_out, int device_pure) {
   const int64_t D = (int64_t)dict_len;
   uint64_t np = 0;
   int64_t W = 0;        // output cursor
@@ -376,6 +381,9 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
   static thread_local int32_t page[ZXCH_MAX_PAGES];
   int64_t pages_filled = 0;
   const int MAX_FRAG = 3;  // materialize sources spanning more pieces
+  int64_t fill_cache[256];
+  if (device_pure)
+    for (int v = 0; v < 256; v++) fill_cache[v] = -1;
 
 #define EMIT(o_, c_, s_, k_)                                   \
   do {                                                         \
@@ -492,7 +500,7 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
         if (rc) return rc;
       }
       W = a + m;
-    } else {
+    } else if (!device_pure) {
       // self-overlap: the repeating unit is the o bytes before the match;
       // materialize it unless it is a single clean piece, then emit one
       // periodic piece for the whole match
@@ -507,6 +515,63 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
         int64_t base = materialize(sa, o);
         if (base < 0) return -10;
         EMIT(a, base, a, o);
+      }
+      W = a + m;
+    } else {
+      // device_pure self-overlap
+      int64_t sa = a - o;
+      if (o == 1) {
+        // fill: cached 2048-byte pattern per byte value
+        uint8_t b;
+        if (sa < 0) b = lit_full[D + sa];
+        else {
+          int64_t j = find_piece(sa);
+          int64_t kk = pk[j];
+          int64_t idx = (kk >= ZXCH_KBIG) ? pc[j] + (sa - ps[j])
+                                          : pc[j] + ((sa - ps[j]) % kk);
+          b = lit_full[idx];
+        }
+        if (fill_cache[b] < 0) {
+          if (lend + 2048 > (int64_t)lit_cap) return -10;
+          memset(lit_full + lend, b, 2048);
+          fill_cache[b] = lend;
+          lend += 2048;
+        }
+        EMIT(a, fill_cache[b], a, 1);
+      } else if (o <= 1024) {
+        // small period: materialize the window, replicate to 2048 bytes
+        int64_t base = materialize(sa, o);
+        if (base < 0) return -10;
+        if (base + 2048 > (int64_t)lit_cap) return -10;
+        int64_t have = o;
+        while (have < 2048) {
+          int64_t cp = have < (2048 - have) ? have : (2048 - have);
+          memcpy(lit_full + base + have, lit_full + base, cp);
+          have += cp;
+        }
+        lend = base + 2048;
+        EMIT(a, base, a, o);
+      } else {
+        // big period: unroll repetitions as pure/compound pieces; the
+        // source window [sa, a) is fully resolved and identical per rep
+        int frag = span_count(sa, o, MAX_FRAG);
+        int64_t base = -1;
+        if (frag > MAX_FRAG) {
+          base = materialize(sa, o);
+          if (base < 0) return -10;
+        }
+        int64_t done = 0;
+        while (done < m) {
+          int64_t chunk = (m - done) < o ? (m - done) : o;
+          int64_t dst = a + done;
+          if (base >= 0) {
+            EMIT(dst, base, dst, ZXCH_KBIG);
+          } else {
+            int rc = emit_from(sa, chunk, dst);
+            if (rc) return rc;
+          }
+          done += chunk;
+        }
       }
       W = a + m;
     }
