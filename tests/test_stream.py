@@ -1,0 +1,96 @@
+"""MT streaming pipeline + in-place decode (reference: stream suite +
+test_multithread_roundtrip + in-place cases)."""
+import io
+
+import numpy as np
+import pytest
+
+from zxc_tpu.codec import frame, stream
+from zxc_tpu.codec.frame import (DecodeOpts, EncodeOpts, decompress_inplace,
+                                 decompress_inplace_bound)
+from zxc_tpu.errors import ZxcError
+
+import ref_oracle
+
+
+def _data(n=800_000, seed=0):
+    rng = np.random.default_rng(seed)
+    seg = rng.integers(0, 256, 1511, dtype=np.uint8).tobytes()
+    return (seg * (n // len(seg) + 1))[:n]
+
+
+@pytest.mark.parametrize("threads", [1, 4])
+def test_stream_roundtrip_mt(threads):
+    data = _data()
+    src = io.BytesIO(data)
+    comp = io.BytesIO()
+    n = stream.stream_compress(src, comp, EncodeOpts(level=3,
+                                                     block_size=65536,
+                                                     checksum=True), threads)
+    assert n == comp.tell()
+    comp.seek(0)
+    out = io.BytesIO()
+    produced = stream.stream_decompress(comp, out,
+                                        DecodeOpts(checksum=True), threads)
+    assert produced == len(data)
+    assert out.getvalue() == data
+
+
+def test_stream_matches_oneshot():
+    data = _data(200_000, seed=1)
+    comp = io.BytesIO()
+    stream.stream_compress(io.BytesIO(data), comp,
+                           EncodeOpts(level=2, block_size=16384,
+                                      checksum=True, seekable=True), 4)
+    want = frame.compress(data, EncodeOpts(level=2, block_size=16384,
+                                           checksum=True, seekable=True))
+    assert comp.getvalue() == want
+
+
+def test_stream_decompress_ref_archive():
+    data = _data(300_000, seed=2)
+    arc = ref_oracle.ref_compress(data, level=3, block_size=65536,
+                                  checksum=True, seekable=True)
+    out = io.BytesIO()
+    stream.stream_decompress(io.BytesIO(arc), out, DecodeOpts(checksum=True), 4)
+    assert out.getvalue() == data
+
+
+def test_stream_get_decompressed_size():
+    data = _data(50_000, seed=3)
+    arc = frame.compress(data, EncodeOpts(level=1))
+    assert stream.stream_get_decompressed_size(io.BytesIO(arc)) == len(data)
+
+
+def test_stream_truncated_detected():
+    data = _data(100_000, seed=4)
+    arc = frame.compress(data, EncodeOpts(level=1, block_size=16384))
+    with pytest.raises(ZxcError):
+        stream.stream_decompress(io.BytesIO(arc[:len(arc) // 2]),
+                                 io.BytesIO(), None, 2)
+
+
+def test_inplace_decode():
+    data = _data(150_000, seed=5)
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=16384,
+                                          checksum=True))
+    bound = decompress_inplace_bound(arc)
+    assert bound >= len(data)
+    buf = bytearray(bound)
+    buf[bound - len(arc):] = arc  # flush-right
+    n = decompress_inplace(buf, len(arc), DecodeOpts(checksum=True))
+    assert n == len(data)
+    assert bytes(buf[:n]) == data
+
+
+def test_inplace_rejects_small_buffer():
+    data = _data(60_000, seed=6)
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=16384))
+    buf = bytearray(len(data) + 16)   # no margin
+    buf[len(buf) - len(arc):] = arc
+    with pytest.raises(ZxcError):
+        decompress_inplace(buf, len(arc))
+
+
+def test_inplace_bound_invalid_archive():
+    assert decompress_inplace_bound(b"not an archive at all!") == 0

@@ -25,6 +25,10 @@ from .constants import compress_bound, compress_block_bound  # noqa: F401
 from .context import Cctx, Dctx  # noqa: F401
 from .codec.pstream import (CStream, DStream, stream_compress,  # noqa: F401
                             stream_decompress)
+from .codec.stream import (compress_file, decompress_file,  # noqa: F401
+                           stream_get_decompressed_size)
+from .codec.frame import (decompress_inplace,  # noqa: F401
+                          decompress_inplace_bound)
 from .codec.seekable import Seekable, is_seekable  # noqa: F401
 from .format.dictionary import Dictionary  # noqa: F401
 from .codec.dict_train import train_dict, train_dict_huf, dict_train  # noqa: F401

@@ -158,7 +158,15 @@ def cmd_compress(args, log: Log) -> int:
     for src in files:
         data = _read(src)
         t0 = time.time()
-        out = frame.compress(data, eopts)
+        if args.threads != 1:
+            import io as _io
+            from .codec import stream as _stream
+            buf = _io.BytesIO()
+            _stream.stream_compress(_io.BytesIO(data), buf, eopts,
+                                    args.threads)
+            out = buf.getvalue()
+        else:
+            out = frame.compress(data, eopts)
         dt = time.time() - t0
         if args.stdout or src is None:
             dst = None

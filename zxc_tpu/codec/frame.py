@@ -119,6 +119,53 @@ def decompress(archive: bytes, opts: DecodeOpts | None = None) -> bytes:
     return np.concatenate(out_parts).tobytes()
 
 
+DECOMPRESS_TAIL_PAD = 32
+
+
+def _inplace_margin(dsize: int, block_size: int, has_checksum: bool) -> int:
+    """One block + per-block overhead + trailing structures + wild-copy
+    pad (reference: zxc_inplace_margin, zxc_dispatch.c:1045)."""
+    nblocks = (dsize + block_size - 1) // block_size if block_size else 0
+    per_block = C.BLOCK_HEADER_SIZE + (C.BLOCK_CHECKSUM_SIZE
+                                       if has_checksum else 0)
+    trailing = (C.BLOCK_HEADER_SIZE
+                + (C.BLOCK_HEADER_SIZE + nblocks * C.SEEK_ENTRY_SIZE)
+                + C.FILE_FOOTER_SIZE)
+    return block_size + nblocks * per_block + trailing + DECOMPRESS_TAIL_PAD
+
+
+def decompress_inplace_bound(archive: bytes) -> int:
+    """Minimum single-buffer size for an in-place decode; 0 when invalid
+    (zxc_decompress_inplace_bound parity)."""
+    try:
+        fh = headers.read_file_header(archive)
+        dsize, _ = headers.read_file_footer(archive)
+    except ZxcError:
+        return 0
+    return dsize + _inplace_margin(dsize, fh.block_size, fh.has_checksum)
+
+
+def decompress_inplace(buffer: bytearray, comp_size: int,
+                       opts: DecodeOpts | None = None) -> int:
+    """Decode an archive sitting flush-right in ``buffer`` into
+    ``buffer[0:dsize]``; returns dsize (zxc_decompress_inplace parity —
+    single caller-owned allocation, write cursor never overtakes the
+    archive thanks to the margin checked here)."""
+    if comp_size < C.FILE_HEADER_SIZE + C.FILE_FOOTER_SIZE or \
+            comp_size > len(buffer):
+        raise ZxcError(ERROR_SRC_TOO_SMALL)
+    comp = bytes(buffer[len(buffer) - comp_size:])
+    fh = headers.read_file_header(comp)
+    dsize, _ = headers.read_file_footer(comp)
+    margin = _inplace_margin(dsize, fh.block_size, fh.has_checksum)
+    from ..errors import ERROR_DST_TOO_SMALL
+    if dsize > len(buffer) or len(buffer) - dsize < margin:
+        raise ZxcError(ERROR_DST_TOO_SMALL, "missing in-place margin")
+    out = decompress(comp, opts)
+    buffer[:len(out)] = out
+    return len(out)
+
+
 def get_decompressed_size(archive: bytes) -> int:
     """Footer-derived size with plausibility checks (zxc_get_decompressed_size)."""
     headers.read_file_header(archive)
