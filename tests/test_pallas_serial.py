@@ -75,3 +75,22 @@ def test_serial_kernel_dict():
     arc = frame.compress(data, EncodeOpts(level=3, block_size=4096,
                                           dict_content=d))
     assert _decode(arc, DecodeOpts(dict_content=d)) == data
+
+
+@pytest.mark.parametrize("variant", [1, 2])
+def test_serial_kernel_variants_agree(variant):
+    rng = np.random.default_rng(33)
+    seg = rng.integers(0, 256, 511, dtype=np.uint8).tobytes()
+    data = seg * 30 + b"\x00" * 4000 + b"pq" * 2500 + seg[:100]
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=8192))
+    plan = plan_frame(arc)
+    pieces, lits = [], []
+    for i in range(plan.n_blocks):
+        r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
+                                   plan.lit[i], device_pure=True)
+        pieces.append(r[:4])
+        lits.append(r[4])
+    res = pallas_decode.decode_blocks(pieces, lits, plan.totals,
+                                      plan.block_size, interpret=True,
+                                      variant=variant)
+    assert b"".join(res) == data

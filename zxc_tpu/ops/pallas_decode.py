@@ -161,14 +161,14 @@ def pack_blocks(pieces, lit_fulls, totals, block: int):
 
 
 def decode_blocks(pieces, lit_fulls, totals, block: int,
-                  interpret: bool = False, device=None):
+                  interpret: bool = False, device=None, variant: int = 2):
     """Decode a list of device_pure piece plans on the device.
 
     pieces: list of (po, pc, ps, pk) int32 arrays; lit_fulls: list of uint8
     lit buffers; totals: decoded sizes. Returns list of bytes.
     """
     args, (PR, RL) = pack_blocks(pieces, lit_fulls, totals, block)
-    kern = serial_kernel_wrapped(block, PR, RL, interpret)
+    kern = serial_kernel_wrapped(block, PR, RL, interpret, variant)
     if device is not None:
         args = tuple(jax.device_put(a, device) for a in args)
     out = np.asarray(kern(*args))
@@ -179,10 +179,95 @@ def decode_blocks(pieces, lit_fulls, totals, block: int,
     return res
 
 
+def _kernel_v2(np_ref, total_ref, pcs_ref, lit_ref, out_ref, stage_ref, sem):
+    """Window-centric variant: iterate 1024-element DESTINATION windows,
+    merge every overlapping piece into a register accumulator, store once.
+
+    Removes the per-piece read-modify-write of v1 (the dominant latency
+    chain) and lets independent source loads/rolls pipeline. Fill pieces
+    (k == 1) splat the byte carried in the `s` field — no memory traffic.
+    """
+    b = pl.program_id(0)
+    n = np_ref[b]
+    total = total_ref[b]
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1))
+    n_windows = (total + CHUNK - 1) // CHUNK
+
+    def field(lj, f):
+        idx = 4 * lj + f
+        return stage_ref[idx // 128, idx % 128]
+
+    def stage_group(jj):
+        @pl.when(jj % STAGE == 0)
+        def _():
+            row0 = (jj // STAGE) * STAGE_ROWS
+            dma = pltpu.make_async_copy(
+                pcs_ref.at[pl.ds(pl.multiple_of(row0, 8), STAGE_LOAD), :],
+                stage_ref, sem)
+            dma.start()
+            dma.wait()
+
+    def window_body(wi, j):
+        """j = index of the first piece overlapping this window."""
+        w0 = wi * CHUNK
+        acc0 = jnp.zeros((ROWS, 128), jnp.int32)
+
+        def cond(state):
+            jj, _, done = state
+            return jnp.logical_not(done)
+
+        def body(state):
+            jj, acc, _ = state
+            stage_group(jj)
+            lj = jj % STAGE
+            o = field(lj, 0)
+            e = jnp.where(jj + 1 < n, field(lj + 1, 0), total)
+            c = field(lj, 1)
+            s = field(lj, 2)
+            k = field(lj, 3)
+            starts_beyond = o >= w0 + CHUNK
+
+            lo = jnp.maximum(o, w0)
+            hi = jnp.minimum(e, w0 + CHUNK)
+            dmis = lo - w0
+            is_fill = k == 1
+            phase = jax.lax.rem(lo - jnp.where(is_fill, lo, s),
+                                jnp.maximum(k, 1))
+            src0 = c + phase
+            srow = (src0 // CHUNK) * ROWS
+            v = lit_ref[pl.ds(pl.multiple_of(srow, ROWS), WIN), :]
+            rolled = _flat_roll(v, src0 % CHUNK, WIN)[:ROWS, :]
+            shifted = _flat_roll_right(rolled, dmis, ROWS)
+            val = jnp.where(is_fill, s, shifted)
+            valid = ((pos >= dmis) & (pos < dmis + (hi - lo))
+                     & jnp.logical_not(starts_beyond))
+            acc = jnp.where(valid, val, acc)
+
+            ends_here = (e <= w0 + CHUNK) & jnp.logical_not(starts_beyond)
+            jj2 = jnp.where(ends_here, jj + 1, jj)
+            done = starts_beyond | jnp.logical_not(ends_here) | (jj2 >= n)
+            return jj2, acc, done
+
+        jj, acc, _ = jax.lax.while_loop(cond, body, (j, acc0, j >= n))
+        out_ref[pl.ds(pl.multiple_of(wi * ROWS, ROWS), ROWS), :] = acc
+        return jj
+
+    jax.lax.fori_loop(0, n_windows, window_body, 0, unroll=False)
+
+
+def _kernel_v2_wrapped(np_ref, total_ref, pcs_ref, lit_ref, out_ref,
+                       stage_ref, sem):
+    b = pl.program_id(0)
+    _kernel_v2(np_ref, total_ref, pcs_ref.at[b], lit_ref.at[0],
+               out_ref.at[0], stage_ref, sem)
+
+
 @functools.lru_cache(maxsize=None)
 def serial_kernel_wrapped(block: int, PR: int, RL: int,
-                          interpret: bool = False):
+                          interpret: bool = False, variant: int = 2):
     RO = block // 128 + WIN
+    body = _kernel_v2_wrapped if variant == 2 else _kernel_wrapped
 
     def call(npieces, totals, pcs, lit32):
         B = pcs.shape[0]
@@ -202,7 +287,7 @@ def serial_kernel_wrapped(block: int, PR: int, RL: int,
             ],
         )
         return pl.pallas_call(
-            _kernel_wrapped,
+            body,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, RO, 128), jnp.int32),
             interpret=interpret,

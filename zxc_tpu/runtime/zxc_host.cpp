@@ -472,7 +472,9 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
       int64_t pe = piece_end(j);
       int64_t take = (pe - q) < len ? (pe - q) : len;
       if (take <= 0) return -9;
-      EMIT(d, pc[j], ps[j] + (d - q), pk[j]);
+      // k==1 fills keep s verbatim (device_pure stores the fill byte there;
+      // the phase shift is irrelevant when the period is 1)
+      EMIT(d, pc[j], pk[j] == 1 ? ps[j] : ps[j] + (d - q), pk[j]);
       q += take; d += take; len -= take;
     }
     return 0;
@@ -537,7 +539,10 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
           fill_cache[b] = lend;
           lend += 2048;
         }
-        EMIT(a, fill_cache[b], a, 1);
+        // s carries the fill byte value: (p - s) % 1 == 0 for any s, so
+        // the mapping is unchanged, and register-splat kernels can read
+        // the byte without touching lit_full.
+        EMIT(a, fill_cache[b], b, 1);
       } else if (o <= 1024) {
         // small period: materialize the window, replicate to 2048 bytes
         int64_t base = materialize(sa, o);
