@@ -346,8 +346,27 @@ def _build_sequences(data: np.ndarray, level: int, dict_state: DictState | None)
     else:
         full = data
         start = 0
-    lens, offs = find_matches(full, start, params.n_candidates)
     m_pos = None
+    lens = offs = None
+    if level < 6:
+        try:  # combined native find+parse: search only at the parse cursor
+            from .. import runtime
+            r = runtime.find_parse(full, start, params.n_candidates,
+                                   params.lazy)
+            if r is not None:
+                m_pos, m_len, m_off = (a.astype(np.int64) for a in r)
+        except ImportError:
+            pass
+    if m_pos is None:
+        try:  # per-position native finder (feeds the DP at levels 6-7)
+            from .. import runtime
+            r = runtime.find_matches(full, start, params.n_candidates)
+            if r is not None:
+                lens, offs = r
+        except ImportError:
+            pass
+        if lens is None:
+            lens, offs = find_matches(full, start, params.n_candidates)
     if level >= 6:
         # DP optimal parse (native; reference: zxc_lz77_optimal_parse_glo,
         # zxc_compress.c:809). Literal costs come from the POST-LZ literal
@@ -368,6 +387,14 @@ def _build_sequences(data: np.ndarray, level: int, dict_state: DictState | None)
         except ImportError:
             pass
     if m_pos is None:
+        try:
+            from .. import runtime
+            r = runtime.lazy_parse(lens, offs, params.lazy)
+            if r is not None:
+                m_pos, m_len, m_off = (a.astype(np.int64) for a in r)
+        except ImportError:
+            pass
+    if m_pos is None:
         m_pos, m_len, m_off = parse_sequences(lens, offs, params.lazy)
     P = len(data)
     n_seq = len(m_pos)
@@ -379,11 +406,12 @@ def _build_sequences(data: np.ndarray, level: int, dict_state: DictState | None)
         return ll, ml, off, literals
     prev_end = np.concatenate([[0], m_pos[:-1] + m_len[:-1]])
     ll = m_pos - prev_end
-    # literal bytes = positions not covered by any match (order-preserving)
-    cover = np.zeros(P + 1, np.int64)
+    # literal bytes = positions not covered by any match (order-preserving);
+    # int8 cover + int32 cumsum keeps this memory-bound pass cheap
+    cover = np.zeros(P + 1, np.int8)
     np.add.at(cover, m_pos, 1)
-    np.add.at(cover, m_pos + m_len, -1)
-    in_match = np.cumsum(cover[:P]) > 0
+    np.add.at(cover, np.minimum(m_pos + m_len, P), -1)
+    in_match = np.cumsum(cover[:P], dtype=np.int32) > 0
     literals = data[~in_match]
     return ll, m_len, m_off, literals
 

@@ -95,6 +95,11 @@ def lib() -> ctypes.CDLL | None:
                                           ctypes.c_int]
         L.zxch_optimal_parse.restype = i64
         L.zxch_optimal_parse.argtypes = [vp, vp, u64, vp, vp, vp, vp, vp, u64]
+        L.zxch_find_matches.restype = ctypes.c_int
+        L.zxch_find_matches.argtypes = [vp, u64, u64, ctypes.c_int, vp, vp]
+        L.zxch_lazy_parse.restype = i64
+        L.zxch_lazy_parse.argtypes = [vp, vp, u64, ctypes.c_int, vp, vp, vp,
+                                      u64]
         _lib = L
         _install_fast_paths(L)
         return _lib
@@ -215,6 +220,45 @@ def resolve_pieces(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
     return po[:n], pc[:n], ps[:n], pk[:n], lit_full[:lit_out.value]
 
 
+def find_matches(data: np.ndarray, start: int, max_probes: int):
+    """Native hash-chain match finder; returns (lens, offs) int64 arrays
+    for positions data[start:], or None when unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    d8 = np.ascontiguousarray(data, np.uint8)
+    P = len(d8) - start
+    lens = np.empty(max(P, 1), np.int32)
+    offs = np.empty(max(P, 1), np.int32)
+    L.zxch_find_matches(d8.ctypes.data_as(ctypes.c_void_p), len(d8), start,
+                        max_probes, lens.ctypes.data_as(ctypes.c_void_p),
+                        offs.ctypes.data_as(ctypes.c_void_p))
+    return lens[:P], offs[:P]
+
+
+def lazy_parse(lens: np.ndarray, offs: np.ndarray, lazy: bool):
+    """Native greedy/lazy parse; returns (pos, len, off) or None."""
+    L = lib()
+    if L is None:
+        return None
+    lens32 = np.ascontiguousarray(lens, np.int32)
+    offs32 = np.ascontiguousarray(offs, np.int32)
+    P = len(lens32)
+    max_seq = P // 5 + 8
+    op = np.empty(max_seq, np.int32)
+    ol = np.empty(max_seq, np.int32)
+    oo = np.empty(max_seq, np.int32)
+    n = L.zxch_lazy_parse(lens32.ctypes.data_as(ctypes.c_void_p),
+                          offs32.ctypes.data_as(ctypes.c_void_p), P,
+                          1 if lazy else 0,
+                          op.ctypes.data_as(ctypes.c_void_p),
+                          ol.ctypes.data_as(ctypes.c_void_p),
+                          oo.ctypes.data_as(ctypes.c_void_p), max_seq)
+    if n < 0:
+        return None
+    return op[:n], ol[:n], oo[:n]
+
+
 def optimal_parse(lens: np.ndarray, offs: np.ndarray, data: np.ndarray,
                   lit_cost_bits: np.ndarray):
     """DP optimal parse (levels 6-7): returns (pos, len, off) int32 arrays
@@ -270,3 +314,33 @@ def expand(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
         raise ZxcError(ERROR_BAD_OFFSET if n == -9 else ERROR_OVERFLOW,
                        "native expand")
     return dst[:n]
+
+
+def find_parse(data: np.ndarray, start: int, max_probes: int, lazy: bool):
+    """Combined native find+parse (levels 1-5 hot path); returns
+    (pos, len, off) int32 arrays relative to `start`, or None."""
+    L = lib()
+    if L is None:
+        return None
+    if not hasattr(L, "zxch_find_parse_bound"):
+        L.zxch_find_parse.restype = ctypes.c_int64
+        L.zxch_find_parse.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                      ctypes.c_uint64, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_void_p,
+                                      ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_uint64]
+        L.zxch_find_parse_bound = True
+    d8 = np.ascontiguousarray(data, np.uint8)
+    P = len(d8) - start
+    max_seq = P // 5 + 8
+    op = np.empty(max_seq, np.int32)
+    ol = np.empty(max_seq, np.int32)
+    oo = np.empty(max_seq, np.int32)
+    n = L.zxch_find_parse(d8.ctypes.data_as(ctypes.c_void_p), len(d8), start,
+                          max_probes, 1 if lazy else 0,
+                          op.ctypes.data_as(ctypes.c_void_p),
+                          ol.ctypes.data_as(ctypes.c_void_p),
+                          oo.ctypes.data_as(ctypes.c_void_p), max_seq)
+    if n < 0:
+        return None
+    return op[:n], ol[:n], oo[:n]

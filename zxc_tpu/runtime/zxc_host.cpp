@@ -677,3 +677,235 @@ int64_t zxch_optimal_parse(const int32_t *lens, const int32_t *offs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// match finder: hash-chain search (the encode hot loop)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Best (length, offset) per position of data[start..n). data includes any
+// dictionary prefix of `start` bytes. Own design in the reference's spirit
+// (split hash + chain over a 64KB window, probe budget per position, word-
+// at-a-time extension); lens[i]==0 means no match at start+i.
+int zxch_find_matches(const uint8_t *data, uint64_t n, uint64_t start,
+                      int max_probes, int32_t *lens, int32_t *offs) {
+  const uint64_t WINDOW = 64 * 1024;
+  const int HASH_BITS = 15;
+  const uint64_t MIN_MATCH = 5;
+  if (n < MIN_MATCH + 1) {
+    for (uint64_t i = start; i < n; i++) { lens[i - start] = 0; offs[i - start] = 1; }
+    return 0;
+  }
+  static thread_local int32_t head[1 << 15];
+  int32_t *chain = new int32_t[n];
+  memset(head, -1, sizeof(head));
+
+  auto hash5 = [](const uint8_t *p) -> uint32_t {
+    uint64_t v = (uint64_t)p[0] | ((uint64_t)p[1] << 8) | ((uint64_t)p[2] << 16)
+               | ((uint64_t)p[3] << 24) | ((uint64_t)p[4] << 32);
+    return (uint32_t)((v * 0x9E3779B97F4A7C15ull) >> (64 - HASH_BITS));
+  };
+
+  const uint64_t hend = n - (MIN_MATCH - 1);
+  // seed dictionary prefix positions (sparse is fine; dense for simplicity)
+  for (uint64_t p = 0; p < start && p < hend; p++) {
+    uint32_t h = hash5(data + p);
+    chain[p] = head[h];
+    head[h] = (int32_t)p;
+  }
+
+  for (uint64_t p = start; p < n; p++) {
+    uint64_t i = p - start;
+    lens[i] = 0;
+    offs[i] = 1;
+    if (p >= hend) continue;
+    uint32_t h = hash5(data + p);
+    int32_t cand = head[h];
+    int best_len = 0;
+    int64_t best_off = 1;
+    int probes = max_probes;
+    const uint64_t lim = n;
+    while (cand >= 0 && probes-- > 0) {
+      uint64_t c = (uint64_t)cand;
+      if (p - c > WINDOW) break;
+      // fast reject on the byte after the current best
+      if (best_len > 0 &&
+          (c + best_len >= lim || data[c + best_len] != data[p + best_len])) {
+        cand = chain[c];
+        continue;
+      }
+      // word-at-a-time extension
+      uint64_t max_len = lim - p;
+      uint64_t m = 0;
+      while (m + 8 <= max_len) {
+        uint64_t a, b;
+        memcpy(&a, data + c + m, 8);
+        memcpy(&b, data + p + m, 8);
+        uint64_t x = a ^ b;
+        if (x) { m += (uint64_t)(__builtin_ctzll(x) >> 3); goto done; }
+        m += 8;
+      }
+      while (m < max_len && data[c + m] == data[p + m]) m++;
+done:
+      if ((int)m > best_len) {
+        best_len = (int)m;
+        best_off = (int64_t)(p - c);
+        if (m >= max_len) break;
+      }
+      cand = chain[c];
+    }
+    if (best_len >= (int)MIN_MATCH) {
+      lens[i] = best_len;
+      offs[i] = (int32_t)best_off;
+    }
+    chain[p] = head[h];
+    head[h] = (int32_t)p;
+  }
+  delete[] chain;
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// greedy / lazy parse (levels 1-5): serial walk over per-position matches
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// lens/offs: per-position best match (0 = none). Lazy rule: defer a match
+// when the next position's match is strictly longer. Returns sequence
+// count, or -10 if max_seq too small.
+int64_t zxch_lazy_parse(const int32_t *lens, const int32_t *offs, uint64_t P,
+                        int lazy, int32_t *out_pos, int32_t *out_len,
+                        int32_t *out_off, uint64_t max_seq) {
+  uint64_t n = 0;
+  uint64_t p = 0;
+  while (p < P) {
+    int32_t l = lens[p];
+    if (l < 5) { p++; continue; }
+    if (lazy && p + 1 < P) {
+      int32_t nl = lens[p + 1];
+      if (nl >= 5 && nl > l) { p++; continue; }  // defer to the longer match
+    }
+    if (n >= max_seq) return -10;
+    out_pos[n] = (int32_t)p;
+    out_len[n] = l;
+    out_off[n] = offs[p];
+    n++;
+    p += (uint64_t)l;
+  }
+  return (int64_t)n;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// combined find+parse (levels 1-5): search only where the parse stands
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Greedy/lazy encode walk: hash-chain search at the parse cursor only
+// (positions inside emitted matches are inserted into the chains but never
+// searched), which is what makes real-time LZ encoders fast. Emits
+// (pos, len, off) relative to `start`. Returns sequence count or -10.
+int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
+                        int max_probes, int lazy, int32_t *out_pos,
+                        int32_t *out_len, int32_t *out_off,
+                        uint64_t max_seq) {
+  const uint64_t WINDOW = 64 * 1024;
+  const int HASH_BITS = 15;
+  const uint64_t MIN_MATCH = 5;
+  static thread_local int32_t head[1 << 15];
+  memset(head, -1, sizeof(head));
+  if (n < MIN_MATCH + 1) return 0;
+  int32_t *chain = new int32_t[n];
+  const uint64_t hend = n - (MIN_MATCH - 1);
+
+  auto hash5 = [](const uint8_t *p) -> uint32_t {
+    uint64_t v = (uint64_t)p[0] | ((uint64_t)p[1] << 8) | ((uint64_t)p[2] << 16)
+               | ((uint64_t)p[3] << 24) | ((uint64_t)p[4] << 32);
+    return (uint32_t)((v * 0x9E3779B97F4A7C15ull) >> (64 - HASH_BITS));
+  };
+
+  auto insert = [&](uint64_t p) {
+    if (p < hend) {
+      uint32_t h = hash5(data + p);
+      chain[p] = head[h];
+      head[h] = (int32_t)p;
+    }
+  };
+
+  auto search = [&](uint64_t p, int *best_len, int64_t *best_off) {
+    *best_len = 0;
+    *best_off = 1;
+    if (p >= hend) return;
+    int32_t cand = head[hash5(data + p)];
+    int probes = max_probes;
+    const uint64_t max_len = n - p;
+    while (cand >= 0 && probes-- > 0) {
+      uint64_t c = (uint64_t)cand;
+      if (p - c > WINDOW) break;
+      if (*best_len > 0 &&
+          (c + (uint64_t)*best_len >= n ||
+           data[c + *best_len] != data[p + *best_len])) {
+        cand = chain[c];
+        continue;
+      }
+      uint64_t m = 0;
+      while (m + 8 <= max_len) {
+        uint64_t a, b;
+        memcpy(&a, data + c + m, 8);
+        memcpy(&b, data + p + m, 8);
+        uint64_t x = a ^ b;
+        if (x) { m += (uint64_t)(__builtin_ctzll(x) >> 3); goto done; }
+        m += 8;
+      }
+      while (m < max_len && data[c + m] == data[p + m]) m++;
+done:
+      if ((int)m > *best_len) {
+        *best_len = (int)m;
+        *best_off = (int64_t)(p - c);
+        if (m >= max_len) break;
+      }
+      cand = chain[c];
+    }
+  };
+
+  for (uint64_t p = 0; p < start; p++) insert(p);
+
+  uint64_t nseq = 0;
+  uint64_t p = start;
+  while (p < n) {
+    int l;
+    int64_t o;
+    search(p, &l, &o);
+    if (l < (int)MIN_MATCH) { insert(p); p++; continue; }
+    uint64_t already = 0;  // positions <= p already inserted by lazy probe
+    if (lazy && p + 1 < n) {
+      int l2;
+      int64_t o2;
+      insert(p);
+      already = p + 1;
+      search(p + 1, &l2, &o2);
+      if (l2 >= (int)MIN_MATCH && l2 > l) { p++; l = l2; o = o2; }
+    }
+    if (nseq >= max_seq) { delete[] chain; return -10; }
+    out_pos[nseq] = (int32_t)(p - start);
+    out_len[nseq] = l;
+    out_off[nseq] = (int32_t)o;
+    nseq++;
+    // insert covered positions (stride 2 beyond 64 keeps long runs cheap)
+    uint64_t end = p + (uint64_t)l;
+    uint64_t step = l > 64 ? 2 : 1;
+    uint64_t q0 = p < already ? already : p;
+    for (uint64_t q = q0; q < end && q < hend; q += step) insert(q);
+    p = end;
+  }
+  delete[] chain;
+  return (int64_t)nseq;
+}
+
+}  // extern "C"
