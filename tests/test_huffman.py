@@ -113,3 +113,34 @@ def test_lengths_header_roundtrip():
     rng = np.random.default_rng(0)
     cl = rng.integers(0, 12, 256, dtype=np.uint8)
     assert (H.unpack_lengths(H.pack_lengths(cl)) == cl).all()
+
+
+def test_nudge_respects_size_budget_and_kraft():
+    import numpy as np
+    from zxc_tpu.codec import huffman
+    rng = np.random.default_rng(0)
+    # zipf-ish histogram: deep optimal tree
+    freq = (10000 / (np.arange(256) + 1) ** 1.3).astype(np.int64) + 1
+    cl = huffman.build_code_lengths(freq, 11)
+    nudged = huffman.nudge_code_lengths(freq, cl, 11)
+    base = huffman.encoded_bits(freq, cl)
+    after = huffman.encoded_bits(freq, nudged)
+    assert after <= base * huffman.NUDGE_MAX_GROWTH
+    assert nudged.max() <= cl.max()
+    huffman.build_tree(nudged)  # Kraft-valid
+    # roundtrip through the section codec
+    data = rng.choice(np.arange(256, dtype=np.uint8), size=5000,
+                      p=freq / freq.sum())
+    blob = huffman.encode_section(data, nudged)
+    out = huffman.decode_section(np.frombuffer(blob, np.uint8), len(data))
+    assert (out == data).all()
+
+
+def test_nudge_flattens_when_cheap():
+    import numpy as np
+    from zxc_tpu.codec import huffman
+    freq = np.zeros(256, np.int64)
+    freq[:16] = 100  # uniform 16 symbols: depth-4 flat is optimal
+    cl = huffman.build_code_lengths(freq, 8)
+    nudged = huffman.nudge_code_lengths(freq, cl, 8)
+    assert nudged.max() == 4

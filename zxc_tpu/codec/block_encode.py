@@ -451,6 +451,9 @@ def encode_block_glo(data: np.ndarray, level: int,
             freq = np.bincount(literals, minlength=256)
             cl = huffman.build_code_lengths(freq, level_params(level).max_code_len)
             if cl is not None:
+                cl = huffman.nudge_code_lengths(freq, cl,
+                                                level_params(level).max_code_len)
+            if cl is not None:
                 tree = huffman.build_tree(cl)
                 size = huffman.calc_size(freq, tree, with_header=True)
                 j = size + ((n_lit * _prem_huf(level)) >> 8)

@@ -507,3 +507,46 @@ def build_code_lengths(freq: np.ndarray, max_len: int) -> np.ndarray | None:
             lengths[i] += 1
     cl[present[order]] = lengths
     return cl
+
+
+# ---------------------------------------------------------------------------
+# Decode-speed nudge (reference: zxc_huf_nudge_code_lengths, :824-971)
+# ---------------------------------------------------------------------------
+
+NUDGE_MAX_GROWTH = 1.015  # adoption guard: <= +1.5% encoded bits
+
+
+def encoded_bits(freq: np.ndarray, code_len: np.ndarray) -> int:
+    """Total payload bits for a histogram under the given lengths."""
+    return int((np.asarray(freq, np.int64) *
+                np.asarray(code_len, np.int64)).sum())
+
+
+def nudge_code_lengths(freq: np.ndarray, code_len: np.ndarray,
+                       max_len: int) -> np.ndarray:
+    """Reshape code lengths for decode speed within a size budget.
+
+    Shallower trees decode faster on every backend (fewer PivCo level
+    merges here; fewer SIMD passes in the reference), so try rebuilding the
+    code under successively smaller length caps and adopt the shallowest
+    one whose payload grows at most NUDGE_MAX_GROWTH. This captures the
+    reference nudge's reduced-cap rebuild path; the slot-ledger micro-walk
+    is superseded by exact package-merge rebuilds (always optimal for a
+    given cap).
+    """
+    base_bits = encoded_bits(freq, code_len)
+    best = code_len
+    depth = int(code_len.max())
+    for cap in range(depth - 1, 1, -1):
+        try:
+            cl = build_code_lengths(freq, cap)
+        except ZxcError:
+            break
+        if cl is None:
+            break
+        bits = encoded_bits(freq, cl)
+        if bits <= base_bits * NUDGE_MAX_GROWTH:
+            best = cl
+        else:
+            break
+    return best
