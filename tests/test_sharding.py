@@ -47,3 +47,15 @@ def test_dp_sp_mesh_shapes():
         mesh = parallel.make_mesh(jax.devices()[:8], axes=("dp", "sp"),
                                   shape=shape)
         assert parallel.decode_plan_dp_sp(plan, mesh) == data
+
+
+def test_dp_sharded_dict_frame():
+    """Dictionary replicated across the mesh (broadcast-once), blocks dp."""
+    d = b"the dictionary payload shared by every chip " * 50
+    data = b"the dictionary payload appears in this doc too " * 400
+    archive = frame.compress(data, EncodeOpts(level=3, block_size=4096,
+                                              dict_content=d))
+    from zxc_tpu.codec.frame import DecodeOpts
+    plan = plan_frame(archive, DecodeOpts(dict_content=d))
+    mesh = parallel.make_mesh(jax.devices()[:8], axes=("dp",))
+    assert parallel.decode_plan_sharded(plan, mesh) == data

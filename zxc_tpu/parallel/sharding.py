@@ -46,13 +46,15 @@ def make_mesh(devices=None, axes: tuple[str, ...] = ("dp",),
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _dp_kernel(block: int, mesh_key, dp_axis: str):
-    """Jitted dp-sharded expansion: the batch axis partitioned over chips."""
+def _dp_kernel(block: int, mesh_key, dp_axis: str, has_dict: bool = False):
+    """Jitted dp-sharded expansion: the batch axis partitioned over chips;
+    the dictionary (when present) is replicated — the "broadcast once over
+    ICI" of the north-star design."""
     mesh = _MESHES[mesh_key]
-    kern = expand.expand_kernel(block, False)
+    kern = expand.expand_kernel(block, has_dict)
     shard = NamedSharding(mesh, P(dp_axis))
     repl = NamedSharding(mesh, P())
-    in_sh = (shard,) * 6
+    in_sh = (shard,) * 6 + ((repl, repl) if has_dict else ())
     out_sh = (shard, shard, shard)
     return jax.jit(kern, in_shardings=in_sh, out_shardings=out_sh), shard, repl
 
@@ -74,18 +76,22 @@ def decode_plan_sharded(plan: FramePlan, mesh: Mesh, dp_axis: str = "dp",
     Outputs are device_get in batch order — the frame-ordered gather on
     host 0 (the reference's ordering writer, zxc_driver.c:521-597).
     """
-    if plan.dict_buf is not None:
-        raise ZxcError(ERROR_CORRUPT_DATA,
-                       "dict frames use the single-device path for now")
     nb = plan.n_blocks
     if nb == 0:
         return b""
+    has_dict = plan.dict_buf is not None
     ndev = int(np.prod([mesh.shape[a] for a in (dp_axis,)]))
     if batch is None:
         batch = max(ndev, ((min(nb, 64) + ndev - 1) // ndev) * ndev)
     S = _pow2(plan.max_seq)
     L = _pow2(plan.max_lit)
-    kern, shard, _ = _dp_kernel(plan.block_size, _mesh_key(mesh), dp_axis)
+    kern, shard, repl = _dp_kernel(plan.block_size, _mesh_key(mesh), dp_axis,
+                                   has_dict)
+    dict_args = ()
+    if has_dict:
+        import jax.numpy as jnp
+        dict_args = (jax.device_put(expand.pad_dict(plan.dict_buf), repl),
+                     jnp.int32(plan.dict_len))
 
     out_parts: list[np.ndarray] = []
     for base in range(0, nb, batch):
@@ -100,7 +106,7 @@ def decode_plan_sharded(plan: FramePlan, mesh: Mesh, dp_axis: str = "dp",
                  + (1 if i == 2 else 0)])  # off pads with 1
                 for i, a in enumerate(host))
         dev = tuple(jax.device_put(a, shard) for a in host)
-        out, total, err = kern(*dev)
+        out, total, err = kern(*dev, *dict_args)
         err_np = np.asarray(err)[:len(idx)]
         if err_np.any():
             _raise_errbits(int(err_np[err_np != 0][0]))
