@@ -310,18 +310,36 @@ def _emit_extras(vals: list[int]) -> bytes:
 
 
 def _extras_stream(ll: np.ndarray, mlb: np.ndarray, ll_mask: int, ml_mask: int) -> bytes:
-    """Interleaved LL/ML overflow varints in sequence order."""
-    out = bytearray()
+    """Interleaved LL/ML overflow varints in sequence order (vectorized)."""
     sat_ll = ll >= ll_mask
     sat_ml = mlb >= ml_mask
-    if not (sat_ll.any() or sat_ml.any()):
+    n_ll = int(sat_ll.sum())
+    n_ml = int(sat_ml.sum())
+    if n_ll + n_ml == 0:
         return b""
-    for i in np.nonzero(sat_ll | sat_ml)[0]:
-        if sat_ll[i]:
-            out += varint_encode(int(ll[i]) - ll_mask)
-        if sat_ml[i]:
-            out += varint_encode(int(mlb[i]) - ml_mask)
-    return bytes(out)
+    # wire order: per sequence LL extra first, then ML extra
+    slot = np.zeros(len(ll), np.int64)
+    slot[sat_ll] += 1
+    slot[sat_ml] += 1
+    start = np.cumsum(slot) - slot
+    vals = np.zeros(n_ll + n_ml, np.int64)
+    vals[start[sat_ll]] = ll[sat_ll] - ll_mask
+    vals[(start + sat_ll)[sat_ml]] = mlb[sat_ml] - ml_mask
+    # vectorized 1..3-byte prefix varints (low-bits-first payload)
+    nbytes = np.where(vals < 0x80, 1, np.where(vals < 0x4000, 2, 3))
+    off = np.cumsum(nbytes) - nbytes
+    total = int(nbytes.sum())
+    out = np.zeros(total, np.uint8)
+    b1 = nbytes == 1
+    out[off[b1]] = vals[b1]
+    b2 = nbytes == 2
+    out[off[b2]] = 0x80 | (vals[b2] & 0x3F)
+    out[off[b2] + 1] = (vals[b2] >> 6) & 0xFF
+    b3 = nbytes == 3
+    out[off[b3]] = 0xC0 | (vals[b3] & 0x1F)
+    out[off[b3] + 1] = (vals[b3] >> 5) & 0xFF
+    out[off[b3] + 2] = (vals[b3] >> 13) & 0xFF
+    return out.tobytes()
 
 
 @dataclass
