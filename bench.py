@@ -104,41 +104,56 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
           f"({len(data)/1e9/t_res:.2f} GB/s), {tot_pieces} pieces",
           file=sys.stderr)
 
-    args, (PR, RL) = PD.pack_blocks(pieces, lits, plan.totals,
+    # fixed dispatch shape: 128 blocks per call (bounds Mosaic compile time
+    # and keeps the compiled shape stable across corpus sizes)
+    B_FIX = int(os.environ.get("ZXC_BENCH_DISPATCH", "128"))
+    nb = plan.n_blocks
+    n_disp = -(-nb // B_FIX)
+    pad = n_disp * B_FIX - nb
+    if pad:
+        pieces = pieces + [pieces[-1]] * pad
+        lits = lits + [lits[-1]] * pad
+        totals_all = list(plan.totals) + [0] * pad
+    else:
+        totals_all = list(plan.totals)
+    args, (PR, RL) = PD.pack_blocks(pieces, lits, totals_all,
                                     plan.block_size)
     t0 = time.time()
-    dev_in = tuple(jax.device_put(a, dev) for a in args)
-    jax.block_until_ready(dev_in)
+    batches = []
+    for d in range(n_disp):
+        sl = slice(d * B_FIX, (d + 1) * B_FIX)
+        batches.append(tuple(jax.device_put(a[sl], dev) for a in args))
+    jax.block_until_ready(batches)
     t_h2d = time.time() - t0
     in_bytes = sum(a.nbytes for a in args)
-    print(f"# H2D {in_bytes/1e6:.0f} MB in {t_h2d:.3f}s", file=sys.stderr)
+    print(f"# H2D {in_bytes/1e6:.0f} MB in {t_h2d:.3f}s "
+          f"({n_disp} dispatches of {B_FIX} blocks)", file=sys.stderr)
 
     kern = PD.serial_kernel_wrapped(plan.block_size, PR, RL, False)
-    nb = plan.n_blocks
     RO = plan.block_size // 128 + PD.WIN
     flatpos = jnp.arange(RO * 128, dtype=jnp.uint32)
     w = (flatpos % 8191).astype(jnp.uint32)
-    tot_dev = jnp.asarray(np.asarray(plan.totals, np.int64)
-                          .astype(np.uint32))
 
     @jax.jit
-    def step(npieces, totals, pcs, lit32):
-        out = kern(npieces, totals, pcs, lit32)  # (B, RO, 128) i32
-        flat = out.reshape(nb, RO * 128).astype(jnp.uint32)
-        mask = flatpos[None, :] < tot_dev[:, None]
+    def step(npieces, totals, pcs, lit8):
+        out = kern(npieces, totals, pcs, lit8)  # (B, RO, 128) i32
+        flat = out.reshape(B_FIX, RO * 128).astype(jnp.uint32)
+        mask = flatpos[None, :] < totals.astype(jnp.uint32)[:, None]
         fp1 = jnp.sum(jnp.where(mask, flat, 0))
         fp2 = jnp.sum(jnp.where(mask, flat * w[None, :], 0))
         return fp1, fp2
 
     t0 = time.time()
-    fp1, fp2 = map(np.asarray, step(*dev_in))   # warmup/compile
+    fps = [tuple(map(np.asarray, step(*b))) for b in batches]
+    fp1 = sum(int(a) for a, _ in fps) & 0xFFFFFFFF
+    fp2 = sum(int(b) for _, b in fps) & 0xFFFFFFFF
     print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(REPS):
         t0 = time.time()
-        r = step(*dev_in)
-        jax.block_until_ready(r)
+        rs = [step(*b) for b in batches]
+        jax.block_until_ready(rs)
         times.append(time.time() - t0)
     t_dev = min(times)
     gbps = len(data) / 1e9 / t_dev
@@ -154,7 +169,7 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
             exp1 += blk.astype(np.uint32).sum(dtype=np.uint32)
             exp2 += (blk.astype(np.uint32) * wn[:len(blk)]).sum(dtype=np.uint32)
             pos += plan.totals[i]
-    assert int(fp1) == int(exp1) and int(fp2) == int(exp2), \
+    assert fp1 == int(exp1) and fp2 == int(exp2), \
         "device fingerprint mismatch (serial kernel)"
 
     print(f"# serial kernel: {t_dev:.3f}s = {gbps:.3f} GB/s "

@@ -144,7 +144,7 @@ def pack_blocks(pieces, lit_fulls, totals, block: int):
     PR = -(-((P + STAGE + 2) * 4) // 128)
     PR = -(-PR // STAGE_LOAD) * STAGE_LOAD
     pcs = np.zeros((B, PR, 128), np.int32)
-    lit32 = np.zeros((B, RL, 128), np.int32)
+    lit8 = np.zeros((B, RL, 128), np.uint8)   # device converts to i32
     npieces = np.zeros(B, np.int32)
     tot = np.asarray(totals, np.int32).reshape(B)
     for j, ((p_o, p_c, p_s, p_k), lf) in enumerate(zip(pieces, lit_fulls)):
@@ -155,9 +155,9 @@ def pack_blocks(pieces, lit_fulls, totals, block: int):
         flatp[2:4 * n:4] = p_s
         flatp[3:4 * n:4] = np.maximum(p_k, 1)
         npieces[j] = n
-        flat = lit32[j].reshape(-1)
+        flat = lit8[j].reshape(-1)
         flat[:len(lf)] = lf
-    return (npieces, tot, pcs, lit32), (PR, RL)
+    return (npieces, tot, pcs, lit8), (PR, RL)
 
 
 def decode_blocks(pieces, lit_fulls, totals, block: int,
@@ -269,7 +269,9 @@ def serial_kernel_wrapped(block: int, PR: int, RL: int,
     RO = block // 128 + WIN
     body = _kernel_v2_wrapped if variant == 2 else _kernel_wrapped
 
-    def call(npieces, totals, pcs, lit32):
+    def call(npieces, totals, pcs, lit8):
+        # literals ship as u8 (4x less H2D) and widen on device
+        lit32 = lit8.astype(jnp.int32)
         B = pcs.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
