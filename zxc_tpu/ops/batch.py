@@ -315,9 +315,31 @@ def decode_plan_device(plan: FramePlan, batch: int = DEFAULT_BATCH,
 
 def decompress(archive: bytes, opts: DecodeOpts | None = None,
                batch: int = DEFAULT_BATCH, device=None,
-               use_pieces: bool = True) -> bytes:
-    """One-shot frame decode with the hot path on the TPU."""
+               use_pieces: bool = True, use_serial: bool = False) -> bytes:
+    """One-shot frame decode with the hot path on the TPU.
+
+    ``use_serial`` routes through the Pallas copy-engine kernel (fastest,
+    but each new (block, piece-bucket) shape pays a long Mosaic compile —
+    meant for steady-shape production streams, not ad-hoc archives).
+    """
     plan = plan_frame(archive, opts)
+    if use_serial:
+        from .. import runtime
+        from . import pallas_decode
+        pieces, lits = [], []
+        for i in range(plan.n_blocks):
+            r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
+                                       plan.lit[i], plan.dict_buf,
+                                       device_pure=True)
+            if r is None:
+                break
+            pieces.append(r[:4])
+            lits.append(r[4])
+        else:
+            if plan.n_blocks:
+                res = pallas_decode.decode_blocks(
+                    pieces, lits, plan.totals, plan.block_size, device=device)
+                return b"".join(res)
     if use_pieces:
         plan.resolve()
     else:
