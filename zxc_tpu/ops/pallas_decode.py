@@ -237,8 +237,9 @@ def _kernel_v2(np_ref, total_ref, pcs_ref, lit_ref, out_ref, stage_ref, sem):
             src0 = c + phase
             srow = (src0 // CHUNK) * ROWS
             v = lit_ref[pl.ds(pl.multiple_of(srow, ROWS), WIN), :]
-            rolled = _flat_roll(v, src0 % CHUNK, WIN)[:ROWS, :]
-            shifted = _flat_roll_right(rolled, dmis, ROWS)
+            # single net roll: out[dmis+t] = v[src0%CHUNK + t]
+            net = (src0 % CHUNK - dmis) % (2 * CHUNK)
+            shifted = _flat_roll(v, net, WIN)[:ROWS, :]
             val = jnp.where(is_fill, s, shifted)
             valid = ((pos >= dmis) & (pos < dmis + (hi - lo))
                      & jnp.logical_not(starts_beyond))
