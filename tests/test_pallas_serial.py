@@ -94,3 +94,21 @@ def test_serial_kernel_variants_agree(variant):
                                       plan.block_size, interpret=True,
                                       variant=variant)
     assert b"".join(res) == data
+
+
+def test_serial_kernel_v3_agrees():
+    rng = np.random.default_rng(44)
+    seg = rng.integers(0, 256, 811, dtype=np.uint8).tobytes()
+    data = seg * 25 + b"\x00" * 5000 + b"zw" * 2000 + seg[:64]
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=8192))
+    plan = plan_frame(arc)
+    pieces, lits = [], []
+    for i in range(plan.n_blocks):
+        r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
+                                   plan.lit[i], device_pure=True)
+        pieces.append(r[:4])
+        lits.append(r[4])
+    res = pallas_decode.decode_blocks(pieces, lits, plan.totals,
+                                      plan.block_size, interpret=True,
+                                      variant=3)
+    assert b"".join(res) == data

@@ -268,7 +268,8 @@ def _kernel_v2_wrapped(np_ref, total_ref, pcs_ref, lit_ref, out_ref,
 def serial_kernel_wrapped(block: int, PR: int, RL: int,
                           interpret: bool = False, variant: int = 2):
     RO = block // 128 + WIN
-    body = _kernel_v2_wrapped if variant == 2 else _kernel_wrapped
+    body = {1: _kernel_wrapped, 2: _kernel_v2_wrapped,
+            3: _kernel_v3_wrapped}[variant]
 
     def call(npieces, totals, pcs, lit8):
         # literals ship as u8 (4x less H2D) and widen on device
@@ -297,3 +298,90 @@ def serial_kernel_wrapped(block: int, PR: int, RL: int,
         )(npieces, totals, pcs, lit32)
 
     return jax.jit(call)
+
+
+def _kernel_v3(np_ref, total_ref, pcs_ref, lit_ref, out_ref, stage_ref, sem):
+    """v2 + 2-piece unroll: each while iteration merges up to two pieces;
+    the second piece's load/roll is independent of the first's, so the
+    scheduler overlaps the expensive halves of both."""
+    b = pl.program_id(0)
+    n = np_ref[b]
+    total = total_ref[b]
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1))
+    n_windows = (total + CHUNK - 1) // CHUNK
+
+    def field(lj, f):
+        idx = 4 * lj + f
+        return stage_ref[idx // 128, idx % 128]
+
+    def stage_group(jj):
+        @pl.when(jj % STAGE == 0)
+        def _():
+            row0 = (jj // STAGE) * STAGE_ROWS
+            dma = pltpu.make_async_copy(
+                pcs_ref.at[pl.ds(pl.multiple_of(row0, 8), STAGE_LOAD), :],
+                stage_ref, sem)
+            dma.start()
+            dma.wait()
+
+    def merge_one(jj, w0, acc, active):
+        """Merge piece jj into acc (no-op when not active); returns
+        (next_jj, acc, ends_in_window, starts_beyond)."""
+        lj = jj % STAGE
+        o = field(lj, 0)
+        e = jnp.where(jj + 1 < n, field(lj + 1, 0), total)
+        c = field(lj, 1)
+        s = field(lj, 2)
+        k = field(lj, 3)
+        beyond = (o >= w0 + CHUNK) | jnp.logical_not(active)
+        lo = jnp.maximum(o, w0)
+        hi = jnp.minimum(e, w0 + CHUNK)
+        dmis = lo - w0
+        is_fill = k == 1
+        phase = jax.lax.rem(lo - jnp.where(is_fill, lo, s),
+                            jnp.maximum(k, 1))
+        src0 = c + phase
+        srow = (src0 // CHUNK) * ROWS
+        v = lit_ref[pl.ds(pl.multiple_of(srow, ROWS), WIN), :]
+        net = (src0 % CHUNK - dmis) % (2 * CHUNK)
+        shifted = _flat_roll(v, net, WIN)[:ROWS, :]
+        val = jnp.where(is_fill, s, shifted)
+        valid = (pos >= dmis) & (pos < dmis + (hi - lo)) & \
+            jnp.logical_not(beyond)
+        acc = jnp.where(valid, val, acc)
+        ends = (e <= w0 + CHUNK) & jnp.logical_not(beyond)
+        return jnp.where(ends, jj + 1, jj), acc, ends, beyond
+
+    def window_body(wi, j):
+        w0 = wi * CHUNK
+        acc0 = jnp.zeros((ROWS, 128), jnp.int32)
+
+        def cond(state):
+            _, _, done = state
+            return jnp.logical_not(done)
+
+        def body(state):
+            jj, acc, _ = state
+            stage_group(jj)
+            jj2, acc, endsA, beyondA = merge_one(jj, w0, acc, True)
+            doneA = beyondA | jnp.logical_not(endsA) | (jj2 >= n)
+            # second piece in the same iteration when it is already staged
+            activeB = jnp.logical_not(doneA) & (jj2 % STAGE != 0)
+            jj3, acc, endsB, beyondB = merge_one(jj2, w0, acc, activeB)
+            doneB = beyondB | jnp.logical_not(endsB) | (jj3 >= n)
+            done = jnp.where(activeB, doneB, doneA)
+            return jj3, acc, done
+
+        jj, acc, _ = jax.lax.while_loop(cond, body, (j, acc0, j >= n))
+        out_ref[pl.ds(pl.multiple_of(wi * ROWS, ROWS), ROWS), :] = acc
+        return jj
+
+    jax.lax.fori_loop(0, n_windows, window_body, 0, unroll=False)
+
+
+def _kernel_v3_wrapped(np_ref, total_ref, pcs_ref, lit_ref, out_ref,
+                       stage_ref, sem):
+    b = pl.program_id(0)
+    _kernel_v3(np_ref, total_ref, pcs_ref.at[b], lit_ref.at[0],
+               out_ref.at[0], stage_ref, sem)
