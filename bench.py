@@ -129,7 +129,7 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
     print(f"# H2D {in_bytes/1e6:.0f} MB in {t_h2d:.3f}s "
           f"({n_disp} dispatches of {B_FIX} blocks)", file=sys.stderr)
 
-    variant = int(os.environ.get("ZXC_BENCH_VARIANT", "2"))
+    variant = int(os.environ.get("ZXC_BENCH_VARIANT", "3"))
     kern = PD.serial_kernel_wrapped(plan.block_size, PR, RL, False,
                                    variant)
     RO = plan.block_size // 128 + PD.WIN
