@@ -116,8 +116,13 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
         totals_all = list(plan.totals) + [0] * pad
     else:
         totals_all = list(plan.totals)
-    args, (PR, RL) = PD.pack_blocks(pieces, lits, totals_all,
-                                    plan.block_size)
+    variant = int(os.environ.get("ZXC_BENCH_VARIANT", "4"))
+    if variant == 4:
+        args, (OR, RL, NW) = PD.pack_blocks_v4(pieces, lits, totals_all,
+                                               plan.block_size)
+    else:
+        args, (PR, RL) = PD.pack_blocks(pieces, lits, totals_all,
+                                        plan.block_size)
     t0 = time.time()
     batches = []
     for d in range(n_disp):
@@ -129,16 +134,22 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
     print(f"# H2D {in_bytes/1e6:.0f} MB in {t_h2d:.3f}s "
           f"({n_disp} dispatches of {B_FIX} blocks)", file=sys.stderr)
 
-    variant = int(os.environ.get("ZXC_BENCH_VARIANT", "3"))
-    kern = PD.serial_kernel_wrapped(plan.block_size, PR, RL, False,
-                                   variant)
+    if variant == 4:
+        kern = PD.v4_kernel(plan.block_size, OR, RL, False)
+    else:
+        kern = PD.serial_kernel_wrapped(plan.block_size, PR, RL, False,
+                                        variant)
     RO = plan.block_size // 128 + PD.WIN
     flatpos = jnp.arange(RO * 128, dtype=jnp.uint32)
     w = (flatpos % 8191).astype(jnp.uint32)
 
+    tot_batches = [np.asarray(totals_all[d * B_FIX:(d + 1) * B_FIX],
+                              np.uint32) for d in range(n_disp)]
+
     @jax.jit
-    def step(npieces, totals, pcs, lit8):
-        out = kern(npieces, totals, pcs, lit8)  # (B, RO, 128) i32
+    def step(*a):
+        out = kern(*a[:-1])  # (B, RO, 128) i32
+        totals = a[-1]
         flat = out.reshape(B_FIX, RO * 128).astype(jnp.uint32)
         mask = flatpos[None, :] < totals.astype(jnp.uint32)[:, None]
         fp1 = jnp.sum(jnp.where(mask, flat, 0))
@@ -146,7 +157,8 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
         return fp1, fp2
 
     t0 = time.time()
-    fps = [tuple(map(np.asarray, step(*b))) for b in batches]
+    fps = [tuple(map(np.asarray, step(*b, jnp.asarray(t))))
+           for b, t in zip(batches, tot_batches)]
     fp1 = sum(int(a) for a, _ in fps) & 0xFFFFFFFF
     fp2 = sum(int(b) for _, b in fps) & 0xFFFFFFFF
     print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
@@ -154,7 +166,7 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
     times = []
     for _ in range(REPS):
         t0 = time.time()
-        rs = [step(*b) for b in batches]
+        rs = [step(*b, jnp.asarray(t)) for b, t in zip(batches, tot_batches)]
         jax.block_until_ready(rs)
         times.append(time.time() - t0)
     t_dev = min(times)

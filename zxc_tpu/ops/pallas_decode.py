@@ -385,3 +385,133 @@ def _kernel_v3_wrapped(np_ref, total_ref, pcs_ref, lit_ref, out_ref,
     b = pl.program_id(0)
     _kernel_v3(np_ref, total_ref, pcs_ref.at[b], lit_ref.at[0],
                out_ref.at[0], stage_ref, sem)
+
+
+def _kernel_v4(ws_ref, ops_ref, lit_ref, out_ref, stage_ref, sem):
+    """All control precomputed on host (zxch_window_ops): the op stream
+    carries (src row, net roll, dst bounds, fill byte) per 1024-byte-window
+    merge; the kernel is a dense scalar-light streaming loop."""
+    b = pl.program_id(0)
+    NW = ws_ref.shape[1] - 1
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1))
+
+    def field(lt, f):
+        idx = 4 * lt + f
+        return stage_ref[idx // 128, idx % 128]
+
+    def window_body(wi, _):
+        t0 = ws_ref[b, wi]
+        t1 = ws_ref[b, wi + 1]
+
+        def op_body(t, acc):
+            @pl.when(t % STAGE == 0)
+            def _():
+                row0 = (t // STAGE) * STAGE_ROWS
+                dma = pltpu.make_async_copy(
+                    ops_ref.at[pl.ds(pl.multiple_of(row0, 8), STAGE_LOAD), :],
+                    stage_ref, sem)
+                dma.start()
+                dma.wait()
+            lt = t % STAGE
+            srow = field(lt, 0)
+            net = field(lt, 1)
+            f2 = field(lt, 2)
+            f3 = field(lt, 3)
+            dlo = f2 & 0xFFFF
+            dhi = jax.lax.shift_right_logical(f2, 16)
+            v = lit_ref[pl.ds(pl.multiple_of(srow, ROWS), WIN), :]
+            rolled = _flat_roll(v, net, WIN)[:ROWS, :]
+            val = jnp.where(f3 > 0, f3 - 1, rolled)
+            return jnp.where((pos >= dlo) & (pos < dhi), val, acc)
+
+        acc = jax.lax.fori_loop(t0, t1, op_body,
+                                jnp.zeros((ROWS, 128), jnp.int32),
+                                unroll=False)
+        out_ref[pl.ds(pl.multiple_of(wi * ROWS, ROWS), ROWS), :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, NW, window_body, 0, unroll=False)
+
+
+def _kernel_v4_wrapped(ws_ref, ops_ref, lit_ref, out_ref, stage_ref, sem):
+    b = pl.program_id(0)
+    _kernel_v4(ws_ref, ops_ref.at[b], lit_ref.at[0], out_ref.at[0],
+               stage_ref, sem)
+
+
+def pack_blocks_v4(pieces, lit_fulls, totals, block: int):
+    """Pack window-op plans for kernel v4.
+
+    Returns (args, (OR, RL, NW)) with args = (wstart (B,NW+1), ops
+    (B,OR,128), lit8 (B,RL,128))."""
+    from .. import runtime
+    B = len(pieces)
+    NW = block // CHUNK
+    Lmax = max(len(lf) for lf in lit_fulls)
+    RL = -(-Lmax // CHUNK) * ROWS + 2 * WIN
+    plans = []
+    max_ops = 2
+    for (p_o, p_c, p_s, p_k), total in zip(pieces, totals):
+        r = runtime.window_ops(p_o, p_c, p_s, p_k, int(total))
+        assert r is not None, "window op emission failed"
+        plans.append(r)
+        max_ops = max(max_ops, len(r[0]) // 4)
+    OPS = 1 << int(np.ceil(np.log2(max_ops + 1)))
+    OR = -(-((OPS + STAGE + 2) * 4) // 128)
+    OR = -(-OR // STAGE_LOAD) * STAGE_LOAD
+    ops = np.zeros((B, OR, 128), np.int32)
+    wstart = np.zeros((B, NW + 1), np.int32)
+    lit8 = np.zeros((B, RL, 128), np.uint8)
+    for j, ((opsf, ws), lf) in enumerate(zip(plans, lit_fulls)):
+        flat = ops[j].reshape(-1)
+        flat[:len(opsf)] = opsf
+        wstart[j, :len(ws)] = ws
+        wstart[j, len(ws):] = ws[-1]
+        lflat = lit8[j].reshape(-1)
+        lflat[:len(lf)] = lf
+    return (wstart, ops, lit8), (OR, RL, NW)
+
+
+@functools.lru_cache(maxsize=None)
+def v4_kernel(block: int, OR: int, RL: int, interpret: bool = False):
+    RO = block // 128 + WIN
+    NWp1 = block // CHUNK + 1
+
+    def call(wstart, ops, lit8):
+        lit32 = lit8.astype(jnp.int32)
+        B = ops.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, RL, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, RO, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.SMEM((STAGE_LOAD, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        return pl.pallas_call(
+            _kernel_v4_wrapped,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, RO, 128), jnp.int32),
+            interpret=interpret,
+        )(wstart, ops, lit32)
+
+    return jax.jit(call)
+
+
+def decode_blocks_v4(pieces, lit_fulls, totals, block: int,
+                     interpret: bool = False, device=None):
+    args, (OR, RL, NW) = pack_blocks_v4(pieces, lit_fulls, totals, block)
+    kern = v4_kernel(block, OR, RL, interpret)
+    if device is not None:
+        args = tuple(jax.device_put(a, device) for a in args)
+    out = np.asarray(kern(*args))
+    return [out[j].reshape(-1)[:totals[j]].astype(np.uint8).tobytes()
+            for j in range(len(pieces))]

@@ -909,3 +909,64 @@ done:
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// window merge-op emission: precompute the Pallas copy kernel's control
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Split device_pure pieces into 1024-byte-window-confined merge ops with
+// every scalar the kernel needs precomputed:
+//   f0 = source row granule (8-row aligned) ... 0 for fills
+//   f1 = net roll amount ((src0%1024 - dlo%1024) mod 2048)
+//   f2 = dlo | dhi << 16     (window-relative destination bounds)
+//   f3 = fill ? fill_byte + 1 : 0
+// wstart[wi] = first op of window wi (wstart[n_windows] = n_ops).
+// Returns op count or -10 when max_ops is too small.
+int64_t zxch_window_ops(const int32_t *po, const int32_t *pc,
+                        const int32_t *ps, const int32_t *pk, uint64_t n,
+                        int64_t total, int32_t *ops, int32_t *wstart,
+                        uint64_t max_ops) {
+  const int64_t W = 1024;
+  int64_t n_windows = (total + W - 1) / W;
+  uint64_t nops = 0;
+  uint64_t j = 0;
+  for (int64_t wi = 0; wi < n_windows; wi++) {
+    wstart[wi] = (int32_t)nops;
+    int64_t w0 = wi * W;
+    int64_t w1 = w0 + W;
+    while (j < n) {
+      int64_t o = po[j];
+      if (o >= w1) break;
+      int64_t e = (j + 1 < n) ? po[j + 1] : total;
+      int64_t lo = o > w0 ? o : w0;
+      int64_t hi = e < w1 ? e : w1;
+      if (hi > lo) {
+        if (nops >= max_ops) return -10;
+        int64_t dlo = lo - w0;
+        int64_t dhi = hi - w0;
+        int64_t k = pk[j];
+        if (k == 1) {
+          ops[4 * nops + 0] = 0;
+          ops[4 * nops + 1] = 0;
+          ops[4 * nops + 2] = (int32_t)(dlo | (dhi << 16));
+          ops[4 * nops + 3] = (int32_t)((ps[j] & 0xFF) + 1);
+        } else {
+          int64_t phase = (lo - ps[j]) % k;
+          int64_t src0 = pc[j] + phase;
+          ops[4 * nops + 0] = (int32_t)((src0 / W) * 8);
+          ops[4 * nops + 1] = (int32_t)(((src0 % W) - dlo + 2 * W) % (2 * W));
+          ops[4 * nops + 2] = (int32_t)(dlo | (dhi << 16));
+          ops[4 * nops + 3] = 0;
+        }
+        nops++;
+      }
+      if (e <= w1) j++; else break;
+    }
+  }
+  wstart[n_windows] = (int32_t)nops;
+  return (int64_t)nops;
+}
+
+}  // extern "C"
