@@ -116,10 +116,11 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
         totals_all = list(plan.totals) + [0] * pad
     else:
         totals_all = list(plan.totals)
-    variant = int(os.environ.get("ZXC_BENCH_VARIANT", "4"))
-    if variant == 4:
+    variant = int(os.environ.get("ZXC_BENCH_VARIANT", "5"))
+    if variant >= 4:
         args, (OR, RL, NW) = PD.pack_blocks_v4(pieces, lits, totals_all,
-                                               plan.block_size)
+                                               plan.block_size,
+                                               split_src=(variant == 5))
     else:
         args, (PR, RL) = PD.pack_blocks(pieces, lits, totals_all,
                                         plan.block_size)
@@ -134,8 +135,8 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
     print(f"# H2D {in_bytes/1e6:.0f} MB in {t_h2d:.3f}s "
           f"({n_disp} dispatches of {B_FIX} blocks)", file=sys.stderr)
 
-    if variant == 4:
-        kern = PD.v4_kernel(plan.block_size, OR, RL, False)
+    if variant >= 4:
+        kern = PD.v4_kernel(plan.block_size, OR, RL, False, variant)
     else:
         kern = PD.serial_kernel_wrapped(plan.block_size, PR, RL, False,
                                         variant)

@@ -440,7 +440,8 @@ def _kernel_v4_wrapped(ws_ref, ops_ref, lit_ref, out_ref, stage_ref, sem):
                stage_ref, sem)
 
 
-def pack_blocks_v4(pieces, lit_fulls, totals, block: int):
+def pack_blocks_v4(pieces, lit_fulls, totals, block: int,
+                   split_src: bool = False):
     """Pack window-op plans for kernel v4.
 
     Returns (args, (OR, RL, NW)) with args = (wstart (B,NW+1), ops
@@ -453,7 +454,7 @@ def pack_blocks_v4(pieces, lit_fulls, totals, block: int):
     plans = []
     max_ops = 2
     for (p_o, p_c, p_s, p_k), total in zip(pieces, totals):
-        r = runtime.window_ops(p_o, p_c, p_s, p_k, int(total))
+        r = runtime.window_ops(p_o, p_c, p_s, p_k, int(total), split_src)
         assert r is not None, "window op emission failed"
         plans.append(r)
         max_ops = max(max_ops, len(r[0]) // 4)
@@ -474,9 +475,10 @@ def pack_blocks_v4(pieces, lit_fulls, totals, block: int):
 
 
 @functools.lru_cache(maxsize=None)
-def v4_kernel(block: int, OR: int, RL: int, interpret: bool = False):
+def v4_kernel(block: int, OR: int, RL: int, interpret: bool = False,
+              variant: int = 4):
     RO = block // 128 + WIN
-    NWp1 = block // CHUNK + 1
+    body = _kernel_v5_wrapped if variant == 5 else _kernel_v4_wrapped
 
     def call(wstart, ops, lit8):
         lit32 = lit8.astype(jnp.int32)
@@ -497,7 +499,7 @@ def v4_kernel(block: int, OR: int, RL: int, interpret: bool = False):
             ],
         )
         return pl.pallas_call(
-            _kernel_v4_wrapped,
+            body,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, RO, 128), jnp.int32),
             interpret=interpret,
@@ -507,11 +509,65 @@ def v4_kernel(block: int, OR: int, RL: int, interpret: bool = False):
 
 
 def decode_blocks_v4(pieces, lit_fulls, totals, block: int,
-                     interpret: bool = False, device=None):
-    args, (OR, RL, NW) = pack_blocks_v4(pieces, lit_fulls, totals, block)
-    kern = v4_kernel(block, OR, RL, interpret)
+                     interpret: bool = False, device=None,
+                     variant: int = 4):
+    args, (OR, RL, NW) = pack_blocks_v4(pieces, lit_fulls, totals, block,
+                                        split_src=(variant == 5))
+    kern = v4_kernel(block, OR, RL, interpret, variant)
     if device is not None:
         args = tuple(jax.device_put(a, device) for a in args)
     out = np.asarray(kern(*args))
     return [out[j].reshape(-1)[:totals[j]].astype(np.uint8).tobytes()
             for j in range(len(pieces))]
+
+
+def _kernel_v5(ws_ref, ops_ref, lit_ref, out_ref, stage_ref, sem):
+    """v4 with source-granule-confined ops: single-vreg (8,128) loads and
+    rolls (host splits ops at source 1024-boundaries too)."""
+    b = pl.program_id(0)
+    NW = ws_ref.shape[1] - 1
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1))
+
+    def field(lt, f):
+        idx = 4 * lt + f
+        return stage_ref[idx // 128, idx % 128]
+
+    def window_body(wi, _):
+        t0 = ws_ref[b, wi]
+        t1 = ws_ref[b, wi + 1]
+
+        def op_body(t, acc):
+            @pl.when(t % STAGE == 0)
+            def _():
+                row0 = (t // STAGE) * STAGE_ROWS
+                dma = pltpu.make_async_copy(
+                    ops_ref.at[pl.ds(pl.multiple_of(row0, 8), STAGE_LOAD), :],
+                    stage_ref, sem)
+                dma.start()
+                dma.wait()
+            lt = t % STAGE
+            srow = field(lt, 0)
+            net = field(lt, 1)
+            f2 = field(lt, 2)
+            f3 = field(lt, 3)
+            dlo = f2 & 0xFFFF
+            dhi = jax.lax.shift_right_logical(f2, 16)
+            v = lit_ref[pl.ds(pl.multiple_of(srow, ROWS), ROWS), :]
+            rolled = _flat_roll(v, net, ROWS)
+            val = jnp.where(f3 > 0, f3 - 1, rolled)
+            return jnp.where((pos >= dlo) & (pos < dhi), val, acc)
+
+        acc = jax.lax.fori_loop(t0, t1, op_body,
+                                jnp.zeros((ROWS, 128), jnp.int32),
+                                unroll=False)
+        out_ref[pl.ds(pl.multiple_of(wi * ROWS, ROWS), ROWS), :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, NW, window_body, 0, unroll=False)
+
+
+def _kernel_v5_wrapped(ws_ref, ops_ref, lit_ref, out_ref, stage_ref, sem):
+    b = pl.program_id(0)
+    _kernel_v5(ws_ref, ops_ref.at[b], lit_ref.at[0], out_ref.at[0],
+               stage_ref, sem)

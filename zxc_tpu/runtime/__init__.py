@@ -346,7 +346,7 @@ def find_parse(data: np.ndarray, start: int, max_probes: int, lazy: bool):
     return op[:n], ol[:n], oo[:n]
 
 
-def window_ops(po, pc, ps, pk, total: int):
+def window_ops(po, pc, ps, pk, total: int, split_src: bool = False):
     """Split device_pure pieces into window-confined merge ops (all kernel
     control precomputed). Returns (ops int32 (n,4) flat, wstart int32
     (n_windows+1,)) or None."""
@@ -354,21 +354,23 @@ def window_ops(po, pc, ps, pk, total: int):
     if L is None:
         return None
     if not hasattr(L, "_window_ops_bound"):
-        L.zxch_window_ops.restype = ctypes.c_int64
-        L.zxch_window_ops.argtypes = [ctypes.c_void_p] * 4 + [
-            ctypes.c_uint64, ctypes.c_int64, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_uint64]
+        for fn in (L.zxch_window_ops, L.zxch_window_ops2):
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p] * 4 + [
+                ctypes.c_uint64, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_uint64]
         L._window_ops_bound = True
     n = len(po)
     n_windows = (total + 1023) // 1024
-    max_ops = 2 * n + n_windows + 8
+    max_ops = (3 if split_src else 2) * n + n_windows + 64
     ops = np.empty(max_ops * 4, np.int32)
     wstart = np.empty(n_windows + 1, np.int32)
     po32 = np.ascontiguousarray(po, np.int32)
     pc32 = np.ascontiguousarray(pc, np.int32)
     ps32 = np.ascontiguousarray(ps, np.int32)
     pk32 = np.ascontiguousarray(pk, np.int32)
-    r = L.zxch_window_ops(po32.ctypes.data_as(ctypes.c_void_p),
+    fn = L.zxch_window_ops2 if split_src else L.zxch_window_ops
+    r = fn(po32.ctypes.data_as(ctypes.c_void_p),
                           pc32.ctypes.data_as(ctypes.c_void_p),
                           ps32.ctypes.data_as(ctypes.c_void_p),
                           pk32.ctypes.data_as(ctypes.c_void_p), n, total,

@@ -970,3 +970,60 @@ int64_t zxch_window_ops(const int32_t *po, const int32_t *pc,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// window merge-op emission v2: also split at SOURCE 1024-granule crossings
+// so the kernel rolls single-vreg (8,128) tiles
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t zxch_window_ops2(const int32_t *po, const int32_t *pc,
+                         const int32_t *ps, const int32_t *pk, uint64_t n,
+                         int64_t total, int32_t *ops, int32_t *wstart,
+                         uint64_t max_ops) {
+  const int64_t W = 1024;
+  int64_t n_windows = (total + W - 1) / W;
+  uint64_t nops = 0;
+  uint64_t j = 0;
+  for (int64_t wi = 0; wi < n_windows; wi++) {
+    wstart[wi] = (int32_t)nops;
+    int64_t w0 = wi * W;
+    int64_t w1 = w0 + W;
+    while (j < n) {
+      int64_t o = po[j];
+      if (o >= w1) break;
+      int64_t e = (j + 1 < n) ? po[j + 1] : total;
+      int64_t lo = o > w0 ? o : w0;
+      int64_t hi = e < w1 ? e : w1;
+      int64_t k = pk[j];
+      while (hi > lo) {
+        int64_t dlo = lo - w0;
+        int64_t seg_hi = hi;
+        int32_t f0 = 0, f1 = 0, f3 = 0;
+        if (k == 1) {
+          f3 = (int32_t)((ps[j] & 0xFF) + 1);
+        } else {
+          int64_t phase = (lo - ps[j]) % k;
+          int64_t src0 = pc[j] + phase;
+          int64_t src_room = W - (src0 % W);
+          if (seg_hi - lo > src_room) seg_hi = lo + src_room;
+          f0 = (int32_t)((src0 / W) * 8);
+          f1 = (int32_t)(((src0 % W) - dlo + W) % W);
+        }
+        if (nops >= max_ops) return -10;
+        ops[4 * nops + 0] = f0;
+        ops[4 * nops + 1] = f1;
+        ops[4 * nops + 2] = (int32_t)(dlo | ((seg_hi - w0) << 16));
+        ops[4 * nops + 3] = f3;
+        nops++;
+        lo = seg_hi;
+      }
+      if (e <= w1) j++; else break;
+    }
+  }
+  wstart[n_windows] = (int32_t)nops;
+  return (int64_t)nops;
+}
+
+}  // extern "C"
