@@ -112,3 +112,23 @@ def test_serial_kernel_v3_agrees():
                                       plan.block_size, interpret=True,
                                       variant=3)
     assert b"".join(res) == data
+
+
+@pytest.mark.parametrize("variant", [4, 5])
+def test_window_op_kernels_agree(variant):
+    rng = np.random.default_rng(55)
+    seg = rng.integers(0, 256, 611, dtype=np.uint8).tobytes()
+    data = (seg * 28 + b"\x00" * 6000 + b"tuv" * 2000 + seg[:99]
+            + rng.integers(0, 256, 4000, dtype=np.uint8).tobytes())
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=8192))
+    plan = plan_frame(arc)
+    pieces, lits = [], []
+    for i in range(plan.n_blocks):
+        r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
+                                   plan.lit[i], device_pure=True)
+        pieces.append(r[:4])
+        lits.append(r[4])
+    res = pallas_decode.decode_blocks_v4(pieces, lits, plan.totals,
+                                         plan.block_size, interpret=True,
+                                         variant=variant)
+    assert b"".join(res) == data
