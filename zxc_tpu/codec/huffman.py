@@ -208,6 +208,14 @@ def decode_payload(payload: np.ndarray, n: int, tree: PivcoTree) -> np.ndarray:
         raise ZxcError(ERROR_CORRUPT_DATA, "empty section")
     t = tree
     payload = np.asarray(payload, np.uint8)
+    try:  # native serial decode when the host runtime is built; the
+        # vectorized path below stays as the TPU-shaped reference oracle
+        from .. import runtime
+        out = runtime.pivco_decode(payload, n, t.code_len)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
     n_nodes = len(t.sym)
     count = np.zeros(n_nodes, np.int64)
     count[0] = n

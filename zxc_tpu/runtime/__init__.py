@@ -379,3 +379,27 @@ def window_ops(po, pc, ps, pk, total: int, split_src: bool = False):
     if r < 0:
         return None
     return ops[:r * 4], wstart
+
+
+def pivco_decode(payload: np.ndarray, n: int, code_len: np.ndarray):
+    """Native PivCo section decode; returns uint8 array or None, raises
+    ZxcError on malformed input."""
+    L = lib()
+    if L is None:
+        return None
+    if not hasattr(L, "_pivco_bound"):
+        L.zxch_pivco_decode.restype = ctypes.c_int
+        L.zxch_pivco_decode.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                        ctypes.c_void_p, ctypes.c_uint64,
+                                        ctypes.c_void_p]
+        L._pivco_bound = True
+    src = np.ascontiguousarray(payload, np.uint8)
+    cl = np.ascontiguousarray(code_len, np.uint8)
+    out = np.empty(n, np.uint8)
+    rc = L.zxch_pivco_decode(src.ctypes.data_as(ctypes.c_void_p), len(src),
+                             cl.ctypes.data_as(ctypes.c_void_p), n,
+                             out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        from ..errors import ZxcError, ERROR_CORRUPT_DATA
+        raise ZxcError(ERROR_CORRUPT_DATA, "PivCo section (native)")
+    return out

@@ -1027,3 +1027,226 @@ int64_t zxch_window_ops2(const int32_t *po, const int32_t *pc,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// PivCo-Huffman section decode (enc_lit=2/3 hot path)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Port of the project's conformance-verified Python implementation
+// (zxc_tpu/codec/huffman.py): canonical trie build with Kraft validation,
+// BFS run sizing (pass 1), bottom-up level merges (pass 2).
+// code_len: 256 entries (0 = absent). Decodes exactly n symbols from
+// payload (node runs only, no lengths header). Returns 0 or negative err.
+int zxch_pivco_decode(const uint8_t *payload, uint64_t plen,
+                      const uint8_t *code_len, uint64_t n, uint8_t *out) {
+  const int MAXLEN = 11;
+  const int MAXN = 2 * 256 - 1;
+  if (n == 0) return -8;
+
+  // canonical code assignment
+  int64_t bl_count[MAXLEN + 2] = {0};
+  int present = 0;
+  for (int s = 0; s < 256; s++) {
+    if (code_len[s]) {
+      if (code_len[s] > MAXLEN) return -8;
+      bl_count[code_len[s]]++;
+      present++;
+    }
+  }
+  if (!present) return -8;
+  if (present >= 2) {
+    int64_t kraft = 0;
+    for (int l = 1; l <= MAXLEN; l++) kraft += bl_count[l] << (MAXLEN - l);
+    if (kraft != (int64_t)1 << MAXLEN) return -8;
+  } else if (bl_count[1] != 1) {
+    return -8;
+  }
+  uint32_t next_code[MAXLEN + 2] = {0};
+  uint32_t code = 0;
+  for (int l = 1; l <= MAXLEN; l++) {
+    code = (code + (uint32_t)bl_count[l - 1]) << 1;
+    next_code[l] = code;
+  }
+
+  // trie
+  int16_t child[MAXN][2];
+  int16_t sym[MAXN];
+  memset(child, -1, sizeof(child));
+  memset(sym, -1, sizeof(sym));
+  int n_nodes = 1;
+  int max_depth = 0;
+  for (int s = 0; s < 256; s++) {
+    int l = code_len[s];
+    if (!l) continue;
+    uint32_t c = next_code[l]++;
+    if (c >> l) return -8;
+    int cur = 0;
+    for (int d = l - 1; d >= 0; d--) {
+      if (sym[cur] >= 0) return -8;
+      int bit = (c >> d) & 1;
+      int nxt = child[cur][bit];
+      if (nxt < 0) {
+        if (n_nodes >= MAXN) return -8;
+        nxt = n_nodes++;
+        child[cur][bit] = (int16_t)nxt;
+      }
+      cur = nxt;
+    }
+    if (child[cur][0] >= 0 || child[cur][1] >= 0) return -8;
+    sym[cur] = (int16_t)s;
+    if (l > max_depth) max_depth = l;
+  }
+
+  // BFS order + level starts
+  int16_t bfs[MAXN];
+  int16_t lvl_start[MAXLEN + 3] = {0};
+  int head = 0, tail = 0;
+  bfs[tail++] = 0;
+  int depth_end = 1, depth = 0;
+  while (head < tail) {
+    if (head == depth_end) {
+      depth++;
+      lvl_start[depth] = (int16_t)head;
+      depth_end = tail;
+    }
+    int nid = bfs[head++];
+    for (int b = 0; b < 2; b++)
+      if (child[nid][b] >= 0) bfs[tail++] = child[nid][b];
+  }
+  for (int d = depth + 1; d <= max_depth + 1; d++)
+    lvl_start[d] = (int16_t)tail;
+
+  // flat-subtree detection (min/max leaf depth; maximality masking)
+  int8_t mn[MAXN], mx[MAXN];
+  uint8_t flat_d[MAXN];
+  bool covered[MAXN];
+  memset(flat_d, 0, sizeof(flat_d));
+  memset(covered, 0, sizeof(covered));
+  for (int i = n_nodes - 1; i >= 0; i--) {
+    int nid = bfs[i];
+    if (sym[nid] >= 0) {
+      mn[nid] = mx[nid] = 0;
+    } else if (child[nid][0] >= 0 && child[nid][1] >= 0) {
+      int8_t a0 = mn[child[nid][0]], a1 = mn[child[nid][1]];
+      int8_t b0 = mx[child[nid][0]], b1 = mx[child[nid][1]];
+      mn[nid] = (int8_t)(1 + (a0 < a1 ? a0 : a1));
+      mx[nid] = (int8_t)(1 + (b0 > b1 ? b0 : b1));
+    } else {
+      mn[nid] = 0;
+      mx[nid] = MAXLEN;
+    }
+  }
+  for (int i = 0; i < n_nodes; i++) {
+    int nid = bfs[i];
+    if (!covered[nid] && sym[nid] < 0 && mn[nid] == mx[nid] && mn[nid] >= 2)
+      flat_d[nid] = (uint8_t)mn[nid];
+    bool cov = covered[nid] || flat_d[nid] > 0;
+    for (int b = 0; b < 2; b++)
+      if (child[nid][b] >= 0) covered[child[nid][b]] = cov;
+  }
+
+  // pass 1: BFS run walk, per-node counts and run pointers
+  int64_t count[MAXN];
+  const uint8_t *run_ptr[MAXN];
+  memset(count, 0, sizeof(count));
+  count[0] = (int64_t)n;
+  uint64_t pos = 0;
+  for (int i = 0; i < n_nodes; i++) {
+    int nid = bfs[i];
+    if (covered[nid] || sym[nid] >= 0) continue;
+    int64_t c = count[nid];
+    int fd = flat_d[nid];
+    uint64_t nbytes = fd ? ((uint64_t)c * fd + 7) / 8 : ((uint64_t)c + 7) / 8;
+    if (plen - pos < nbytes) return -8;
+    run_ptr[nid] = payload + pos;
+    pos += nbytes;
+    if (fd) continue;
+    // popcount the run's first c bits
+    int64_t ones = 0;
+    uint64_t full = (uint64_t)c / 8;
+    for (uint64_t k = 0; k < full; k++)
+      ones += __builtin_popcount(run_ptr[nid][k]);
+    int rem = (int)(c & 7);
+    if (rem)
+      ones += __builtin_popcount(run_ptr[nid][full] & ((1u << rem) - 1));
+    int ch0 = child[nid][0], ch1 = child[nid][1];
+    if (ch1 >= 0) count[ch1] = ones;
+    else if (ones) return -8;
+    if (ch0 >= 0) count[ch0] = c - ones;
+    else if (c - ones) return -8;
+  }
+
+  // per-level sequence offsets
+  int64_t seq_off[MAXN];
+  memset(seq_off, 0, sizeof(seq_off));
+  for (int d = 0; d <= max_depth; d++) {
+    int64_t off = 0;
+    for (int i = lvl_start[d]; i < lvl_start[d + 1]; i++) {
+      int nid = bfs[i];
+      if (covered[nid]) continue;
+      seq_off[nid] = off;
+      off += count[nid];
+    }
+  }
+
+  // pass 2: bottom-up level merges (ping-pong buffers)
+  uint8_t *scratch = new uint8_t[n];
+  uint8_t *bufs[2] = {out, scratch};
+  for (int d = max_depth; d >= 0; d--) {
+    uint8_t *bd = bufs[d & 1];
+    uint8_t *bc = bufs[(d + 1) & 1];
+    for (int i = lvl_start[d]; i < lvl_start[d + 1]; i++) {
+      int nid = bfs[i];
+      if (covered[nid]) continue;
+      int64_t c = count[nid];
+      if (c == 0) continue;
+      int64_t o = seq_off[nid];
+      if (sym[nid] >= 0) {
+        // leaf: skip if parent handles... parents read from bc; fill here
+        memset(bd + o, (uint8_t)sym[nid], c);
+      } else if (flat_d[nid]) {
+        int D = flat_d[nid];
+        // path->symbol table
+        uint8_t c2s[1 << 11];
+        struct Item { int nid, path, len; } stack[64];
+        int sp = 0;
+        stack[sp++] = {nid, 0, 0};
+        while (sp) {
+          Item it = stack[--sp];
+          if (sym[it.nid] >= 0) {
+            c2s[it.path] = (uint8_t)sym[it.nid];
+            continue;
+          }
+          stack[sp++] = {child[it.nid][0], it.path, it.len + 1};
+          stack[sp++] = {child[it.nid][1], it.path | (1 << it.len), it.len + 1};
+        }
+        const uint8_t *rp = run_ptr[nid];
+        uint64_t bitpos = 0;
+        for (int64_t t = 0; t < c; t++) {
+          uint32_t path = 0;
+          for (int j = 0; j < D; j++) {
+            path |= ((rp[bitpos >> 3] >> (bitpos & 7)) & 1u) << j;
+            bitpos++;
+          }
+          bd[o + t] = c2s[path];
+        }
+      } else {
+        int ch0 = child[nid][0], ch1 = child[nid][1];
+        const uint8_t *rp = run_ptr[nid];
+        int64_t l = (ch0 >= 0) ? seq_off[ch0] : 0;
+        int64_t r = (ch1 >= 0) ? seq_off[ch1] : 0;
+        for (int64_t t = 0; t < c; t++) {
+          int bit = (rp[t >> 3] >> (t & 7)) & 1;
+          bd[o + t] = bit ? bc[r++] : bc[l++];
+        }
+      }
+    }
+  }
+  // result parity: level 0 writes into bufs[0] == out
+  delete[] scratch;
+  return 0;
+}
+
+}  // extern "C"
