@@ -330,6 +330,14 @@ def decode_section(payload: np.ndarray, n: int) -> np.ndarray:
     if len(payload) < C.HUF_TABLE_SIZE:
         raise ZxcError(ERROR_CORRUPT_DATA, "section smaller than lengths header")
     cl = unpack_lengths(payload[:C.HUF_TABLE_SIZE].tobytes())
+    if n:
+        try:  # native path builds its own trie — skip the Python build
+            from .. import runtime
+            out = runtime.pivco_decode(payload[C.HUF_TABLE_SIZE:], n, cl)
+            if out is not None:
+                return out
+        except ImportError:
+            pass
     tree = build_tree(cl)
     return decode_payload(payload[C.HUF_TABLE_SIZE:], n, tree)
 
