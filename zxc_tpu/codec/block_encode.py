@@ -44,10 +44,10 @@ class LevelParams:
 def level_params(level: int) -> LevelParams:
     level = max(C.LEVEL_MIN, min(C.LEVEL_MAX, level))
     table = {
-        1: LevelParams(2, False, 8),
+        1: LevelParams(1, False, 8),
         2: LevelParams(2, False, 8),
         3: LevelParams(4, True, 8),
-        4: LevelParams(4, True, 8),
+        4: LevelParams(6, True, 8),
         5: LevelParams(8, True, 8),
         6: LevelParams(16, True, 8),
         7: LevelParams(32, True, 11),
