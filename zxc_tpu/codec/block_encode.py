@@ -392,7 +392,11 @@ def _build_sequences(data: np.ndarray, level: int, dict_state: DictState | None)
         # estimate, zxc_opt_estimate_lit_bits :733).
         try:
             from .. import runtime
-            g_pos, g_len, _ = parse_sequences(lens, offs, True)
+            r = runtime.lazy_parse(lens, offs, True)
+            if r is not None:
+                g_pos, g_len, _ = r
+            else:
+                g_pos, g_len, _ = parse_sequences(lens, offs, True)
             cover = np.zeros(len(data) + 1, np.int64)
             np.add.at(cover, g_pos, 1)
             np.add.at(cover, np.minimum(g_pos + g_len, len(data)), -1)
