@@ -1,0 +1,90 @@
+/* zxc_host.h — stable C ABI of the zxc-tpu native host runtime.
+ *
+ * This is the binding surface for non-Python languages (the reference
+ * ships Rust/Node/Go/WASM wrappers around its C core; equivalents here
+ * wrap this ABI around libzxchost.so, built from
+ * zxc_tpu/runtime/zxc_host.cpp with `g++ -O3 -shared -fPIC`).
+ *
+ * Conventions: little-endian hosts; negative returns are zxc_error_t
+ * codes (include/zxc_error.h semantics: -3 SRC_TOO_SMALL, -6 BAD_HEADER,
+ * -8 CORRUPT_DATA, -9 BAD_OFFSET, -10 OVERFLOW/budget).
+ */
+#ifndef ZXC_HOST_H
+#define ZXC_HOST_H
+
+#include <stddef.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+/* -- checksums (FORMAT.md section 7) ---------------------------------- */
+uint64_t zxch_rapidhash64(const uint8_t *data, size_t len, uint64_t seed);
+uint32_t zxch_rapidhash32(const uint8_t *data, size_t len, uint64_t seed);
+void zxch_rapidhash32_batch(const uint8_t *base, const uint64_t *offsets,
+                            const uint64_t *sizes, uint32_t *out,
+                            size_t count);
+uint8_t zxch_hash8(const uint8_t *data8);    /* byte 7 pre-zeroed */
+uint16_t zxch_hash16(const uint8_t *data16); /* bytes 14-15 pre-zeroed */
+
+/* -- frame walking ----------------------------------------------------- */
+int64_t zxch_walk_frame(const uint8_t *src, uint64_t n, int has_checksum,
+                        uint64_t block_bound, uint64_t start, uint64_t *pos,
+                        uint8_t *type, uint64_t *comp, uint64_t max_blocks,
+                        uint64_t *eof_pos);
+
+/* -- section parsing --------------------------------------------------- */
+int zxch_rle_decode(const uint8_t *src, uint64_t n, uint8_t *dst,
+                    uint64_t out_size);
+int64_t zxch_varint_chain(const uint8_t *src, uint64_t n, uint64_t count,
+                          uint32_t *out);
+int zxch_glo_tokens(const uint8_t *tokens, uint64_t n_seq,
+                    const uint32_t *ext, uint64_t n_ext, int32_t *ll,
+                    int32_t *ml);
+int zxch_ghi_words(const uint8_t *words, uint64_t n_seq, const uint32_t *ext,
+                   uint64_t n_ext, int32_t *ll, int32_t *ml, int32_t *off);
+int zxch_pivco_decode(const uint8_t *payload, uint64_t plen,
+                      const uint8_t *code_len256, uint64_t n, uint8_t *out);
+
+/* -- decode ------------------------------------------------------------ */
+int64_t zxch_expand(const int32_t *ll, const int32_t *ml, const int32_t *off,
+                    uint64_t n_seq, const uint8_t *lit, uint64_t n_lit,
+                    const uint8_t *dict, uint64_t n_dict, uint8_t *dst,
+                    uint64_t cap);
+int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
+                            const int32_t *off, uint64_t n_seq,
+                            uint8_t *lit_full, uint64_t lit_len,
+                            uint64_t lit_cap, uint64_t dict_len,
+                            int32_t *po, int32_t *pc, int32_t *ps,
+                            int32_t *pk, uint64_t max_pieces,
+                            uint64_t *lit_len_out, int device_pure);
+int64_t zxch_window_ops(const int32_t *po, const int32_t *pc,
+                        const int32_t *ps, const int32_t *pk, uint64_t n,
+                        int64_t total, int32_t *ops, int32_t *wstart,
+                        uint64_t max_ops);
+int64_t zxch_window_ops2(const int32_t *po, const int32_t *pc,
+                         const int32_t *ps, const int32_t *pk, uint64_t n,
+                         int64_t total, int32_t *ops, int32_t *wstart,
+                         uint64_t max_ops);
+
+/* -- encode ------------------------------------------------------------ */
+int zxch_find_matches(const uint8_t *data, uint64_t n, uint64_t start,
+                      int max_probes, int32_t *lens, int32_t *offs);
+int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
+                        int max_probes, int lazy, int32_t *out_pos,
+                        int32_t *out_len, int32_t *out_off, uint64_t max_seq);
+int64_t zxch_lazy_parse(const int32_t *lens, const int32_t *offs, uint64_t P,
+                        int lazy, int32_t *out_pos, int32_t *out_len,
+                        int32_t *out_off, uint64_t max_seq);
+int64_t zxch_optimal_parse(const int32_t *lens, const int32_t *offs,
+                           uint64_t P, const uint8_t *data,
+                           const uint16_t *lit_cost_bits, int32_t *out_pos,
+                           int32_t *out_len, int32_t *out_off,
+                           uint64_t max_seq);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* ZXC_HOST_H */

@@ -1,6 +1,7 @@
 """Native C++ host runtime vs pure-Python implementations (differential)."""
 import numpy as np
 import pytest
+import os
 
 from zxc_tpu import runtime
 from zxc_tpu.format import hashes, varint
@@ -98,3 +99,32 @@ def test_python_fallback_paths_still_work(monkeypatch):
                                           checksum=True))
     from zxc_tpu.codec.frame import DecodeOpts
     assert frame.decompress(arc, DecodeOpts(checksum=True)) == data
+
+
+def test_c_abi_consumer_compiles_and_runs(tmp_path):
+    """The stable C header (include/zxc_host.h) + libzxchost.so are usable
+    from plain C — the packaging consumer check (reference:
+    tests/packaging/consumer.c)."""
+    import subprocess
+    import sys as _sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    runtime.lib()  # ensure the .so is built
+    so = os.path.join(root, "zxc_tpu", "runtime", "libzxchost.so")
+    src = tmp_path / "consumer.c"
+    src.write_text('''
+#include "zxc_host.h"
+#include <string.h>
+int main(void) {
+    const uint8_t d[] = "abc";
+    if (zxch_rapidhash32(d, 3, 0) == 0) return 2;
+    uint8_t rle[] = {0x83, 0x41};
+    uint8_t out[7];
+    if (zxch_rle_decode(rle, 2, out, 7) != 0) return 1;
+    return memcmp(out, "AAAAAAA", 7) ? 1 : 0;
+}
+''')
+    exe = tmp_path / "consumer"
+    subprocess.run(["gcc", "-I", os.path.join(root, "include"), str(src),
+                    so, "-o", str(exe), f"-Wl,-rpath,{os.path.dirname(so)}"],
+                   check=True, capture_output=True)
+    subprocess.run([str(exe)], check=True)

@@ -216,6 +216,7 @@ class Seekable:
             plan.lit.append(np.ascontiguousarray(lit))
             plan.totals.append(total)
             plan.decompressed_size += total
+        plan.resolve()  # piece-plan kernel when the native resolver exists
         blob = decode_plan_device(plan, batch=batch, device=device)
         lo = offset - b0 * self.block_size
         return blob[lo:lo + length]
