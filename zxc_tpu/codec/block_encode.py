@@ -517,6 +517,16 @@ def encode_block_glo(data: np.ndarray, level: int,
 def encode_block_ghi(data: np.ndarray, level: int,
                      dict_state: DictState | None = None) -> bytes:
     """GHI payload (reference: zxc_encode_block_ghi, zxc_compress.c:1895)."""
+    if dict_state is None or not len(dict_state.content):
+        try:  # fully-native fast path (find+parse+emit in one C call)
+            from .. import runtime
+            params = level_params(level)
+            out = runtime.encode_ghi(data, 0, params.n_candidates,
+                                     params.lazy)
+            if out is not None:
+                return out
+        except ImportError:
+            pass
     ll, ml, off, literals = _build_sequences(data, level, dict_state)
     n_seq = len(ml)
     n_lit = len(literals)

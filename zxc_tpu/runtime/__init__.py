@@ -403,3 +403,28 @@ def pivco_decode(payload: np.ndarray, n: int, code_len: np.ndarray):
         from ..errors import ZxcError, ERROR_CORRUPT_DATA
         raise ZxcError(ERROR_CORRUPT_DATA, "PivCo section (native)")
     return out
+
+
+def encode_ghi(data: np.ndarray, start: int, max_probes: int, lazy: bool):
+    """Fully-native GHI payload emission (levels 1-2); returns bytes or
+    None when unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    if not hasattr(L, "_encode_ghi_bound"):
+        L.zxch_encode_ghi.restype = ctypes.c_int64
+        L.zxch_encode_ghi.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                      ctypes.c_uint64, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_void_p,
+                                      ctypes.c_uint64]
+        L._encode_ghi_bound = True
+    d8 = np.ascontiguousarray(data, np.uint8)
+    P = len(d8) - start
+    cap = 16 + 24 + P + 4 * (P // 5 + 8) + 8
+    out = np.empty(cap, np.uint8)
+    n = L.zxch_encode_ghi(d8.ctypes.data_as(ctypes.c_void_p), len(d8), start,
+                          max_probes, 1 if lazy else 0,
+                          out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()

@@ -1250,3 +1250,111 @@ int zxch_pivco_decode(const uint8_t *payload, uint64_t plen,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// GHI block encode (levels 1-2): find+parse+emit fully native
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Emits a complete GHI payload (GNR header + literals + sequence words +
+// extras) for data[start..n) into out. Byte-identical to the Python
+// emitter (block_encode.encode_block_ghi). Returns payload size or -10
+// when cap is too small.
+int64_t zxch_encode_ghi(const uint8_t *data, uint64_t n, uint64_t start,
+                        int max_probes, int lazy, uint8_t *out,
+                        uint64_t cap) {
+  uint64_t P = n - start;
+  uint64_t max_seq = P / 5 + 8;
+  int32_t *mp = new int32_t[max_seq];
+  int32_t *ml = new int32_t[max_seq];
+  int32_t *mo = new int32_t[max_seq];
+  int64_t nseq = zxch_find_parse(data, n, start, max_probes, lazy, mp, ml,
+                                 mo, max_seq);
+  if (nseq < 0) { delete[] mp; delete[] ml; delete[] mo; return -10; }
+
+  // sizes: literals = P - sum(ml); extras per saturated field
+  uint64_t lit_total = P;
+  uint64_t n_ext_bytes = 0;
+  for (int64_t i = 0; i < nseq; i++) {
+    lit_total -= (uint64_t)ml[i];
+    int64_t prev_end = i ? (int64_t)mp[i - 1] + ml[i - 1] : 0;
+    int64_t llv = mp[i] - prev_end;
+    int64_t mlb = ml[i] - 5;
+    if (llv >= 255) {
+      int64_t v = llv - 255;
+      n_ext_bytes += v < 0x80 ? 1 : (v < 0x4000 ? 2 : 3);
+    }
+    if (mlb >= 255) {
+      int64_t v = mlb - 255;
+      n_ext_bytes += v < 0x80 ? 1 : (v < 0x4000 ? 2 : 3);
+    }
+  }
+  uint64_t need = 16 + 3 * 8 + lit_total + 4 * (uint64_t)nseq + n_ext_bytes;
+  if (need > cap) { delete[] mp; delete[] ml; delete[] mo; return -10; }
+
+  // GNR header (write_gnr_header layout): n_seq, n_lit u32; enc bytes; pad
+  uint8_t *w = out;
+  uint32_t u;
+  u = (uint32_t)nseq; memcpy(w, &u, 4);
+  u = (uint32_t)lit_total; memcpy(w + 4, &u, 4);
+  w[8] = 0; w[9] = 0; w[10] = 0; w[11] = 0;  // enc_lit/litlen/mlen/off RAW
+  memset(w + 12, 0, 4);
+  w += 16;
+  // section descriptors (comp | raw<<32)
+  uint64_t d;
+  d = lit_total | ((uint64_t)lit_total << 32); memcpy(w, &d, 8);
+  d = (4 * (uint64_t)nseq) | ((4 * (uint64_t)nseq) << 32); memcpy(w + 8, &d, 8);
+  d = n_ext_bytes | (n_ext_bytes << 32); memcpy(w + 16, &d, 8);
+  w += 24;
+
+  // literal section: gaps between matches + trailing
+  uint8_t *lit_w = w;
+  {
+    int64_t cursor = 0;
+    for (int64_t i = 0; i < nseq; i++) {
+      int64_t llv = mp[i] - cursor;
+      memcpy(lit_w, data + start + cursor, llv);
+      lit_w += llv;
+      cursor = mp[i] + ml[i];
+    }
+    memcpy(lit_w, data + start + cursor, (int64_t)P - cursor);
+    lit_w += (int64_t)P - cursor;
+  }
+  w = lit_w;
+
+  // sequence words LL(8)|ML(8)|off16 and extras
+  uint8_t *ext_w = w + 4 * nseq;
+  int64_t cursor = 0;
+  for (int64_t i = 0; i < nseq; i++) {
+    int64_t llv = mp[i] - cursor;
+    int64_t mlb = ml[i] - 5;
+    cursor = mp[i] + ml[i];
+    uint32_t wl = llv < 255 ? (uint32_t)llv : 255u;
+    uint32_t wm = mlb < 255 ? (uint32_t)mlb : 255u;
+    uint32_t word = (wl << 24) | (wm << 16) | (uint32_t)(mo[i] - 1);
+    memcpy(w + 4 * i, &word, 4);
+    if (llv >= 255) {
+      int64_t v = llv - 255;
+      if (v < 0x80) { *ext_w++ = (uint8_t)v; }
+      else if (v < 0x4000) { *ext_w++ = (uint8_t)(0x80 | (v & 0x3F));
+                             *ext_w++ = (uint8_t)((v >> 6) & 0xFF); }
+      else { *ext_w++ = (uint8_t)(0xC0 | (v & 0x1F));
+             *ext_w++ = (uint8_t)((v >> 5) & 0xFF);
+             *ext_w++ = (uint8_t)((v >> 13) & 0xFF); }
+    }
+    if (mlb >= 255) {
+      int64_t v = mlb - 255;
+      if (v < 0x80) { *ext_w++ = (uint8_t)v; }
+      else if (v < 0x4000) { *ext_w++ = (uint8_t)(0x80 | (v & 0x3F));
+                             *ext_w++ = (uint8_t)((v >> 6) & 0xFF); }
+      else { *ext_w++ = (uint8_t)(0xC0 | (v & 0x1F));
+             *ext_w++ = (uint8_t)((v >> 5) & 0xFF);
+             *ext_w++ = (uint8_t)((v >> 13) & 0xFF); }
+    }
+  }
+  delete[] mp; delete[] ml; delete[] mo;
+  return (int64_t)need;
+}
+
+}  // extern "C"
