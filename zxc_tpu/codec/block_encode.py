@@ -442,6 +442,16 @@ def encode_block_glo(data: np.ndarray, level: int,
                      dict_state: DictState | None = None) -> bytes | None:
     """GLO payload (no block header); None when the caller should fall back
     to RAW (reference: zxc_encode_block_glo, zxc_compress.c:1179-1864)."""
+    if level < 6 and (dict_state is None or not len(dict_state.content)):
+        try:  # fully-native fast path (find+parse+emit, RAW/RLE pricing)
+            from .. import runtime
+            params = level_params(level)
+            out = runtime.encode_glo(data, 0, params.n_candidates,
+                                     params.lazy)
+            if out is not None:
+                return out
+        except ImportError:
+            pass
     ll, ml, off, literals = _build_sequences(data, level, dict_state)
     n_seq = len(ml)
     n_lit = len(literals)

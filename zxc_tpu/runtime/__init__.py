@@ -428,3 +428,28 @@ def encode_ghi(data: np.ndarray, start: int, max_probes: int, lazy: bool):
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def encode_glo(data: np.ndarray, start: int, max_probes: int, lazy: bool):
+    """Fully-native GLO payload emission (levels 3-5, RAW/RLE literal
+    pricing); returns bytes or None."""
+    L = lib()
+    if L is None:
+        return None
+    if not hasattr(L, "_encode_glo_bound"):
+        L.zxch_encode_glo.restype = ctypes.c_int64
+        L.zxch_encode_glo.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                      ctypes.c_uint64, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_void_p,
+                                      ctypes.c_uint64]
+        L._encode_glo_bound = True
+    d8 = np.ascontiguousarray(data, np.uint8)
+    P = len(d8) - start
+    cap = 16 + 32 + 2 * P + 6 * (P // 5 + 8) + 64
+    out = np.empty(cap, np.uint8)
+    n = L.zxch_encode_glo(d8.ctypes.data_as(ctypes.c_void_p), len(d8), start,
+                          max_probes, 1 if lazy else 0,
+                          out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()

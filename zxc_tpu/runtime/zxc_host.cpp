@@ -1358,3 +1358,192 @@ int64_t zxch_encode_ghi(const uint8_t *data, uint64_t n, uint64_t start,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// GLO block encode (levels 3-5): find+parse+emit fully native
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// RLE-encode lit[0..n) into out (cap-checked). Tokens: raw copies
+// (tok+1 bytes, tok < 0x80) and runs (0x80|len-4, fill byte), runs of
+// >= 4. Mirrors block_encode.encode_rle_literals byte-for-byte.
+static int64_t ghi_rle_encode(const uint8_t *lit, uint64_t n, uint8_t *out,
+                              uint64_t cap) {
+  // byte-identical to block_encode.encode_rle_literals: runs >= 4 chunk at
+  // 131 with a raw tail; raw gaps up to the next >=4 run chunk at 128
+  if (n == 0) return 0;
+  uint32_t *run = new uint32_t[n];
+  run[n - 1] = 1;
+  for (int64_t i = (int64_t)n - 2; i >= 0; i--)
+    run[i] = lit[i] == lit[i + 1] ? run[i + 1] + 1 : 1;
+  uint64_t p = 0, w = 0;
+  while (p < n) {
+    uint32_t r = run[p];
+    if (r >= 4) {
+      uint8_t b = lit[p];
+      uint32_t rem = r;
+      while (rem >= 4) {
+        uint32_t chunk = rem < 131 ? rem : 131;
+        if (w + 2 > cap) { delete[] run; return -1; }
+        out[w++] = (uint8_t)(0x80 | (chunk - 4));
+        out[w++] = b;
+        rem -= chunk;
+      }
+      if (rem) {
+        if (w + 1 + rem > cap) { delete[] run; return -1; }
+        out[w++] = (uint8_t)(rem - 1);
+        memset(out + w, b, rem);
+        w += rem;
+      }
+      p += r;
+    } else {
+      uint64_t q = p;
+      while (q < n && run[q] < 4) q++;
+      while (p < q) {
+        uint64_t chunk = (q - p) < 128 ? (q - p) : 128;
+        if (w + 1 + chunk > cap) { delete[] run; return -1; }
+        out[w++] = (uint8_t)(chunk - 1);
+        memcpy(out + w, lit + p, chunk);
+        w += chunk;
+        p += chunk;
+      }
+    }
+  }
+  delete[] run;
+  return (int64_t)w;
+}
+
+// Emits a complete GLO payload for data[start..n). Matches the Python
+// emitter for levels < 6 (RAW/RLE literal candidates only; Huffman
+// pricing starts at level 6 and stays on the Python path).
+// prem_rle = 8 below level 6. Returns payload size or -10.
+int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
+                        int max_probes, int lazy, uint8_t *out,
+                        uint64_t cap) {
+  uint64_t P = n - start;
+  uint64_t max_seq = P / 5 + 8;
+  int32_t *mp = new int32_t[max_seq];
+  int32_t *ml = new int32_t[max_seq];
+  int32_t *mo = new int32_t[max_seq];
+  int64_t nseq = zxch_find_parse(data, n, start, max_probes, lazy, mp, ml,
+                                 mo, max_seq);
+  if (nseq < 0) { delete[] mp; delete[] ml; delete[] mo; return -10; }
+
+  uint64_t lit_total = P;
+  uint64_t n_ext_bytes = 0;
+  int64_t max_off = 1;
+  for (int64_t i = 0; i < nseq; i++) {
+    lit_total -= (uint64_t)ml[i];
+    int64_t prev_end = i ? (int64_t)mp[i - 1] + ml[i - 1] : 0;
+    int64_t llv = mp[i] - prev_end;
+    int64_t mlb = ml[i] - 5;
+    if (llv >= 15) {
+      int64_t v = llv - 15;
+      n_ext_bytes += v < 0x80 ? 1 : (v < 0x4000 ? 2 : 3);
+    }
+    if (mlb >= 15) {
+      int64_t v = mlb - 15;
+      n_ext_bytes += v < 0x80 ? 1 : (v < 0x4000 ? 2 : 3);
+    }
+    if (mo[i] > max_off) max_off = mo[i];
+  }
+  int use8 = (nseq == 0) || (max_off <= 256);
+  uint64_t off_bytes = (use8 ? 1 : 2) * (uint64_t)nseq;
+
+  // literal section: gather gaps, then price RAW vs RLE
+  uint8_t *lit_buf = new uint8_t[lit_total ? lit_total : 1];
+  {
+    uint64_t lw = 0;
+    int64_t cursor = 0;
+    for (int64_t i = 0; i < nseq; i++) {
+      int64_t llv = mp[i] - cursor;
+      memcpy(lit_buf + lw, data + start + cursor, llv);
+      lw += llv;
+      cursor = mp[i] + ml[i];
+    }
+    memcpy(lit_buf + lw, data + start + cursor, (int64_t)P - cursor);
+  }
+  uint8_t *rle_buf = nullptr;
+  int64_t rle_len = -1;
+  int enc_lit = 0;
+  uint64_t lit_sec = lit_total;
+  if (lit_total > 0) {
+    rle_buf = new uint8_t[2 * lit_total + 8];
+    rle_len = ghi_rle_encode(lit_buf, lit_total, rle_buf, 2 * lit_total + 8);
+    if (rle_len >= 0) {
+      uint64_t j = (uint64_t)rle_len + ((lit_total * 8) >> 8);  // prem_rle=8
+      if (j < lit_total) {
+        enc_lit = 1;
+        lit_sec = (uint64_t)rle_len;
+      }
+    }
+  }
+
+  uint64_t need = 16 + 4 * 8 + lit_sec + (uint64_t)nseq + off_bytes +
+                  n_ext_bytes;
+  if (need > cap) {
+    delete[] mp; delete[] ml; delete[] mo; delete[] lit_buf;
+    delete[] rle_buf;
+    return -10;
+  }
+
+  uint8_t *w = out;
+  uint32_t u;
+  u = (uint32_t)nseq; memcpy(w, &u, 4);
+  u = (uint32_t)lit_total; memcpy(w + 4, &u, 4);
+  w[8] = (uint8_t)enc_lit;  // enc_lit RAW/RLE
+  w[9] = 0;                 // enc_litlen RAW
+  w[10] = 0;
+  w[11] = use8 ? 1 : 0;     // enc_off
+  memset(w + 12, 0, 4);
+  w += 16;
+  uint64_t d;
+  d = lit_sec | ((uint64_t)lit_total << 32); memcpy(w, &d, 8);
+  d = (uint64_t)nseq | ((uint64_t)nseq << 32); memcpy(w + 8, &d, 8);
+  d = off_bytes | (off_bytes << 32); memcpy(w + 16, &d, 8);
+  d = n_ext_bytes | (n_ext_bytes << 32); memcpy(w + 24, &d, 8);
+  w += 32;
+
+  if (enc_lit == 1) { memcpy(w, rle_buf, lit_sec); }
+  else { memcpy(w, lit_buf, lit_sec); }
+  w += lit_sec;
+
+  uint8_t *tok_w = w;
+  uint8_t *off_w = w + nseq;
+  uint8_t *ext_w = off_w + off_bytes;
+  int64_t cursor = 0;
+  for (int64_t i = 0; i < nseq; i++) {
+    int64_t llv = mp[i] - cursor;
+    int64_t mlb = ml[i] - 5;
+    cursor = mp[i] + ml[i];
+    uint32_t tl = llv < 15 ? (uint32_t)llv : 15u;
+    uint32_t tm = mlb < 15 ? (uint32_t)mlb : 15u;
+    tok_w[i] = (uint8_t)((tl << 4) | tm);
+    uint32_t ob = (uint32_t)(mo[i] - 1);
+    if (use8) off_w[i] = (uint8_t)ob;
+    else { off_w[2 * i] = (uint8_t)(ob & 0xFF); off_w[2 * i + 1] = (uint8_t)(ob >> 8); }
+    if (llv >= 15) {
+      int64_t v = llv - 15;
+      if (v < 0x80) *ext_w++ = (uint8_t)v;
+      else if (v < 0x4000) { *ext_w++ = (uint8_t)(0x80 | (v & 0x3F));
+                             *ext_w++ = (uint8_t)((v >> 6) & 0xFF); }
+      else { *ext_w++ = (uint8_t)(0xC0 | (v & 0x1F));
+             *ext_w++ = (uint8_t)((v >> 5) & 0xFF);
+             *ext_w++ = (uint8_t)((v >> 13) & 0xFF); }
+    }
+    if (mlb >= 15) {
+      int64_t v = mlb - 15;
+      if (v < 0x80) *ext_w++ = (uint8_t)v;
+      else if (v < 0x4000) { *ext_w++ = (uint8_t)(0x80 | (v & 0x3F));
+                             *ext_w++ = (uint8_t)((v >> 6) & 0xFF); }
+      else { *ext_w++ = (uint8_t)(0xC0 | (v & 0x1F));
+             *ext_w++ = (uint8_t)((v >> 5) & 0xFF);
+             *ext_w++ = (uint8_t)((v >> 13) & 0xFF); }
+    }
+  }
+  delete[] mp; delete[] ml; delete[] mo; delete[] lit_buf; delete[] rle_buf;
+  return (int64_t)need;
+}
+
+}  // extern "C"
