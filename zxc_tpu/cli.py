@@ -24,6 +24,35 @@ VERSION = "0.1.0"
 SUFFIX = ".zxc"
 
 
+class Progress:
+    """Reference-style progress display (policy auto/always/never,
+    src/cli/main.c:312-330,570-690): a single stderr line updated per
+    block batch, shown on TTYs under 'auto'."""
+
+    def __init__(self, policy: str, total: int, label: str):
+        import sys as _s
+        self.enabled = (policy == "always" or
+                        (policy == "auto" and _s.stderr.isatty()))
+        self.total = max(total, 1)
+        self.label = label
+        self.done = 0
+        self.t0 = time.time()
+
+    def update(self, n: int):
+        if not self.enabled:
+            return
+        self.done += n
+        pct = min(100, self.done * 100 // self.total)
+        rate = self.done / 1e6 / max(time.time() - self.t0, 1e-9)
+        bar = "=" * (pct * 30 // 100)
+        print(f"\r{self.label}: [{bar:<30}] {pct:3d}%  {rate:6.1f} MB/s",
+              end="", file=sys.stderr, flush=True)
+
+    def finish(self):
+        if self.enabled:
+            print(file=sys.stderr)
+
+
 class Log:
     def __init__(self, verbose: bool, quiet: bool):
         self.verbose = verbose
@@ -158,15 +187,28 @@ def cmd_compress(args, log: Log) -> int:
     for src in files:
         data = _read(src)
         t0 = time.time()
+        prog = Progress(args.progress, len(data), src or "stdin")
         if args.threads != 1:
             import io as _io
             from .codec import stream as _stream
+
+            class _Meter:
+                def __init__(self, f):
+                    self.f = f
+
+                def read(self, n):
+                    chunk = self.f.read(n)
+                    prog.update(len(chunk))
+                    return chunk
+
             buf = _io.BytesIO()
-            _stream.stream_compress(_io.BytesIO(data), buf, eopts,
+            _stream.stream_compress(_Meter(_io.BytesIO(data)), buf, eopts,
                                     args.threads)
             out = buf.getvalue()
         else:
             out = frame.compress(data, eopts)
+            prog.update(len(data))
+        prog.finish()
         dt = time.time() - t0
         if args.stdout or src is None:
             dst = None
