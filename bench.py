@@ -118,10 +118,10 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
         totals_all = list(plan.totals)
     variant = int(os.environ.get("ZXC_BENCH_VARIANT", "6"))
     if variant >= 4:
-        args, (OR, RL, NW) = PD.pack_blocks_v4(pieces, lits, totals_all,
-                                               plan.block_size,
-                                               split_src=(variant >= 5),
-                                               pad_unroll=(variant == 6))
+        args, (OR, RL, NW) = PD.pack_blocks_v4(
+            pieces, lits, totals_all, plan.block_size,
+            split_src=(variant >= 5),
+            pad_unroll={6: PD.UNROLL, 7: PD.UNROLL7}.get(variant, 0))
     else:
         args, (PR, RL) = PD.pack_blocks(pieces, lits, totals_all,
                                         plan.block_size)

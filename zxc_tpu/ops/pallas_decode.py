@@ -457,7 +457,7 @@ def pack_blocks_v4(pieces, lit_fulls, totals, block: int,
         r = runtime.window_ops(p_o, p_c, p_s, p_k, int(total), split_src)
         assert r is not None, "window op emission failed"
         if pad_unroll:
-            r = _pad_ops_to_unroll(*r)
+            r = _pad_ops_to_unroll(*r, unroll=pad_unroll)
         plans.append(r)
         max_ops = max(max_ops, len(r[0]) // 4)
     OPS = 1 << int(np.ceil(np.log2(max_ops + 1)))
@@ -481,7 +481,7 @@ def v4_kernel(block: int, OR: int, RL: int, interpret: bool = False,
               variant: int = 4):
     RO = block // 128 + WIN
     body = {4: _kernel_v4_wrapped, 5: _kernel_v5_wrapped,
-            6: _kernel_v6_wrapped}[variant]
+            6: _kernel_v6_wrapped, 7: _kernel_v7_wrapped}[variant]
 
     def call(wstart, ops, lit8):
         lit32 = lit8.astype(jnp.int32)
@@ -514,9 +514,9 @@ def v4_kernel(block: int, OR: int, RL: int, interpret: bool = False,
 def decode_blocks_v4(pieces, lit_fulls, totals, block: int,
                      interpret: bool = False, device=None,
                      variant: int = 4):
-    args, (OR, RL, NW) = pack_blocks_v4(pieces, lit_fulls, totals, block,
-                                        split_src=(variant >= 5),
-                                        pad_unroll=(variant == 6))
+    args, (OR, RL, NW) = pack_blocks_v4(
+        pieces, lit_fulls, totals, block, split_src=(variant >= 5),
+        pad_unroll={6: UNROLL, 7: UNROLL7}.get(variant, 0))
     kern = v4_kernel(block, OR, RL, interpret, variant)
     if device is not None:
         args = tuple(jax.device_put(a, device) for a in args)
@@ -577,7 +577,8 @@ def _kernel_v5_wrapped(ws_ref, ops_ref, lit_ref, out_ref, stage_ref, sem):
                stage_ref, sem)
 
 
-UNROLL = 8  # ops per v6 loop iteration (windows padded to a multiple)
+UNROLL = 8   # ops per v6 loop iteration (windows padded to a multiple)
+UNROLL7 = 16  # v7 variant
 
 
 def _kernel_v6(ws_ref, ops_ref, lit_ref, out_ref, stage_ref, sem):
@@ -631,17 +632,74 @@ def _kernel_v6(ws_ref, ops_ref, lit_ref, out_ref, stage_ref, sem):
     jax.lax.fori_loop(0, NW, window_body, 0, unroll=False)
 
 
+def _kernel_v7(ws_ref, ops_ref, lit_ref, out_ref, stage_ref, sem):
+    """v6 with 16-op batches: one loop iteration issues 8 independent
+    load+roll+select merges (disjoint masks), amortizing loop/DMA checks."""
+    b = pl.program_id(0)
+    NW = ws_ref.shape[1] - 1
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1))
+
+    def field(lt, f):
+        idx = 4 * lt + f
+        return stage_ref[idx // 128, idx % 128]
+
+    def window_body(wi, _):
+        t0 = ws_ref[b, wi]
+        t1 = ws_ref[b, wi + 1]
+
+        def group_body(g, acc):
+            base = g * UNROLL7
+
+            @pl.when(base % STAGE == 0)
+            def _():
+                row0 = (base // STAGE) * STAGE_ROWS
+                dma = pltpu.make_async_copy(
+                    ops_ref.at[pl.ds(pl.multiple_of(row0, 8), STAGE_LOAD), :],
+                    stage_ref, sem)
+                dma.start()
+                dma.wait()
+
+            for u in range(UNROLL7):
+                lt = (base + u) % STAGE
+                srow = field(lt, 0)
+                net = field(lt, 1)
+                f2 = field(lt, 2)
+                f3 = field(lt, 3)
+                dlo = f2 & 0xFFFF
+                dhi = jax.lax.shift_right_logical(f2, 16)
+                v = lit_ref[pl.ds(pl.multiple_of(srow, ROWS), ROWS), :]
+                rolled = _flat_roll(v, net, ROWS)
+                val = jnp.where(f3 > 0, f3 - 1, rolled)
+                acc = jnp.where((pos >= dlo) & (pos < dhi), val, acc)
+            return acc
+
+        acc = jax.lax.fori_loop(t0 // UNROLL7, t1 // UNROLL7, group_body,
+                                jnp.zeros((ROWS, 128), jnp.int32),
+                                unroll=False)
+        out_ref[pl.ds(pl.multiple_of(wi * ROWS, ROWS), ROWS), :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, NW, window_body, 0, unroll=False)
+
+
+def _kernel_v7_wrapped(ws_ref, ops_ref, lit_ref, out_ref, stage_ref, sem):
+    b = pl.program_id(0)
+    _kernel_v7(ws_ref, ops_ref.at[b], lit_ref.at[0], out_ref.at[0],
+               stage_ref, sem)
+
+
 def _kernel_v6_wrapped(ws_ref, ops_ref, lit_ref, out_ref, stage_ref, sem):
     b = pl.program_id(0)
     _kernel_v6(ws_ref, ops_ref.at[b], lit_ref.at[0], out_ref.at[0],
                stage_ref, sem)
 
 
-def _pad_ops_to_unroll(opsf, ws):
-    """Pad each window's op list to a multiple of UNROLL with no-ops
+def _pad_ops_to_unroll(opsf, ws, unroll=UNROLL):
+    """Pad each window's op list to a multiple of `unroll` with no-ops
     (dlo == dhi == 0 -> empty mask)."""
     counts = np.diff(ws)
-    padded = -(-counts // UNROLL) * UNROLL
+    padded = -(-counts // unroll) * unroll
     new_ws = np.concatenate([[0], np.cumsum(padded)]).astype(np.int32)
     out = np.zeros(int(new_ws[-1]) * 4, np.int32)
     ops2 = opsf.reshape(-1, 4)
