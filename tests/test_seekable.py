@@ -135,3 +135,14 @@ def test_seekable_archive_plain_decode(arc):
     """A seekable archive still decodes through the normal frame path."""
     data, archive = arc
     assert frame.decompress(archive, DecodeOpts(checksum=True)) == data
+
+
+def test_open_file_adapter(tmp_path):
+    data = _data(80_000, seed=9)
+    archive = frame.compress(data, EncodeOpts(level=3, block_size=8192,
+                                              seekable=True))
+    p = tmp_path / "a.zxc"
+    p.write_bytes(archive)
+    s = seekable.Seekable.open_file(str(p))
+    assert s.decompressed_size == len(data)
+    assert s.decompress_range(10_000, 30_000) == data[10_000:40_000]

@@ -1,3 +1,4 @@
 """Device (JAX/XLA/Pallas) compute path: batched block decode kernels."""
 from . import expand, batch  # noqa: F401
 from .batch import decompress, plan_frame, decode_plan_device  # noqa: F401
+from . import pallas_decode  # noqa: F401
