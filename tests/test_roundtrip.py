@@ -86,3 +86,16 @@ def test_seekable_roundtrip():
     table = parse_seek_table(arc)
     n_blocks = (len(data) + C.BLOCK_SIZE_MIN - 1) // C.BLOCK_SIZE_MIN
     assert table is not None and len(table) == n_blocks
+
+
+def test_max_block_size_roundtrip():
+    """2 MB blocks (the format maximum) through encode/decode."""
+    import numpy as np
+    from zxc_tpu.codec import frame as _frame
+    from zxc_tpu.codec.frame import EncodeOpts as _EO, DecodeOpts as _DO
+    rng = np.random.default_rng(77)
+    seg = rng.integers(0, 256, 4099, dtype=np.uint8).tobytes()
+    data = (seg * 800)[: 3 * 1024 * 1024]  # spans two 2MB blocks
+    arc = _frame.compress(data, _EO(level=3, block_size=2 * 1024 * 1024,
+                                    checksum=True))
+    assert _frame.decompress(arc, _DO(checksum=True)) == data
