@@ -401,9 +401,17 @@ def _build_sequences(data: np.ndarray, level: int, dict_state: DictState | None)
             np.add.at(cover, g_pos, 1)
             np.add.at(cover, np.minimum(g_pos + g_len, len(data)), -1)
             first_lit = data[np.cumsum(cover[:len(data)]) == 0]
-            freq = np.bincount(first_lit, minlength=256) + 1
+            freq = np.bincount(first_lit, minlength=256)
             cl = huffman.build_code_lengths(freq, params.max_code_len)
-            r = runtime.optimal_parse(lens, offs, data, cl.astype(np.uint16))
+            if cl is None:
+                cost = np.full(256, 8, np.uint16)
+            else:
+                # absent symbols: finite pessimistic cost (+1 smoothing
+                # would force a uniform 8-bit code over all 256 symbols
+                # and poison the model on small alphabets)
+                cost = np.where(cl > 0, cl,
+                                params.max_code_len + 2).astype(np.uint16)
+            r = runtime.optimal_parse(lens, offs, data, cost)
             if r is not None:
                 m_pos, m_len, m_off = (a.astype(np.int64) for a in r)
         except ImportError:

@@ -618,9 +618,18 @@ int64_t zxch_optimal_parse(const int32_t *lens, const int32_t *offs,
   cost[0] = 0;
   fr_len[0] = 0;
 
-  auto match_bits = [](int64_t o, int64_t L) -> uint32_t {
-    uint32_t bits = 8;                       // token byte (ll|ml nibbles)
-    bits += (o <= 256) ? 8 : 16;             // offset byte(s)
+  // the offset-byte mode is per BLOCK: if any usable candidate exceeds
+  // 256, every sequence pays 16 bits (pricing each at 8 would let the DP
+  // accept matches that the block-wide mode makes unprofitable)
+  int off16 = 0;
+  for (uint64_t p = 0; p < P; p++)
+    if (lens[p] >= 5 && offs[p] > 256) { off16 = 1; break; }
+  const uint32_t off_bits = off16 ? 16 : 8;
+
+  auto match_bits = [off_bits](int64_t o, int64_t L) -> uint32_t {
+    (void)o;
+    uint32_t bits = 8 + off_bits;            // token byte + offset
+    bits += 2;                               // amortized ll-extras/structure
     int64_t mf = L - 5;
     if (mf >= 15) {
       int64_t ext = mf - 15;
