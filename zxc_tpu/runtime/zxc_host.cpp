@@ -847,10 +847,40 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
     }
   };
 
+  int64_t rep_off = 0;  // last emitted offset (reference seeds this,
+                        // zxc_compress.c:242-267)
+
+  auto try_cand = [&](uint64_t p, uint64_t c, int *best_len,
+                      int64_t *best_off) {
+    const uint64_t max_len = n - p;
+    if (*best_len > 0 &&
+        (c + (uint64_t)*best_len >= n ||
+         data[c + *best_len] != data[p + *best_len]))
+      return;
+    uint64_t m = 0;
+    while (m + 8 <= max_len) {
+      uint64_t a, b;
+      memcpy(&a, data + c + m, 8);
+      memcpy(&b, data + p + m, 8);
+      uint64_t x = a ^ b;
+      if (x) { m += (uint64_t)(__builtin_ctzll(x) >> 3); goto done; }
+      m += 8;
+    }
+    while (m < max_len && data[c + m] == data[p + m]) m++;
+done:
+    if ((int)m > *best_len) {
+      *best_len = (int)m;
+      *best_off = (int64_t)(p - c);
+    }
+  };
+
   auto search = [&](uint64_t p, int *best_len, int64_t *best_off) {
     *best_len = 0;
     *best_off = 1;
     if (p >= hend) return;
+    // repeat-offset candidate first: free, and structured data repeats
+    if (rep_off > 0 && p >= (uint64_t)rep_off)
+      try_cand(p, p - (uint64_t)rep_off, best_len, best_off);
     int32_t cand = head[hash5(data + p)];
     int probes = max_probes;
     const uint64_t max_len = n - p;
@@ -905,6 +935,7 @@ done:
     out_pos[nseq] = (int32_t)(p - start);
     out_len[nseq] = l;
     out_off[nseq] = (int32_t)o;
+    rep_off = o;
     nseq++;
     // insert covered positions (stride 2 beyond 64 keeps long runs cheap)
     uint64_t end = p + (uint64_t)l;
