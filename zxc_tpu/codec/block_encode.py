@@ -39,16 +39,22 @@ class LevelParams:
     n_candidates: int
     lazy: bool
     max_code_len: int  # Huffman cap (8 below ULTRA, 11 at ULTRA)
+    sufficient_len: int = 0  # chain-walk early exit (0 = unbounded)
+    step_base: int = 1      # miss-path skip: step_base + (run >> step_shift)
+    step_shift: int = 0     # 0 = no acceleration
 
 
 def level_params(level: int) -> LevelParams:
+    """Search depth / lazy / early-exit per level (reference table:
+    zxc_internal.h:951 zxc_get_lz77_params; depths retuned for our
+    5-byte-hash chain matcher to match or beat its per-level sizes)."""
     level = max(C.LEVEL_MIN, min(C.LEVEL_MAX, level))
     table = {
-        1: LevelParams(1, False, 8),
-        2: LevelParams(2, False, 8),
-        3: LevelParams(4, True, 8),
-        4: LevelParams(6, True, 8),
-        5: LevelParams(8, True, 8),
+        1: LevelParams(2, False, 8, 16, 4, 4),
+        2: LevelParams(4, False, 8, 18, 2, 6),
+        3: LevelParams(6, True, 8, 32, 1, 6),
+        4: LevelParams(8, True, 8, 64),
+        5: LevelParams(64, True, 8, 256),
         6: LevelParams(16, True, 8),
         7: LevelParams(32, True, 11),
     }
@@ -370,7 +376,8 @@ def _build_sequences(data: np.ndarray, level: int, dict_state: DictState | None)
         try:  # combined native find+parse: search only at the parse cursor
             from .. import runtime
             r = runtime.find_parse(full, start, params.n_candidates,
-                                   params.lazy)
+                                   params.lazy, params.sufficient_len,
+                                     params.step_base, params.step_shift)
             if r is not None:
                 m_pos, m_len, m_off = (a.astype(np.int64) for a in r)
         except ImportError:
@@ -455,7 +462,8 @@ def encode_block_glo(data: np.ndarray, level: int,
             from .. import runtime
             params = level_params(level)
             out = runtime.encode_glo(data, 0, params.n_candidates,
-                                     params.lazy)
+                                     params.lazy, params.sufficient_len,
+                                     params.step_base, params.step_shift)
             if out is not None:
                 return out
         except ImportError:
@@ -540,7 +548,8 @@ def encode_block_ghi(data: np.ndarray, level: int,
             from .. import runtime
             params = level_params(level)
             out = runtime.encode_ghi(data, 0, params.n_candidates,
-                                     params.lazy)
+                                     params.lazy, params.sufficient_len,
+                                     params.step_base, params.step_shift)
             if out is not None:
                 return out
         except ImportError:

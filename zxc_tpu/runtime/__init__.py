@@ -316,7 +316,9 @@ def expand(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
     return dst[:n]
 
 
-def find_parse(data: np.ndarray, start: int, max_probes: int, lazy: bool):
+def find_parse(data: np.ndarray, start: int, max_probes: int, lazy: bool,
+               sufficient_len: int = 0, step_base: int = 1,
+               step_shift: int = 0):
     """Combined native find+parse (levels 1-5 hot path); returns
     (pos, len, off) int32 arrays relative to `start`, or None."""
     L = lib()
@@ -326,9 +328,10 @@ def find_parse(data: np.ndarray, start: int, max_probes: int, lazy: bool):
         L.zxch_find_parse.restype = ctypes.c_int64
         L.zxch_find_parse.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
                                       ctypes.c_uint64, ctypes.c_int,
-                                      ctypes.c_int, ctypes.c_void_p,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
                                       ctypes.c_void_p, ctypes.c_void_p,
-                                      ctypes.c_uint64]
+                                      ctypes.c_void_p, ctypes.c_uint64]
         L.zxch_find_parse_bound = True
     d8 = np.ascontiguousarray(data, np.uint8)
     P = len(d8) - start
@@ -337,7 +340,8 @@ def find_parse(data: np.ndarray, start: int, max_probes: int, lazy: bool):
     ol = np.empty(max_seq, np.int32)
     oo = np.empty(max_seq, np.int32)
     n = L.zxch_find_parse(d8.ctypes.data_as(ctypes.c_void_p), len(d8), start,
-                          max_probes, 1 if lazy else 0,
+                          max_probes, 1 if lazy else 0, sufficient_len,
+                          step_base, step_shift,
                           op.ctypes.data_as(ctypes.c_void_p),
                           ol.ctypes.data_as(ctypes.c_void_p),
                           oo.ctypes.data_as(ctypes.c_void_p), max_seq)
@@ -405,7 +409,9 @@ def pivco_decode(payload: np.ndarray, n: int, code_len: np.ndarray):
     return out
 
 
-def encode_ghi(data: np.ndarray, start: int, max_probes: int, lazy: bool):
+def encode_ghi(data: np.ndarray, start: int, max_probes: int, lazy: bool,
+               sufficient_len: int = 0, step_base: int = 1,
+               step_shift: int = 0):
     """Fully-native GHI payload emission (levels 1-2); returns bytes or
     None when unavailable."""
     L = lib()
@@ -415,22 +421,26 @@ def encode_ghi(data: np.ndarray, start: int, max_probes: int, lazy: bool):
         L.zxch_encode_ghi.restype = ctypes.c_int64
         L.zxch_encode_ghi.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
                                       ctypes.c_uint64, ctypes.c_int,
-                                      ctypes.c_int, ctypes.c_void_p,
-                                      ctypes.c_uint64]
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_void_p, ctypes.c_uint64]
         L._encode_ghi_bound = True
     d8 = np.ascontiguousarray(data, np.uint8)
     P = len(d8) - start
     cap = 16 + 24 + P + 4 * (P // 5 + 8) + 8
     out = np.empty(cap, np.uint8)
     n = L.zxch_encode_ghi(d8.ctypes.data_as(ctypes.c_void_p), len(d8), start,
-                          max_probes, 1 if lazy else 0,
+                          max_probes, 1 if lazy else 0, sufficient_len,
+                          step_base, step_shift,
                           out.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         return None
     return out[:n].tobytes()
 
 
-def encode_glo(data: np.ndarray, start: int, max_probes: int, lazy: bool):
+def encode_glo(data: np.ndarray, start: int, max_probes: int, lazy: bool,
+               sufficient_len: int = 0, step_base: int = 1,
+               step_shift: int = 0):
     """Fully-native GLO payload emission (levels 3-5, RAW/RLE literal
     pricing); returns bytes or None."""
     L = lib()
@@ -440,15 +450,17 @@ def encode_glo(data: np.ndarray, start: int, max_probes: int, lazy: bool):
         L.zxch_encode_glo.restype = ctypes.c_int64
         L.zxch_encode_glo.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
                                       ctypes.c_uint64, ctypes.c_int,
-                                      ctypes.c_int, ctypes.c_void_p,
-                                      ctypes.c_uint64]
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_void_p, ctypes.c_uint64]
         L._encode_glo_bound = True
     d8 = np.ascontiguousarray(data, np.uint8)
     P = len(d8) - start
     cap = 16 + 32 + 2 * P + 6 * (P // 5 + 8) + 64
     out = np.empty(cap, np.uint8)
     n = L.zxch_encode_glo(d8.ctypes.data_as(ctypes.c_void_p), len(d8), start,
-                          max_probes, 1 if lazy else 0,
+                          max_probes, 1 if lazy else 0, sufficient_len,
+                          step_base, step_shift,
                           out.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         return None

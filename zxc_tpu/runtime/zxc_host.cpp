@@ -821,9 +821,13 @@ extern "C" {
 // searched), which is what makes real-time LZ encoders fast. Emits
 // (pos, len, off) relative to `start`. Returns sequence count or -10.
 int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
-                        int max_probes, int lazy, int32_t *out_pos,
-                        int32_t *out_len, int32_t *out_off,
+                        int max_probes, int lazy, int sufficient_len,
+                        int step_base, int step_shift,
+                        int32_t *out_pos, int32_t *out_len, int32_t *out_off,
                         uint64_t max_seq) {
+  if (sufficient_len <= 0) sufficient_len = 1 << 30;
+  if (step_base <= 0) step_base = 1;
+  if (step_shift <= 0) step_shift = 30;
   const uint64_t WINDOW = 64 * 1024;
   const int HASH_BITS = 15;
   const uint64_t MIN_MATCH = 5;
@@ -833,9 +837,16 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
   int32_t *chain = new int32_t[n];
   const uint64_t hend = n - (MIN_MATCH - 1);
 
-  auto hash5 = [](const uint8_t *p) -> uint32_t {
-    uint64_t v = (uint64_t)p[0] | ((uint64_t)p[1] << 8) | ((uint64_t)p[2] << 16)
-               | ((uint64_t)p[3] << 24) | ((uint64_t)p[4] << 32);
+  const uint8_t *dat8end = data + (n >= 8 ? n - 8 : 0);
+  auto hash5 = [dat8end](const uint8_t *p) -> uint32_t {
+    uint64_t v;
+    if (p <= dat8end) {  // single wide load except in the last 7 bytes
+      memcpy(&v, p, 8);
+      v &= 0xFFFFFFFFFFull;
+    } else {
+      v = (uint64_t)p[0] | ((uint64_t)p[1] << 8) | ((uint64_t)p[2] << 16)
+        | ((uint64_t)p[3] << 24) | ((uint64_t)p[4] << 32);
+    }
     return (uint32_t)((v * 0x9E3779B97F4A7C15ull) >> (64 - HASH_BITS));
   };
 
@@ -881,6 +892,7 @@ done:
     // repeat-offset candidate first: free, and structured data repeats
     if (rep_off > 0 && p >= (uint64_t)rep_off)
       try_cand(p, p - (uint64_t)rep_off, best_len, best_off);
+    if (*best_len >= sufficient_len) return;  // good enough: stop searching
     int32_t cand = head[hash5(data + p)];
     int probes = max_probes;
     const uint64_t max_len = n - p;
@@ -907,7 +919,7 @@ done:
       if ((int)m > *best_len) {
         *best_len = (int)m;
         *best_off = (int64_t)(p - c);
-        if (m >= max_len) break;
+        if (m >= max_len || *best_len >= sufficient_len) break;
       }
       cand = chain[c];
     }
@@ -917,13 +929,20 @@ done:
 
   uint64_t nseq = 0;
   uint64_t p = start;
+  uint64_t anchor = start;  // end of last emitted match: backtrack floor
   while (p < n) {
     int l;
     int64_t o;
     search(p, &l, &o);
-    if (l < (int)MIN_MATCH) { insert(p); p++; continue; }
+    if (l < (int)MIN_MATCH) {
+      // accelerating miss step (reference zxc_compress.c:1231): skip
+      // ahead through incompressible runs, skipped positions not inserted
+      insert(p);
+      p += (uint64_t)step_base + ((p - anchor) >> step_shift);
+      continue;
+    }
     uint64_t already = 0;  // positions <= p already inserted by lazy probe
-    if (lazy && p + 1 < n) {
+    if (lazy && l < sufficient_len && p + 1 < n) {
       int l2;
       int64_t o2;
       insert(p);
@@ -931,9 +950,15 @@ done:
       search(p + 1, &l2, &o2);
       if (l2 >= (int)MIN_MATCH && l2 > l) { p++; l = l2; o = o2; }
     }
+    // backward extension into the pending literal run (reference
+    // zxc_compress.c:452-463): reclaim literals that also match at -off
+    uint64_t bt = 0;
+    while (p - bt > anchor && p - bt > (uint64_t)o &&
+           data[p - bt - 1] == data[p - bt - 1 - (uint64_t)o])
+      bt++;
     if (nseq >= max_seq) { delete[] chain; return -10; }
-    out_pos[nseq] = (int32_t)(p - start);
-    out_len[nseq] = l;
+    out_pos[nseq] = (int32_t)(p - bt - start);
+    out_len[nseq] = l + (int32_t)bt;
     out_off[nseq] = (int32_t)o;
     rep_off = o;
     nseq++;
@@ -943,6 +968,7 @@ done:
     uint64_t q0 = p < already ? already : p;
     for (uint64_t q = q0; q < end && q < hend; q += step) insert(q);
     p = end;
+    anchor = end;
   }
   delete[] chain;
   return (int64_t)nseq;
@@ -1302,15 +1328,17 @@ extern "C" {
 // emitter (block_encode.encode_block_ghi). Returns payload size or -10
 // when cap is too small.
 int64_t zxch_encode_ghi(const uint8_t *data, uint64_t n, uint64_t start,
-                        int max_probes, int lazy, uint8_t *out,
-                        uint64_t cap) {
+                        int max_probes, int lazy, int sufficient_len,
+                        int step_base, int step_shift,
+                        uint8_t *out, uint64_t cap) {
   uint64_t P = n - start;
   uint64_t max_seq = P / 5 + 8;
   int32_t *mp = new int32_t[max_seq];
   int32_t *ml = new int32_t[max_seq];
   int32_t *mo = new int32_t[max_seq];
-  int64_t nseq = zxch_find_parse(data, n, start, max_probes, lazy, mp, ml,
-                                 mo, max_seq);
+  int64_t nseq = zxch_find_parse(data, n, start, max_probes, lazy,
+                                 sufficient_len, step_base, step_shift,
+                                 mp, ml, mo, max_seq);
   if (nseq < 0) { delete[] mp; delete[] ml; delete[] mo; return -10; }
 
   // sizes: literals = P - sum(ml); extras per saturated field
@@ -1459,15 +1487,17 @@ static int64_t ghi_rle_encode(const uint8_t *lit, uint64_t n, uint8_t *out,
 // pricing starts at level 6 and stays on the Python path).
 // prem_rle = 8 below level 6. Returns payload size or -10.
 int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
-                        int max_probes, int lazy, uint8_t *out,
-                        uint64_t cap) {
+                        int max_probes, int lazy, int sufficient_len,
+                        int step_base, int step_shift,
+                        uint8_t *out, uint64_t cap) {
   uint64_t P = n - start;
   uint64_t max_seq = P / 5 + 8;
   int32_t *mp = new int32_t[max_seq];
   int32_t *ml = new int32_t[max_seq];
   int32_t *mo = new int32_t[max_seq];
-  int64_t nseq = zxch_find_parse(data, n, start, max_probes, lazy, mp, ml,
-                                 mo, max_seq);
+  int64_t nseq = zxch_find_parse(data, n, start, max_probes, lazy,
+                                 sufficient_len, step_base, step_shift,
+                                 mp, ml, mo, max_seq);
   if (nseq < 0) { delete[] mp; delete[] ml; delete[] mo; return -10; }
 
   uint64_t lit_total = P;
