@@ -55,8 +55,8 @@ def level_params(level: int) -> LevelParams:
         3: LevelParams(6, True, 8, 32, 1, 6),
         4: LevelParams(8, True, 8, 64),
         5: LevelParams(64, True, 8, 256),
-        6: LevelParams(16, True, 8),
-        7: LevelParams(32, True, 11),
+        6: LevelParams(64, True, 8),
+        7: LevelParams(128, True, 11),
     }
     return table[level]
 

@@ -760,7 +760,9 @@ done:
       if ((int)m > best_len) {
         best_len = (int)m;
         best_off = (int64_t)(p - c);
-        if (m >= max_len) break;
+        // reference L6 sufficient_len=256 (zxc_internal.h:962): long
+        // enough for the DP; stop burning probes
+        if (m >= max_len || best_len >= 256) break;
       }
       cand = chain[c];
     }
