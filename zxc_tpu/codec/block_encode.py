@@ -418,7 +418,13 @@ def _build_sequences(data: np.ndarray, level: int, dict_state: DictState | None)
                 # and poison the model on small alphabets)
                 cost = np.where(cl > 0, cl,
                                 params.max_code_len + 2).astype(np.uint16)
-            r = runtime.optimal_parse(lens, offs, data, cost)
+            # ULTRA Huffman-codes the token stream too; price tokens at
+            # 5 bits so the DP trades literals for matches the way the
+            # final sections will actually charge (empirically the best
+            # across silesia/word-soup/tiny-alphabet corpora; 4 bits
+            # over-matches small alphabets)
+            tok_bits = 5 if level >= 7 else 8
+            r = runtime.optimal_parse(lens, offs, data, cost, tok_bits)
             if r is not None:
                 m_pos, m_len, m_off = (a.astype(np.int64) for a in r)
         except ImportError:

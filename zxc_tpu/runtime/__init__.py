@@ -94,7 +94,8 @@ def lib() -> ctypes.CDLL | None:
                                           u64, vp, vp, vp, vp, u64, vp,
                                           ctypes.c_int]
         L.zxch_optimal_parse.restype = i64
-        L.zxch_optimal_parse.argtypes = [vp, vp, u64, vp, vp, vp, vp, vp, u64]
+        L.zxch_optimal_parse.argtypes = [vp, vp, u64, vp, vp, ctypes.c_int,
+                                         vp, vp, vp, u64]
         L.zxch_find_matches.restype = ctypes.c_int
         L.zxch_find_matches.argtypes = [vp, u64, u64, ctypes.c_int, vp, vp]
         L.zxch_lazy_parse.restype = i64
@@ -260,7 +261,7 @@ def lazy_parse(lens: np.ndarray, offs: np.ndarray, lazy: bool):
 
 
 def optimal_parse(lens: np.ndarray, offs: np.ndarray, data: np.ndarray,
-                  lit_cost_bits: np.ndarray):
+                  lit_cost_bits: np.ndarray, token_bits: int = 8):
     """DP optimal parse (levels 6-7): returns (pos, len, off) int32 arrays
     or None when the native library is unavailable."""
     L = lib()
@@ -279,7 +280,7 @@ def optimal_parse(lens: np.ndarray, offs: np.ndarray, data: np.ndarray,
         lens32.ctypes.data_as(ctypes.c_void_p),
         offs32.ctypes.data_as(ctypes.c_void_p), P,
         d8.ctypes.data_as(ctypes.c_void_p),
-        lc.ctypes.data_as(ctypes.c_void_p),
+        lc.ctypes.data_as(ctypes.c_void_p), token_bits,
         op.ctypes.data_as(ctypes.c_void_p),
         ol.ctypes.data_as(ctypes.c_void_p),
         oo.ctypes.data_as(ctypes.c_void_p), max_seq)

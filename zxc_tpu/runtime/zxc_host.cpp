@@ -607,9 +607,10 @@ extern "C" {
 // Returns the number of sequences written, or -10 if max_seq is too small.
 int64_t zxch_optimal_parse(const int32_t *lens, const int32_t *offs,
                            uint64_t P, const uint8_t *data,
-                           const uint16_t *lit_cost_bits,
+                           const uint16_t *lit_cost_bits, int token_bits,
                            int32_t *out_pos, int32_t *out_len,
                            int32_t *out_off, uint64_t max_seq) {
+  if (token_bits <= 0) token_bits = 8;
   if (P == 0) return 0;
   const uint32_t INF = 0x7FFFFFFF;
   uint32_t *cost = new uint32_t[P + 1];
@@ -626,9 +627,10 @@ int64_t zxch_optimal_parse(const int32_t *lens, const int32_t *offs,
     if (lens[p] >= 5 && offs[p] > 256) { off16 = 1; break; }
   const uint32_t off_bits = off16 ? 16 : 8;
 
-  auto match_bits = [off_bits](int64_t o, int64_t L) -> uint32_t {
+  auto match_bits = [off_bits, token_bits](int64_t o, int64_t L) -> uint32_t {
     (void)o;
-    uint32_t bits = 8 + off_bits;            // token byte + offset
+    // token_bits < 8 models the ULTRA token-stream Huffman section
+    uint32_t bits = (uint32_t)token_bits + off_bits;  // token + offset
     bits += 2;                               // amortized ll-extras/structure
     int64_t mf = L - 5;
     if (mf >= 15) {
