@@ -94,3 +94,35 @@ def test_inplace_rejects_small_buffer():
 
 def test_inplace_bound_invalid_archive():
     assert decompress_inplace_bound(b"not an archive at all!") == 0
+
+
+def test_progress_callback_compress():
+    """Writer-side progress: monotone input-byte counts per block, final
+    call reports the full input (zxc_opts.h:34-47 semantics)."""
+    import io
+    data = _data(100_000, seed=11)
+    calls = []
+    buf = io.BytesIO()
+    stream.stream_compress(io.BytesIO(data), buf,
+                           EncodeOpts(level=2, block_size=16384),
+                           progress=lambda done, total: calls.append((done, total)),
+                           total_bytes=len(data))
+    n_blocks = (len(data) + 16383) // 16384
+    assert len(calls) == n_blocks
+    dones = [c[0] for c in calls]
+    assert dones == sorted(dones) and dones[-1] == len(data)
+    assert all(c[1] == len(data) for c in calls)
+    assert frame.decompress(buf.getvalue()) == data
+
+
+def test_progress_callback_decompress():
+    import io
+    data = _data(80_000, seed=12)
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=16384))
+    calls = []
+    out = io.BytesIO()
+    stream.stream_decompress(io.BytesIO(arc), out,
+                             progress=lambda done, total: calls.append(done))
+    assert out.getvalue() == data
+    assert calls[-1] == len(data)
+    assert calls == sorted(calls)

@@ -192,18 +192,18 @@ def cmd_compress(args, log: Log) -> int:
             import io as _io
             from .codec import stream as _stream
 
-            class _Meter:
-                def __init__(self, f):
-                    self.f = f
+            # writer-side progress (per block, after it is emitted) —
+            # the reference's callback semantics, include/zxc_opts.h:38
+            done_prev = [0]
 
-                def read(self, n):
-                    chunk = self.f.read(n)
-                    prog.update(len(chunk))
-                    return chunk
+            def _cb(done, total):
+                prog.update(done - done_prev[0])
+                done_prev[0] = done
 
             buf = _io.BytesIO()
-            _stream.stream_compress(_Meter(_io.BytesIO(data)), buf, eopts,
-                                    args.threads)
+            _stream.stream_compress(_io.BytesIO(data), buf, eopts,
+                                    args.threads, progress=_cb,
+                                    total_bytes=len(data))
             out = buf.getvalue()
         else:
             out = frame.compress(data, eopts)

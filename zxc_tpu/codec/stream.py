@@ -35,9 +35,15 @@ def _n_workers(n_threads: int) -> int:
 
 
 def stream_compress(src, dst, opts: EncodeOpts | None = None,
-                    n_threads: int = 0) -> int:
+                    n_threads: int = 0, progress=None,
+                    total_bytes: int = 0) -> int:
     """Compress file-like ``src`` into file-like ``dst``; returns bytes
-    written (zxc_stream_compress equivalent)."""
+    written (zxc_stream_compress equivalent).
+
+    ``progress(bytes_processed, bytes_total)`` mirrors
+    zxc_progress_callback_t (include/zxc_opts.h:34-47): invoked from the
+    writer side after each block, with input-side byte counts;
+    ``bytes_total`` is ``total_bytes`` (0 = unknown, e.g. a pipe)."""
     opts = opts or EncodeOpts()
     block_size = opts.block_size or C.BLOCK_SIZE_DEFAULT
     C.block_size_code(block_size)  # validate
@@ -83,12 +89,18 @@ def stream_compress(src, dst, opts: EncodeOpts | None = None,
                 blocks_in.append(len(chunk))
                 yield chunk
 
+        n_done = 0
+        done_in = 0
         for blk in ex.map(encode_one, sized(read_blocks())):
             if opts.checksum:
                 stored = int.from_bytes(blk[-4:], "little")
                 global_hash = global_hash_update(global_hash, stored)
             seek_sizes.append(len(blk))
             w(blk)
+            done_in += blocks_in[n_done]
+            n_done += 1
+            if progress is not None:
+                progress(done_in, total_bytes)
         total_in = sum(blocks_in)
 
     w(headers.write_block_header(C.BLOCK_EOF, 0))
@@ -99,8 +111,13 @@ def stream_compress(src, dst, opts: EncodeOpts | None = None,
 
 
 def stream_decompress(src, dst, opts: DecodeOpts | None = None,
-                      n_threads: int = 0) -> int:
-    """Decompress file-like ``src`` into ``dst``; returns bytes written."""
+                      n_threads: int = 0, progress=None,
+                      total_bytes: int = 0) -> int:
+    """Decompress file-like ``src`` into ``dst``; returns bytes written.
+
+    ``progress(bytes_processed, bytes_total)`` is called after each block
+    is written with decompressed-output byte counts (writer side, cf.
+    zxc_progress_callback_t)."""
     opts = opts or DecodeOpts()
     head = src.read(C.FILE_HEADER_SIZE)
     fh = headers.read_file_header(head)
@@ -158,6 +175,8 @@ def stream_decompress(src, dst, opts: DecodeOpts | None = None,
         for out in ex.map(decode_one, read_payloads()):
             dst.write(out)
             produced += len(out)
+            if progress is not None:
+                progress(produced, total_bytes)
 
     # trailing: optional SEK then footer
     rest = src.read()
