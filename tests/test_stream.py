@@ -126,3 +126,21 @@ def test_progress_callback_decompress():
     assert out.getvalue() == data
     assert calls[-1] == len(data)
     assert calls == sorted(calls)
+
+
+def test_phase_metrics_device_decode():
+    """profiling.collect_phases records plan/resolve/device wall time for
+    the device decode path (SURVEY §5 tracing subsystem)."""
+    import jax
+    from zxc_tpu import ops, profiling
+    data = _data(200_000, seed=13)
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=16384))
+    cpu = jax.devices("cpu")[0]
+    with profiling.collect_phases() as ph:
+        out = ops.decompress(arc, device=cpu)
+    assert out == data
+    m = ph.as_dict()
+    assert set(m) >= {"plan", "resolve", "device"}
+    assert all(v["seconds"] >= 0 and v["calls"] >= 1 for v in m.values())
+    # collector uninstalled outside the block
+    assert profiling.phases() is None

@@ -313,6 +313,14 @@ def decode_plan_device(plan: FramePlan, batch: int = DEFAULT_BATCH,
     return np.concatenate(out_parts).tobytes() if out_parts else b""
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _null_ctx():
+    yield
+
+
 def decompress(archive: bytes, opts: DecodeOpts | None = None,
                batch: int = DEFAULT_BATCH, device=None,
                use_pieces: bool = True, use_serial: bool = False) -> bytes:
@@ -322,26 +330,37 @@ def decompress(archive: bytes, opts: DecodeOpts | None = None,
     but each new (block, piece-bucket) shape pays a long Mosaic compile —
     meant for steady-shape production streams, not ad-hoc archives).
     """
-    plan = plan_frame(archive, opts)
+    from .. import profiling
+    ph = profiling.phases()
+
+    def _phase(name):
+        return ph.phase(name) if ph is not None else _null_ctx()
+
+    with _phase("plan"):
+        plan = plan_frame(archive, opts)
     if use_serial:
         from .. import runtime
         from . import pallas_decode
         pieces, lits = [], []
-        for i in range(plan.n_blocks):
-            r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
-                                       plan.lit[i], plan.dict_buf,
-                                       device_pure=True)
-            if r is None:
-                break
-            pieces.append(r[:4])
-            lits.append(r[4])
-        else:
-            if plan.n_blocks:
+        with _phase("resolve"):
+            for i in range(plan.n_blocks):
+                r = runtime.resolve_pieces(plan.ll[i], plan.ml[i],
+                                           plan.off[i], plan.lit[i],
+                                           plan.dict_buf, device_pure=True)
+                if r is None:
+                    break
+                pieces.append(r[:4])
+                lits.append(r[4])
+        ok = len(pieces) == plan.n_blocks
+        if ok and plan.n_blocks:
+            with _phase("device"):
                 res = pallas_decode.decode_blocks(
                     pieces, lits, plan.totals, plan.block_size, device=device)
-                return b"".join(res)
+            return b"".join(res)
     if use_pieces:
-        plan.resolve()
+        with _phase("resolve"):
+            plan.resolve()
     else:
         plan.pieces = [None] * plan.n_blocks
-    return decode_plan_device(plan, batch=batch, device=device)
+    with _phase("device"):
+        return decode_plan_device(plan, batch=batch, device=device)
