@@ -4,7 +4,8 @@ Mirrors the reference CLI surface (src/cli/main.c:490-523): modes
 -z/-d/-l/-t/-b/--train, multi/recursive input, levels -1..-7, block size,
 checksum toggles, dictionaries, seekable output, stdout/keep/force, verbose
 and quiet, JSON bench output, progress policy. File processing uses the
-streaming codec; ``--device`` routes decode through the TPU batch path.
+streaming codec; ``--device`` routes decode through the TPU batch path
+and compression through the device match finder (non-dict only).
 """
 from __future__ import annotations
 
@@ -188,7 +189,14 @@ def cmd_compress(args, log: Log) -> int:
         data = _read(src)
         t0 = time.time()
         prog = Progress(args.progress, len(data), src or "stdin")
-        if args.threads != 1:
+        if args.device and d is None and not args.seekable:
+            from . import ops
+            out = ops.compress_device(
+                data, level=eopts.level,
+                block_size=eopts.block_size or C.BLOCK_SIZE_DEFAULT,
+                checksum=eopts.checksum)
+            prog.update(len(data))
+        elif args.threads != 1:
             import io as _io
             from .codec import stream as _stream
 

@@ -360,10 +360,17 @@ class DictState:
             self.tree = huffman.build_tree(huffman.unpack_lengths(self.huf_lengths))
 
 
-def _build_sequences(data: np.ndarray, level: int, dict_state: DictState | None):
+def _build_sequences(data: np.ndarray, level: int,
+                     dict_state: DictState | None, sequences=None):
     """Shared front half: match find + parse. Returns (ll, ml, off, literals,
-    block) in block coordinates."""
+    block) in block coordinates.
+
+    ``sequences`` short-circuits the matcher with precomputed
+    (m_pos, m_len, m_off) — the device-matcher entry (ops.encode)."""
     params = level_params(level)
+    if sequences is not None:
+        m_pos, m_len, m_off = (np.asarray(a, np.int64) for a in sequences)
+        return _sequences_to_streams(data, m_pos, m_len, m_off)
     if dict_state is not None and len(dict_state.content):
         full = np.concatenate([dict_state.content, data])
         start = len(dict_state.content)
@@ -439,6 +446,11 @@ def _build_sequences(data: np.ndarray, level: int, dict_state: DictState | None)
             pass
     if m_pos is None:
         m_pos, m_len, m_off = parse_sequences(lens, offs, params.lazy)
+    return _sequences_to_streams(data, m_pos, m_len, m_off)
+
+
+def _sequences_to_streams(data: np.ndarray, m_pos: np.ndarray,
+                          m_len: np.ndarray, m_off: np.ndarray):
     P = len(data)
     n_seq = len(m_pos)
     if n_seq == 0:
@@ -460,10 +472,12 @@ def _build_sequences(data: np.ndarray, level: int, dict_state: DictState | None)
 
 
 def encode_block_glo(data: np.ndarray, level: int,
-                     dict_state: DictState | None = None) -> bytes | None:
+                     dict_state: DictState | None = None,
+                     sequences=None) -> bytes | None:
     """GLO payload (no block header); None when the caller should fall back
     to RAW (reference: zxc_encode_block_glo, zxc_compress.c:1179-1864)."""
-    if level < 6 and (dict_state is None or not len(dict_state.content)):
+    if sequences is None and level < 6 and (dict_state is None
+                                            or not len(dict_state.content)):
         try:  # fully-native fast path (find+parse+emit, RAW/RLE pricing)
             from .. import runtime
             params = level_params(level)
@@ -474,7 +488,8 @@ def encode_block_glo(data: np.ndarray, level: int,
                 return out
         except ImportError:
             pass
-    ll, ml, off, literals = _build_sequences(data, level, dict_state)
+    ll, ml, off, literals = _build_sequences(data, level, dict_state,
+                                             sequences)
     n_seq = len(ml)
     n_lit = len(literals)
     mlb = ml - C.MIN_MATCH  # token field basis
@@ -547,9 +562,11 @@ def encode_block_glo(data: np.ndarray, level: int,
 
 
 def encode_block_ghi(data: np.ndarray, level: int,
-                     dict_state: DictState | None = None) -> bytes:
+                     dict_state: DictState | None = None,
+                     sequences=None) -> bytes:
     """GHI payload (reference: zxc_encode_block_ghi, zxc_compress.c:1895)."""
-    if dict_state is None or not len(dict_state.content):
+    if sequences is None and (dict_state is None
+                              or not len(dict_state.content)):
         try:  # fully-native fast path (find+parse+emit in one C call)
             from .. import runtime
             params = level_params(level)
@@ -560,7 +577,8 @@ def encode_block_ghi(data: np.ndarray, level: int,
                 return out
         except ImportError:
             pass
-    ll, ml, off, literals = _build_sequences(data, level, dict_state)
+    ll, ml, off, literals = _build_sequences(data, level, dict_state,
+                                             sequences)
     n_seq = len(ml)
     n_lit = len(literals)
     mlb = ml - C.MIN_MATCH
@@ -581,16 +599,20 @@ def encode_block_ghi(data: np.ndarray, level: int,
 
 def encode_chunk(data: np.ndarray, level: int,
                  dict_state: DictState | None = None,
-                 checksum: bool = False) -> bytes:
+                 checksum: bool = False, sequences=None) -> bytes:
     """Chunk wrapper: block header + payload (+ checksum), RAW fallback on
-    expansion (reference: zxc_compress_chunk_wrapper, zxc_compress.c:2122)."""
+    expansion (reference: zxc_compress_chunk_wrapper, zxc_compress.c:2122).
+
+    ``sequences`` — optional precomputed (m_pos, m_len, m_off) from an
+    external matcher (e.g. ops.encode device kernels); bypasses the host
+    match finder."""
     from ..format.hashes import rapidhash32
 
     if level <= 2:
-        payload = encode_block_ghi(data, level, dict_state)
+        payload = encode_block_ghi(data, level, dict_state, sequences)
         btype = C.BLOCK_GHI
     else:
-        payload = encode_block_glo(data, level, dict_state)
+        payload = encode_block_glo(data, level, dict_state, sequences)
         btype = C.BLOCK_GLO
     total = C.BLOCK_HEADER_SIZE + len(payload)
     if total >= len(data):

@@ -1,0 +1,238 @@
+"""Device-side (XLA) match finding + parse for the encoder.
+
+SURVEY.md §7 step 6's TPU formulation, executed on device: per-position
+5-byte hashes, candidate lists from one stable sort (the vectorized
+equivalent of hash-chain walking — reference zxc_lz77_find_best_match,
+zxc_compress.c:193-560), data-parallel word-compare extension rounds,
+lazy selection + greedy tiling as a pointer-doubling jump table.
+
+Everything runs under jit with uint32 arithmetic (x64 stays off); the
+byte-emission back half stays on host (`codec/block_encode` emitters),
+fed with the device-chosen sequences.  Archives produced this way are
+valid (bit-exact roundtrip, reference-decodable) but not byte-identical
+to the host matcher's — BASELINE.json requires roundtrip + size, not
+archive equality.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import constants as C
+
+_M1 = np.uint32(0x9E3779B1)
+_M2 = np.uint32(0x85EBCA77)
+_HASH_BITS = 17
+
+
+def _le32(d: jnp.ndarray) -> jnp.ndarray:
+    """u32 little-endian word starting at every position (4-byte pad req)."""
+    n = d.shape[0] - 4
+    u = d.astype(jnp.uint32)
+    return (u[:n] | (u[1:n + 1] << 8) | (u[2:n + 2] << 16)
+            | (u[3:n + 3] << 24))
+
+
+def _run_lengths(d: jnp.ndarray) -> jnp.ndarray:
+    """run[p] = consecutive bytes equal to d[p] starting at p."""
+    n = d.shape[0]
+    change = jnp.concatenate([d[:-1] != d[1:], jnp.ones(1, bool)])
+    pos = jnp.where(change, jnp.arange(n), n - 1)
+    nxt = lax.cummin(pos[::-1])[::-1]
+    return nxt - jnp.arange(n) + 1
+
+
+@functools.partial(jax.jit, static_argnames=("n_candidates",))
+def find_matches_device(data: jnp.ndarray, n_candidates: int
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Best (len, off) per position of a u8 block; lens==0 means no match.
+
+    Mirrors the host `codec.block_encode.find_matches` semantics
+    (offset-1 run analytics + k-back sorted-hash candidates) entirely in
+    XLA ops: one stable sort replaces the hash chains, and extension is
+    4-byte compare rounds under a single while_loop.
+    """
+    n = data.shape[0]
+    lens = jnp.zeros(n, jnp.int32)
+    offs = jnp.ones(n, jnp.int32)
+    if n < C.MIN_MATCH + 1:
+        return lens, offs
+    pad = jnp.concatenate([data, jnp.zeros(4, jnp.uint8)])
+    w32 = _le32(pad)                      # word at p, p <= n-... (len n)
+    run = _run_lengths(data)
+
+    # offset-1 run matches (analytic: no iteration on deep runs)
+    prev_same = jnp.concatenate([jnp.zeros(1, bool), data[1:] == data[:-1]])
+    run_match = prev_same & (run >= C.MIN_MATCH)
+    lens = jnp.where(run_match, run.astype(jnp.int32), lens)
+    in_run = prev_same & (run >= 64)      # skip hash search inside deep runs
+
+    nh = n - (C.MIN_MATCH - 1)
+    lo = w32[:nh]
+    b5 = data[C.MIN_MATCH - 1:C.MIN_MATCH - 1 + nh].astype(jnp.uint32)
+    h = ((lo * _M1) ^ (b5 * _M2)) >> np.uint32(32 - _HASH_BITS)
+
+    order = jnp.argsort(h, stable=True)   # hash groups, position-ascending
+    hs = h[order]
+    rank = jnp.zeros(nh, jnp.int32).at[order].set(
+        jnp.arange(nh, dtype=jnp.int32))
+
+    best_len = jnp.zeros(nh, jnp.int32)
+    best_off = jnp.zeros(nh, jnp.int32)
+    p_arr = jnp.arange(nh)
+    searchable = ~in_run[:nh]
+    for k in range(1, n_candidates + 1):
+        cr = rank - k
+        valid = (cr >= 0) & searchable
+        cri = jnp.maximum(cr, 0)
+        cand = order[cri]
+        ok = valid & (hs[cri] == hs[rank])
+        dist = p_arr - cand
+        ok &= (dist >= 1) & (dist <= C.WINDOW_SIZE)
+        # confirm real 5-byte equality (hash collisions)
+        ok &= (lo[jnp.minimum(cand, nh - 1)] == lo) & \
+              (b5[jnp.minimum(cand, nh - 1)] == b5)
+
+        # extension: all pairs advance in 4-byte rounds together
+        c_s = jnp.where(ok, cand, 0)
+        max_len = n - p_arr
+        def ext_cond(st):
+            m, active = st
+            return jnp.any(active)
+        def ext_body(st):
+            m, active = st
+            can4 = (m + 4 <= max_len) & active
+            eq4 = w32[jnp.minimum(c_s + m, n - 1)] == \
+                  w32[jnp.minimum(p_arr + m, n - 1)]
+            adv = can4 & eq4
+            m = jnp.where(adv, m + 4, m)
+            return m, adv
+        m0 = jnp.where(ok, 4, 0)          # first 4 bytes known equal
+        m, _ = lax.while_loop(ext_cond, ext_body,
+                              (m0, ok & (max_len >= 8)))
+        # byte tail (up to 3 bytes, plus bounds clamp)
+        for _ in range(3):
+            more = ok & (m < max_len) & \
+                (pad[jnp.minimum(c_s + m, n)] == pad[jnp.minimum(p_arr + m, n)])
+            m = jnp.where(more, m + 1, m)
+        m = jnp.minimum(m, max_len).astype(jnp.int32)
+        better = ok & (m > best_len)
+        best_len = jnp.where(better, m, best_len)
+        best_off = jnp.where(better, dist.astype(jnp.int32), best_off)
+
+    use = (best_len >= C.MIN_MATCH) & (best_len > lens[:nh])
+    lens = lens.at[:nh].set(jnp.where(use, best_len, lens[:nh]))
+    offs = offs.at[:nh].set(jnp.where(use, best_off, offs[:nh]))
+    return lens, offs
+
+
+@functools.partial(jax.jit, static_argnames=("lazy",))
+def parse_compact_device(lens: jnp.ndarray, offs: jnp.ndarray, lazy: bool
+                         ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                    jnp.ndarray]:
+    """parse_device + on-device compaction of the chosen sequences.
+
+    Returns (n_seq, pos, len, off) with the streams packed into fixed
+    (P//5+1)-element buffers — the D2H readback is ~5x smaller than the
+    per-position arrays, which matters on links where readback is the
+    bottleneck (and never hurts)."""
+    keep = parse_device(lens, offs, lazy)
+    P = lens.shape[0]
+    cap = P // C.MIN_MATCH + 1
+    idx = jnp.cumsum(keep) - 1
+    slot = jnp.where(keep, jnp.minimum(idx, cap - 1), cap - 1)
+    dump = cap - 1  # unused tail slot; real data overwrites via .max order
+    pos_buf = jnp.zeros(cap, jnp.int32).at[slot].max(
+        jnp.where(keep, jnp.arange(P, dtype=jnp.int32), 0))
+    len_buf = jnp.zeros(cap, jnp.int32).at[slot].max(
+        jnp.where(keep, lens.astype(jnp.int32), 0))
+    off_buf = jnp.zeros(cap, jnp.int32).at[slot].max(
+        jnp.where(keep, offs.astype(jnp.int32), 0))
+    del dump
+    n_seq = jnp.sum(keep).astype(jnp.int32)
+    return n_seq, pos_buf, len_buf, off_buf
+
+
+@functools.partial(jax.jit, static_argnames=("lazy",))
+def parse_device(lens: jnp.ndarray, offs: jnp.ndarray, lazy: bool
+                 ) -> jnp.ndarray:
+    """Greedy/lazy tiling of the block: True where a kept match starts.
+
+    The serial cursor walk becomes a jump table squared log2(P) times
+    (pointer doubling) — identical result to the host parse_sequences.
+    """
+    P = lens.shape[0]
+    good = lens >= C.MIN_MATCH
+    if lazy and P > 1:
+        nxt_len = jnp.concatenate([lens[1:], jnp.zeros(1, lens.dtype)])
+        nxt_good = jnp.concatenate([good[1:], jnp.zeros(1, bool)])
+        defer = good & nxt_good & (nxt_len > lens)
+        emit = good & ~defer
+    else:
+        emit = good
+    step = jnp.where(emit, lens, 1)
+    jt = jnp.minimum(jnp.arange(P) + step, P)
+    jt = jnp.concatenate([jt, jnp.array([P])])
+    mark = jnp.zeros(P + 1, bool).at[0].set(True)
+    rounds = max(1, int(np.ceil(np.log2(max(P, 2)))) + 1)
+    for _ in range(rounds):
+        mark = mark.at[jt[:P]].max(mark[:P])
+        jt = jt[jt]
+    return mark[:P] & emit
+
+
+def encode_chunk_device(data: bytes | np.ndarray, level: int,
+                        device=None, checksum: bool = False) -> bytes:
+    """Full block encode with match finding + parse on the device.
+
+    Host keeps only byte emission (sections, Huffman, headers).  No
+    dictionary support on this path (dict windows stay host-side).
+    """
+    from ..codec import block_encode
+
+    arr = np.frombuffer(data, np.uint8) if isinstance(data, bytes) else data
+    params = block_encode.level_params(level)
+    d = jnp.asarray(arr)
+    if device is not None:
+        d = jax.device_put(d, device)
+    lens, offs = find_matches_device(d, params.n_candidates)
+    n_seq, pos_b, len_b, off_b = parse_compact_device(lens, offs,
+                                                      params.lazy)
+    k = int(n_seq)
+    seqs = (np.asarray(pos_b[:k]).astype(np.int64),
+            np.asarray(len_b[:k]).astype(np.int64),
+            np.asarray(off_b[:k]).astype(np.int64))
+    return block_encode.encode_chunk(arr, level, None, checksum,
+                                     sequences=seqs)
+
+
+def compress_device(data: bytes, level: int = C.LEVEL_DEFAULT,
+                    block_size: int = C.BLOCK_SIZE_DEFAULT,
+                    device=None, checksum: bool = False) -> bytes:
+    """Frame encode with device-side match finding per block.
+
+    Blocks share one jit shape (full blocks) plus one for the tail, so a
+    steady stream pays two compiles total.  Emission and frame plumbing
+    are host-side (they are byte-twiddling, not compute).
+    """
+    from ..codec.stream import global_hash_update
+    from ..format import headers
+
+    C.block_size_code(block_size)  # validate
+    out = bytearray(headers.write_file_header(block_size, checksum))
+    global_hash = 0
+    for pos in range(0, len(data), block_size):
+        chunk = data[pos:pos + block_size]
+        blk = encode_chunk_device(chunk, level, device, checksum)
+        if checksum:
+            stored = int.from_bytes(blk[-4:], "little")
+            global_hash = global_hash_update(global_hash, stored)
+        out += blk
+    out += headers.write_block_header(C.BLOCK_EOF, 0)
+    out += headers.write_file_footer(len(data), global_hash, checksum)
+    return bytes(out)
