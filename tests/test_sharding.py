@@ -59,3 +59,20 @@ def test_dp_sharded_dict_frame():
     plan = plan_frame(archive, DecodeOpts(dict_content=d))
     mesh = parallel.make_mesh(jax.devices()[:8], axes=("dp",))
     assert parallel.decode_plan_sharded(plan, mesh) == data
+
+
+def test_compress_sharded_dp():
+    """Encode-side dp: match finding sharded over the 8-device mesh, tail
+    block on the single-device path; checksummed archive decodes both ways."""
+    import ref_oracle
+    from zxc_tpu import parallel
+    from zxc_tpu.codec import frame as _frame
+    rng = np.random.default_rng(21)
+    seg = (b"sharded encode block content! " * 3000)[:40000]
+    data = (seg + rng.integers(0, 256, 7000, dtype=np.uint8).tobytes()) * 4
+    mesh = parallel.make_mesh(jax.devices("cpu"), ("dp",))
+    arc = parallel.compress_sharded(data, mesh, level=3, block_size=16384,
+                                    checksum=True)
+    opts = _frame.DecodeOpts(checksum=True)
+    assert _frame.decompress(arc, opts) == data
+    assert ref_oracle.ref_decompress(arc, len(data)) == data

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .. import constants as CONST
 from ..ops import expand
 from ..ops.batch import FramePlan, _pad_batch, _raise_errbits, _pow2
 from ..errors import ZxcError, ERROR_CORRUPT_DATA
@@ -232,3 +233,103 @@ def decode_plan_dp_sp(plan: FramePlan, mesh: Mesh) -> bytes:
     out_np = np.asarray(out)
     return np.concatenate([out_np[i, :plan.totals[i]]
                            for i in range(nb)]).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Encode-side dp: device match finding sharded over blocks
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _encode_dp_kernel(mesh_key, dp_axis: str, n_candidates: int, lazy: bool):
+    """jit(shard_map(vmap(match+parse))) over the dp axis.
+
+    Blocks are independent (the reference's worker-pool axis,
+    zxc_driver.c:639), so no collectives are needed — the mesh gives
+    linear scale-out of the sort-bound matcher.
+    """
+    from jax.experimental.shard_map import shard_map
+    from ..ops import encode as dev_enc
+
+    mesh = _MESHES[mesh_key]
+
+    def one(block):
+        lens, offs = dev_enc.find_matches_device(block, n_candidates)
+        return dev_enc.parse_compact_device(lens, offs, lazy)
+
+    shard = shard_map(jax.vmap(one), mesh=mesh,
+                      in_specs=P(dp_axis, None),
+                      out_specs=(P(dp_axis), P(dp_axis, None),
+                                 P(dp_axis, None), P(dp_axis, None)))
+    return jax.jit(shard)
+
+
+def encode_blocks_sharded(blocks: np.ndarray, mesh: Mesh, level: int = 3,
+                          dp_axis: str = "dp"):
+    """Match+parse a (B, S) batch of equal-size blocks across the mesh.
+
+    Returns (n_seq (B,), pos, len, off — each (B, S//5+1) int32, compacted).
+    B must be a multiple of the dp axis size (pad with zero blocks and
+    ignore their outputs).  Byte emission stays host-side per block.
+    """
+    from ..codec import block_encode
+
+    params = block_encode.level_params(level)
+    key = _mesh_key(mesh)
+    fn = _encode_dp_kernel(key, dp_axis, params.n_candidates, params.lazy)
+    return fn(jnp.asarray(blocks, jnp.uint8))
+
+
+def compress_sharded(data: bytes, mesh: Mesh, level: int = 3,
+                     block_size: int = 65536, checksum: bool = False,
+                     dp_axis: str = "dp") -> bytes:
+    """Frame encode with match finding dp-sharded across the mesh.
+
+    Full blocks run as one sharded dispatch; the tail block (and padding
+    remainders) fall back to the single-device path.  Ordered frame
+    assembly on host mirrors the reference's ordering writer.
+    """
+    from ..codec import block_encode
+    from ..codec.stream import global_hash_update
+    from ..format import headers
+    from ..ops import encode as dev_enc
+
+    CONST.block_size_code(block_size)
+    ndp = mesh.shape[dp_axis]
+    n_full = len(data) // block_size
+    n_batch = (n_full // ndp) * ndp  # blocks that ride the sharded dispatch
+    out = bytearray(headers.write_file_header(block_size, checksum))
+    global_hash = 0
+
+    def emit(chunk_arr, seqs):
+        nonlocal global_hash
+        blk = block_encode.encode_chunk(chunk_arr, level, None, checksum,
+                                        sequences=seqs)
+        if checksum:
+            stored = int.from_bytes(blk[-4:], "little")
+            global_hash = global_hash_update(global_hash, stored)
+        out.extend(blk)
+
+    if n_batch:
+        arr = np.frombuffer(data[:n_batch * block_size], np.uint8)
+        blocks = arr.reshape(n_batch, block_size)
+        n_seq, pos_b, len_b, off_b = encode_blocks_sharded(
+            blocks, mesh, level, dp_axis)
+        n_seq = np.asarray(n_seq)
+        pos_b = np.asarray(pos_b)
+        len_b = np.asarray(len_b)
+        off_b = np.asarray(off_b)
+        for i in range(n_batch):
+            k = int(n_seq[i])
+            emit(blocks[i], (pos_b[i, :k].astype(np.int64),
+                             len_b[i, :k].astype(np.int64),
+                             off_b[i, :k].astype(np.int64)))
+    for pos in range(n_batch * block_size, len(data), block_size):
+        chunk = data[pos:pos + block_size]
+        blk = dev_enc.encode_chunk_device(chunk, level, None, checksum)
+        if checksum:
+            stored = int.from_bytes(blk[-4:], "little")
+            global_hash = global_hash_update(global_hash, stored)
+        out.extend(blk)
+    out += headers.write_block_header(CONST.BLOCK_EOF, 0)
+    out += headers.write_file_footer(len(data), global_hash, checksum)
+    return bytes(out)
