@@ -144,3 +144,40 @@ def test_phase_metrics_device_decode():
     assert all(v["seconds"] >= 0 and v["calls"] >= 1 for v in m.values())
     # collector uninstalled outside the block
     assert profiling.phases() is None
+
+
+def test_mt_encode_deterministic_under_cold_native_load():
+    """Regression: lib()'s _tried flag once published before the .so
+    finished loading, so MT workers racing a cold native build silently
+    fell back to the Python encoder for a nondeterministic subset of
+    blocks (valid archives, differing bytes). Force the coldest path —
+    delete the .so so the first worker rebuilds it with g++ — and require
+    byte-identical MT output across fresh processes."""
+    import os
+    import subprocess
+    import sys
+    data = _data(700_000, seed=31)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(root, "zxc_tpu", "runtime", "libzxchost.so")
+    script = (
+        "import sys, io\n"
+        "sys.path.insert(0, %r)\n"
+        "from zxc_tpu.codec import stream\n"
+        "from zxc_tpu.codec.frame import EncodeOpts\n"
+        "data = sys.stdin.buffer.read()\n"
+        "buf = io.BytesIO()\n"
+        "stream.stream_compress(io.BytesIO(data), buf,\n"
+        "                       EncodeOpts(level=1, checksum=True), 4)\n"
+        "sys.stdout.buffer.write(buf.getvalue())\n" % root)
+    outs = []
+    env = dict(os.environ)
+    env.pop("ZXC_NO_NATIVE", None)
+    for _ in range(2):
+        if os.path.exists(so):
+            os.unlink(so)
+        r = subprocess.run([sys.executable, "-c", script], input=data,
+                           capture_output=True, env=env, timeout=300)
+        assert r.returncode == 0, r.stderr[-500:]
+        outs.append(r.stdout)
+    assert outs[0] == outs[1]
+    assert frame.decompress(outs[0], DecodeOpts(checksum=True)) == data

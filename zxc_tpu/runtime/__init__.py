@@ -46,23 +46,31 @@ def lib() -> ctypes.CDLL | None:
     global _lib, _tried
     if os.environ.get("ZXC_NO_NATIVE"):
         return None
+    # _tried may only be read on the unlocked fast path once it implies a
+    # FINISHED attempt: setting it before the build/load completes let
+    # concurrent callers observe (_tried=True, _lib=None) and silently
+    # take the pure-Python fallback — the source of nondeterministic MT
+    # encodes whenever the .so was still building/binding.
     if _lib is not None or _tried:
         return _lib
     with _lock:
         if _lib is not None or _tried:
             return _lib
-        _tried = True
         stale = (not os.path.exists(_SO)
                  or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
         if stale and not _build():
+            _tried = True
             return None
         try:
             L = ctypes.CDLL(_SO)
         except OSError:
+            _tried = True
             return None
-        # argtypes are mandatory: several entry points take uint64_t in
-        # stack-passed positions, where ctypes' default c_int marshalling
-        # leaves garbage in the upper 32 bits.
+        # ALL bindings happen here, inside the lock, before _lib is
+        # published: argtypes are mandatory (stack-passed uint64_t gets
+        # garbage upper bits under default c_int marshalling), and lazy
+        # per-wrapper binding raced under the MT encode pipeline (a
+        # worker could call through a half-bound function pointer).
         vp, u64, i64, u32, i32 = (ctypes.c_void_p, ctypes.c_uint64,
                                   ctypes.c_int64, ctypes.c_uint32,
                                   ctypes.c_int32)
@@ -101,8 +109,24 @@ def lib() -> ctypes.CDLL | None:
         L.zxch_lazy_parse.restype = i64
         L.zxch_lazy_parse.argtypes = [vp, vp, u64, ctypes.c_int, vp, vp, vp,
                                       u64]
+        ci = ctypes.c_int
+        L.zxch_find_parse.restype = i64
+        L.zxch_find_parse.argtypes = [vp, u64, u64, ci, ci, ci, ci, ci,
+                                      vp, vp, vp, u64]
+        for fn in (L.zxch_window_ops, L.zxch_window_ops2):
+            fn.restype = i64
+            fn.argtypes = [vp] * 4 + [u64, i64, vp, vp, u64]
+        L.zxch_pivco_decode.restype = ci
+        L.zxch_pivco_decode.argtypes = [vp, u64, vp, u64, vp]
+        L.zxch_encode_ghi.restype = i64
+        L.zxch_encode_ghi.argtypes = [vp, u64, u64, ci, ci, ci, ci, ci,
+                                      vp, u64]
+        L.zxch_encode_glo.restype = i64
+        L.zxch_encode_glo.argtypes = [vp, u64, u64, ci, ci, ci, ci, ci,
+                                      vp, u64]
         _lib = L
         _install_fast_paths(L)
+        _tried = True
         return _lib
 
 
@@ -325,15 +349,6 @@ def find_parse(data: np.ndarray, start: int, max_probes: int, lazy: bool,
     L = lib()
     if L is None:
         return None
-    if not hasattr(L, "zxch_find_parse_bound"):
-        L.zxch_find_parse.restype = ctypes.c_int64
-        L.zxch_find_parse.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
-                                      ctypes.c_uint64, ctypes.c_int,
-                                      ctypes.c_int, ctypes.c_int,
-                                      ctypes.c_int, ctypes.c_int,
-                                      ctypes.c_void_p, ctypes.c_void_p,
-                                      ctypes.c_void_p, ctypes.c_uint64]
-        L.zxch_find_parse_bound = True
     d8 = np.ascontiguousarray(data, np.uint8)
     P = len(d8) - start
     max_seq = P // 5 + 8
@@ -358,13 +373,6 @@ def window_ops(po, pc, ps, pk, total: int, split_src: bool = False):
     L = lib()
     if L is None:
         return None
-    if not hasattr(L, "_window_ops_bound"):
-        for fn in (L.zxch_window_ops, L.zxch_window_ops2):
-            fn.restype = ctypes.c_int64
-            fn.argtypes = [ctypes.c_void_p] * 4 + [
-                ctypes.c_uint64, ctypes.c_int64, ctypes.c_void_p,
-                ctypes.c_void_p, ctypes.c_uint64]
-        L._window_ops_bound = True
     n = len(po)
     n_windows = (total + 1023) // 1024
     max_ops = (3 if split_src else 2) * n + n_windows + 64
@@ -392,12 +400,6 @@ def pivco_decode(payload: np.ndarray, n: int, code_len: np.ndarray):
     L = lib()
     if L is None:
         return None
-    if not hasattr(L, "_pivco_bound"):
-        L.zxch_pivco_decode.restype = ctypes.c_int
-        L.zxch_pivco_decode.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
-                                        ctypes.c_void_p, ctypes.c_uint64,
-                                        ctypes.c_void_p]
-        L._pivco_bound = True
     src = np.ascontiguousarray(payload, np.uint8)
     cl = np.ascontiguousarray(code_len, np.uint8)
     out = np.empty(n, np.uint8)
@@ -418,14 +420,6 @@ def encode_ghi(data: np.ndarray, start: int, max_probes: int, lazy: bool,
     L = lib()
     if L is None:
         return None
-    if not hasattr(L, "_encode_ghi_bound"):
-        L.zxch_encode_ghi.restype = ctypes.c_int64
-        L.zxch_encode_ghi.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
-                                      ctypes.c_uint64, ctypes.c_int,
-                                      ctypes.c_int, ctypes.c_int,
-                                      ctypes.c_int, ctypes.c_int,
-                                      ctypes.c_void_p, ctypes.c_uint64]
-        L._encode_ghi_bound = True
     d8 = np.ascontiguousarray(data, np.uint8)
     P = len(d8) - start
     cap = 16 + 24 + P + 4 * (P // 5 + 8) + 8
@@ -447,14 +441,6 @@ def encode_glo(data: np.ndarray, start: int, max_probes: int, lazy: bool,
     L = lib()
     if L is None:
         return None
-    if not hasattr(L, "_encode_glo_bound"):
-        L.zxch_encode_glo.restype = ctypes.c_int64
-        L.zxch_encode_glo.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
-                                      ctypes.c_uint64, ctypes.c_int,
-                                      ctypes.c_int, ctypes.c_int,
-                                      ctypes.c_int, ctypes.c_int,
-                                      ctypes.c_void_p, ctypes.c_uint64]
-        L._encode_glo_bound = True
     d8 = np.ascontiguousarray(data, np.uint8)
     P = len(d8) - start
     cap = 16 + 32 + 2 * P + 6 * (P // 5 + 8) + 64

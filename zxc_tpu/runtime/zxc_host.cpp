@@ -835,14 +835,29 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
   const uint64_t WINDOW = 64 * 1024;
   const int HASH_BITS = 15;
   const uint64_t MIN_MATCH = 5;
-  static thread_local int32_t head[1 << 15];
-  memset(head, -1, sizeof(head));
+  static thread_local uint32_t head[1 << 15];
+  memset(head, 0xFF, sizeof(head));  // 0xFFFFFFFF = empty (pos field > any n)
   if (n < MIN_MATCH + 1) return 0;
-  int32_t *chain = new int32_t[n];
+  // reusable per-thread chain buffer (grown on demand): skips the per-call
+  // allocation + first-touch page faults of new[]
+  static thread_local uint32_t *chain_buf = nullptr;
+  static thread_local uint64_t chain_cap = 0;
+  if (n > chain_cap) {
+    delete[] chain_buf;
+    chain_cap = n * 2;
+    chain_buf = new uint32_t[chain_cap];
+  }
+  uint32_t *chain = chain_buf;
   const uint64_t hend = n - (MIN_MATCH - 1);
 
   const uint8_t *dat8end = data + (n >= 8 ? n - 8 : 0);
-  auto hash5 = [dat8end](const uint8_t *p) -> uint32_t {
+  // returns (index << 8) | tag: tag is 8 more product bits — equal 5-byte
+  // strings get equal tags, so a tag mismatch proves the candidate cannot
+  // reach MIN_MATCH and is skipped without touching its data (the
+  // reference's hash_tags filter, zxc_compress.c:212-229). Entries in
+  // head/chain pack [tag:8 | pos:24]; output is byte-identical with or
+  // without the filter.
+  auto hash5t = [dat8end](const uint8_t *p) -> uint32_t {
     uint64_t v;
     if (p <= dat8end) {  // single wide load except in the last 7 bytes
       memcpy(&v, p, 8);
@@ -851,14 +866,18 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
       v = (uint64_t)p[0] | ((uint64_t)p[1] << 8) | ((uint64_t)p[2] << 16)
         | ((uint64_t)p[3] << 24) | ((uint64_t)p[4] << 32);
     }
-    return (uint32_t)((v * 0x9E3779B97F4A7C15ull) >> (64 - HASH_BITS));
+    uint64_t prod = v * 0x9E3779B97F4A7C15ull;
+    uint32_t idx = (uint32_t)(prod >> (64 - HASH_BITS));
+    uint32_t tag = (uint32_t)((prod >> 32) & 0xFF);
+    return (idx << 8) | tag;
   };
 
   auto insert = [&](uint64_t p) {
     if (p < hend) {
-      uint32_t h = hash5(data + p);
+      uint32_t ht = hash5t(data + p);
+      uint32_t h = ht >> 8;
       chain[p] = head[h];
-      head[h] = (int32_t)p;
+      head[h] = ((ht & 0xFF) << 24) | (uint32_t)p;
     }
   };
 
@@ -897,15 +916,18 @@ done:
     if (rep_off > 0 && p >= (uint64_t)rep_off)
       try_cand(p, p - (uint64_t)rep_off, best_len, best_off);
     if (*best_len >= sufficient_len) return;  // good enough: stop searching
-    int32_t cand = head[hash5(data + p)];
+    uint32_t ht = hash5t(data + p);
+    uint32_t mytag = ht & 0xFF;
+    uint32_t cand = head[ht >> 8];
     int probes = max_probes;
     const uint64_t max_len = n - p;
-    while (cand >= 0 && probes-- > 0) {
-      uint64_t c = (uint64_t)cand;
+    while (cand != 0xFFFFFFFFu && probes-- > 0) {
+      uint64_t c = cand & 0xFFFFFF;
       if (p - c > WINDOW) break;
-      if (*best_len > 0 &&
-          (c + (uint64_t)*best_len >= n ||
-           data[c + *best_len] != data[p + *best_len])) {
+      if ((cand >> 24) != mytag ||
+          (*best_len > 0 &&
+           (c + (uint64_t)*best_len >= n ||
+            data[c + *best_len] != data[p + *best_len]))) {
         cand = chain[c];
         continue;
       }
@@ -960,7 +982,7 @@ done:
     while (p - bt > anchor && p - bt > (uint64_t)o &&
            data[p - bt - 1] == data[p - bt - 1 - (uint64_t)o])
       bt++;
-    if (nseq >= max_seq) { delete[] chain; return -10; }
+    if (nseq >= max_seq) return -10;
     out_pos[nseq] = (int32_t)(p - bt - start);
     out_len[nseq] = l + (int32_t)bt;
     out_off[nseq] = (int32_t)o;
@@ -974,7 +996,6 @@ done:
     p = end;
     anchor = end;
   }
-  delete[] chain;
   return (int64_t)nseq;
 }
 
