@@ -114,7 +114,7 @@ def test_serial_kernel_v3_agrees():
     assert b"".join(res) == data
 
 
-@pytest.mark.parametrize("variant", [4, 5])
+@pytest.mark.parametrize("variant", [4, 5, 6, 7])
 def test_window_op_kernels_agree(variant):
     rng = np.random.default_rng(55)
     seg = rng.integers(0, 256, 611, dtype=np.uint8).tobytes()

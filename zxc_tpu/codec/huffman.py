@@ -383,9 +383,15 @@ def calc_size(freq: np.ndarray, tree: PivcoTree, with_header: bool) -> int:
 def encode_payload(data: np.ndarray, tree: PivcoTree) -> bytes:
     """Encode symbols into PivCo node runs (no lengths header).
 
-    Vectorized: explode every symbol occurrence into its (emitting node,
-    bit) items, stable-sort by node, pack per-node runs LSB-first.
+    Native fast path (zxch_pivco_encode, byte-exact) with the vectorized
+    NumPy implementation as oracle/fallback: explode every symbol
+    occurrence into its (emitting node, bit) items, stable-sort by node,
+    pack per-node runs LSB-first.
     """
+    from .. import runtime
+    nat = runtime.pivco_encode(np.asarray(data, np.uint8), tree.code_len)
+    if nat is not None:
+        return nat
     t = tree
     data = np.asarray(data, np.uint8)
     n = len(data)

@@ -689,6 +689,7 @@ def _kernel_v7_wrapped(ws_ref, ops_ref, lit_ref, out_ref, stage_ref, sem):
                stage_ref, sem)
 
 
+
 def _kernel_v6_wrapped(ws_ref, ops_ref, lit_ref, out_ref, stage_ref, sem):
     b = pl.program_id(0)
     _kernel_v6(ws_ref, ops_ref.at[b], lit_ref.at[0], out_ref.at[0],

@@ -124,6 +124,8 @@ def lib() -> ctypes.CDLL | None:
         L.zxch_encode_glo.restype = i64
         L.zxch_encode_glo.argtypes = [vp, u64, u64, ci, ci, ci, ci, ci,
                                       vp, u64]
+        L.zxch_pivco_encode.restype = i64
+        L.zxch_pivco_encode.argtypes = [vp, u64, vp, vp, u64]
         _lib = L
         _install_fast_paths(L)
         _tried = True
@@ -392,6 +394,24 @@ def window_ops(po, pc, ps, pk, total: int, split_src: bool = False):
     if r < 0:
         return None
     return ops[:r * 4], wstart
+
+
+def pivco_encode(data: np.ndarray, code_len: np.ndarray) -> bytes | None:
+    """Native PivCo payload encode (no lengths header); byte-exact with
+    huffman.encode_payload. None when unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    d8 = np.ascontiguousarray(data, np.uint8)
+    cl = np.ascontiguousarray(code_len, np.uint8)
+    cap = 2 * len(d8) + 4096
+    out = np.empty(cap, np.uint8)
+    n = L.zxch_pivco_encode(d8.ctypes.data_as(ctypes.c_void_p), len(d8),
+                            cl.ctypes.data_as(ctypes.c_void_p),
+                            out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
 
 
 def pivco_decode(payload: np.ndarray, n: int, code_len: np.ndarray):

@@ -1642,3 +1642,179 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// PivCo-Huffman payload ENCODE (mirror of codec/huffman.py encode_payload:
+// canonical trie from code lengths, per-symbol item templates, two passes —
+// count bits per node, then pack LSB-first byte-aligned runs in BFS order).
+// Byte-exact with the Python emitter. Reference: zxc_huffman.c encode side.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
+                          const uint8_t *code_len, uint8_t *out,
+                          uint64_t cap) {
+  const int MAXLEN = 11;
+  const int MAXNODES = 1024;
+  static thread_local int16_t child[MAXNODES][2];
+  static thread_local int16_t sym[MAXNODES];
+  static thread_local int16_t bfs[MAXNODES];
+  static thread_local uint8_t flat_d[MAXNODES];
+  static thread_local uint8_t covered[MAXNODES];
+  static thread_local int8_t mn[MAXNODES], mx[MAXNODES];
+  static thread_local uint32_t codes[256];
+
+  // canonical code assignment ordered by (len, symbol)
+  int bl_count[MAXLEN + 2] = {0};
+  int present = 0;
+  for (int s = 0; s < 256; s++) {
+    if (code_len[s]) { bl_count[code_len[s]]++; present++; }
+  }
+  if (!present) return -1;
+  uint32_t next_code[MAXLEN + 2] = {0};
+  {
+    uint32_t code = 0;
+    for (int l = 1; l <= MAXLEN; l++) {
+      code = (code + (uint32_t)bl_count[l - 1]) << 1;
+      next_code[l] = code;
+    }
+  }
+  int n_nodes = 1;
+  child[0][0] = child[0][1] = -1;
+  sym[0] = -1;
+  int max_depth = 0;
+  for (int s = 0; s < 256; s++) {
+    int l = code_len[s];
+    if (!l) { codes[s] = 0; continue; }
+    uint32_t c = next_code[l]++;
+    if (c >> l) return -2;
+    codes[s] = c;
+    int cur = 0;
+    for (int d = l - 1; d >= 0; d--) {
+      if (sym[cur] >= 0) return -2;
+      int bit = (int)((c >> d) & 1u);
+      int nxt = child[cur][bit];
+      if (nxt < 0) {
+        if (n_nodes >= MAXNODES) return -2;
+        nxt = n_nodes++;
+        child[nxt][0] = child[nxt][1] = -1;
+        sym[nxt] = -1;
+        child[cur][bit] = (int16_t)nxt;
+      }
+      cur = nxt;
+    }
+    if (child[cur][0] >= 0 || child[cur][1] >= 0) return -2;
+    sym[cur] = (int16_t)s;
+    if (l > max_depth) max_depth = l;
+  }
+
+  // BFS order
+  {
+    int head = 0, tail = 0;
+    bfs[tail++] = 0;
+    while (head < tail) {
+      int nid = bfs[head++];
+      for (int b = 0; b < 2; b++)
+        if (child[nid][b] >= 0) bfs[tail++] = child[nid][b];
+    }
+  }
+
+  // flat-subtree detection (reverse BFS min/max leaf depth, then
+  // maximality masking forward)
+  for (int i = n_nodes - 1; i >= 0; i--) {
+    int nid = bfs[i];
+    if (sym[nid] >= 0) { mn[nid] = mx[nid] = 0; }
+    else if (child[nid][0] >= 0 && child[nid][1] >= 0) {
+      int8_t a0 = mn[child[nid][0]], a1 = mn[child[nid][1]];
+      int8_t b0 = mx[child[nid][0]], b1 = mx[child[nid][1]];
+      mn[nid] = (int8_t)(1 + (a0 < a1 ? a0 : a1));
+      mx[nid] = (int8_t)(1 + (b0 > b1 ? b0 : b1));
+    } else { mn[nid] = 0; mx[nid] = MAXLEN; }
+  }
+  for (int i = 0; i < n_nodes; i++) flat_d[i] = covered[i] = 0;
+  for (int i = 0; i < n_nodes; i++) {
+    int nid = bfs[i];
+    if (!covered[nid] && sym[nid] < 0 && mn[nid] == mx[nid] && mn[nid] >= 2)
+      flat_d[nid] = (uint8_t)mn[nid];
+    uint8_t cov = covered[nid] || flat_d[nid] > 0;
+    for (int b = 0; b < 2; b++)
+      if (child[nid][b] >= 0) covered[child[nid][b]] = cov;
+  }
+
+  // per-symbol item templates: (node, nbits, value LSB-first)
+  static thread_local int16_t it_node[256][MAXLEN];
+  static thread_local uint8_t it_nbits[256][MAXLEN];
+  static thread_local uint16_t it_val[256][MAXLEN];
+  static thread_local uint8_t it_cnt[256];
+  for (int s = 0; s < 256; s++) {
+    it_cnt[s] = 0;
+    int l = code_len[s];
+    if (!l) continue;
+    uint32_t c = codes[s];
+    int cur = 0, d = 0;
+    while (d < l) {
+      int k = it_cnt[s]++;
+      it_node[s][k] = (int16_t)cur;
+      if (flat_d[cur]) {
+        int D = flat_d[cur];
+        uint16_t v = 0;
+        for (int j = 0; j < D; j++)
+          v |= (uint16_t)(((c >> (l - 1 - (d + j))) & 1u) << j);
+        it_nbits[s][k] = (uint8_t)D;
+        it_val[s][k] = v;
+        for (int j = 0; j < D; j++)
+          cur = child[cur][(c >> (l - 1 - d)) & 1u], d++;
+      } else {
+        it_nbits[s][k] = 1;
+        it_val[s][k] = (uint16_t)((c >> (l - 1 - d)) & 1u);
+        cur = child[cur][(c >> (l - 1 - d)) & 1u];
+        d++;
+      }
+    }
+  }
+
+  // pass 1: bits per node
+  static thread_local uint64_t nbits_node[MAXNODES];
+  for (int i = 0; i < n_nodes; i++) nbits_node[i] = 0;
+  for (uint64_t i = 0; i < n; i++) {
+    int s = data[i];
+    for (int k = 0; k < it_cnt[s]; k++)
+      nbits_node[it_node[s][k]] += it_nbits[s][k];
+  }
+  // byte offsets per node in BFS order (runs byte-aligned)
+  static thread_local uint64_t byte_off[MAXNODES];
+  uint64_t w = 0;
+  for (int i = 0; i < n_nodes; i++) {
+    int nid = bfs[i];
+    if (covered[nid] || sym[nid] >= 0) continue;
+    byte_off[nid] = w;
+    w += (nbits_node[nid] + 7) / 8;
+  }
+  if (w > cap) return -10;
+  memset(out, 0, w);
+
+  // pass 2: pack bits (LSB-first within each node run)
+  static thread_local uint64_t bitpos[MAXNODES];
+  for (int i = 0; i < n_nodes; i++) bitpos[i] = 0;
+  for (uint64_t i = 0; i < n; i++) {
+    int s = data[i];
+    for (int k = 0; k < it_cnt[s]; k++) {
+      int nid = it_node[s][k];
+      uint64_t bp = bitpos[nid];
+      uint64_t base = byte_off[nid] * 8 + bp;
+      uint16_t v = it_val[s][k];
+      int nb = it_nbits[s][k];
+      // nb <= 11: at most spans 3 bytes
+      out[base >> 3] |= (uint8_t)(v << (base & 7));
+      if ((int)(base & 7) + nb > 8)
+        out[(base >> 3) + 1] |= (uint8_t)(v >> (8 - (base & 7)));
+      if ((int)(base & 7) + nb > 16)
+        out[(base >> 3) + 2] |= (uint8_t)(v >> (16 - (base & 7)));
+      bitpos[nid] = bp + (uint64_t)nb;
+    }
+  }
+  return (int64_t)w;
+}
+
+}  // extern "C"
