@@ -708,22 +708,41 @@ int zxch_find_matches(const uint8_t *data, uint64_t n, uint64_t start,
     for (uint64_t i = start; i < n; i++) { lens[i - start] = 0; offs[i - start] = 1; }
     return 0;
   }
-  static thread_local int32_t head[1 << 15];
-  int32_t *chain = new int32_t[n];
-  memset(head, -1, sizeof(head));
+  // tag-gated chains, same packing as find_parse ([tag:8|pos:24], sentinel
+  // all-ones): a tag mismatch proves the 5 hashed bytes differ, so the
+  // candidate is skipped without touching its data. Byte-identical output.
+  static thread_local uint32_t head[1 << 15];
+  static thread_local uint32_t *fm_chain = nullptr;
+  static thread_local uint64_t fm_cap = 0;
+  if (n > fm_cap) {
+    delete[] fm_chain;
+    fm_cap = n * 2;
+    fm_chain = new uint32_t[fm_cap];
+  }
+  uint32_t *chain = fm_chain;
+  memset(head, 0xFF, sizeof(head));
 
-  auto hash5 = [](const uint8_t *p) -> uint32_t {
-    uint64_t v = (uint64_t)p[0] | ((uint64_t)p[1] << 8) | ((uint64_t)p[2] << 16)
-               | ((uint64_t)p[3] << 24) | ((uint64_t)p[4] << 32);
-    return (uint32_t)((v * 0x9E3779B97F4A7C15ull) >> (64 - HASH_BITS));
+  const uint8_t *dat8end = data + (n >= 8 ? n - 8 : 0);
+  auto hash5t = [dat8end](const uint8_t *p) -> uint32_t {
+    uint64_t v;
+    if (p <= dat8end) {
+      memcpy(&v, p, 8);
+      v &= 0xFFFFFFFFFFull;
+    } else {
+      v = (uint64_t)p[0] | ((uint64_t)p[1] << 8) | ((uint64_t)p[2] << 16)
+        | ((uint64_t)p[3] << 24) | ((uint64_t)p[4] << 32);
+    }
+    uint64_t prod = v * 0x9E3779B97F4A7C15ull;
+    return ((uint32_t)(prod >> (64 - HASH_BITS)) << 8)
+         | (uint32_t)((prod >> 32) & 0xFF);
   };
 
   const uint64_t hend = n - (MIN_MATCH - 1);
   // seed dictionary prefix positions (sparse is fine; dense for simplicity)
   for (uint64_t p = 0; p < start && p < hend; p++) {
-    uint32_t h = hash5(data + p);
-    chain[p] = head[h];
-    head[h] = (int32_t)p;
+    uint32_t ht = hash5t(data + p);
+    chain[p] = head[ht >> 8];
+    head[ht >> 8] = ((ht & 0xFF) << 24) | (uint32_t)p;
   }
 
   for (uint64_t p = start; p < n; p++) {
@@ -731,18 +750,21 @@ int zxch_find_matches(const uint8_t *data, uint64_t n, uint64_t start,
     lens[i] = 0;
     offs[i] = 1;
     if (p >= hend) continue;
-    uint32_t h = hash5(data + p);
-    int32_t cand = head[h];
+    uint32_t ht = hash5t(data + p);
+    uint32_t h = ht >> 8;
+    uint32_t mytag = ht & 0xFF;
+    uint32_t cand = head[h];
     int best_len = 0;
     int64_t best_off = 1;
     int probes = max_probes;
     const uint64_t lim = n;
-    while (cand >= 0 && probes-- > 0) {
-      uint64_t c = (uint64_t)cand;
+    while (cand != 0xFFFFFFFFu && probes-- > 0) {
+      uint64_t c = cand & 0xFFFFFF;
       if (p - c > WINDOW) break;
-      // fast reject on the byte after the current best
-      if (best_len > 0 &&
-          (c + best_len >= lim || data[c + best_len] != data[p + best_len])) {
+      // tag prefilter, then fast reject on the byte after the current best
+      if ((cand >> 24) != mytag ||
+          (best_len > 0 &&
+           (c + best_len >= lim || data[c + best_len] != data[p + best_len]))) {
         cand = chain[c];
         continue;
       }
@@ -773,9 +795,8 @@ done:
       offs[i] = (int32_t)best_off;
     }
     chain[p] = head[h];
-    head[h] = (int32_t)p;
+    head[h] = (mytag << 24) | (uint32_t)p;
   }
-  delete[] chain;
   return 0;
 }
 
