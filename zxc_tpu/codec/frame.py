@@ -205,9 +205,21 @@ def compress(data: bytes, opts: EncodeOpts | None = None) -> bytes:
             np.frombuffer(opts.dict_content, np.uint8), opts.dict_huf)
         dict_id = compute_dict_id(opts.dict_content, opts.dict_huf)
 
+    arr = np.frombuffer(data, np.uint8)
+    if dict_state is None and level < 6:
+        # fully-native frame loop (byte-identical; zxch_compress_frame)
+        from .. import runtime
+        from . import block_encode
+        params = block_encode.level_params(level)
+        nat = runtime.compress_frame(
+            arr, level, params.n_candidates, params.lazy,
+            params.sufficient_len, params.step_base, params.step_shift,
+            block_size, C.block_size_code(block_size), opts.checksum,
+            opts.seekable)
+        if nat is not None:
+            return nat
     out = bytearray()
     out += headers.write_file_header(block_size, opts.checksum, dict_id)
-    arr = np.frombuffer(data, np.uint8)
     global_hash = 0
     seek_sizes: list[int] = []
     for pos in range(0, len(arr), block_size):

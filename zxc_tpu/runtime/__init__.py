@@ -126,6 +126,9 @@ def lib() -> ctypes.CDLL | None:
                                       vp, u64]
         L.zxch_pivco_encode.restype = i64
         L.zxch_pivco_encode.argtypes = [vp, u64, vp, vp, u64]
+        L.zxch_compress_frame.restype = i64
+        L.zxch_compress_frame.argtypes = [vp, u64, ci, ci, ci, ci, ci, ci,
+                                          u64, ci, ci, ci, vp, u64]
         _lib = L
         _install_fast_paths(L)
         _tried = True
@@ -394,6 +397,31 @@ def window_ops(po, pc, ps, pk, total: int, split_src: bool = False):
     if r < 0:
         return None
     return ops[:r * 4], wstart
+
+
+def compress_frame(data: np.ndarray, level: int, max_probes: int,
+                   lazy: bool, sufficient_len: int, step_base: int,
+                   step_shift: int, block_size: int, block_size_code: int,
+                   checksum: bool, seekable: bool) -> bytes | None:
+    """Whole-frame one-shot encode, levels 1-5 non-dict; byte-identical
+    with the Python frame assembly. None when unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    d8 = np.ascontiguousarray(data, np.uint8)
+    n = len(d8)
+    n_blocks = (n + block_size - 1) // block_size
+    cap = 16 + 12 + n + n_blocks * (8 + 4 + 64) + n // 4 + 4 * n_blocks + 8 + 4096
+    out = np.empty(cap, np.uint8)
+    w = L.zxch_compress_frame(d8.ctypes.data_as(ctypes.c_void_p), n, level,
+                              max_probes, 1 if lazy else 0, sufficient_len,
+                              step_base, step_shift, block_size,
+                              block_size_code, 1 if checksum else 0,
+                              1 if seekable else 0,
+                              out.ctypes.data_as(ctypes.c_void_p), cap)
+    if w < 0:
+        return None
+    return out[:w].tobytes()
 
 
 def pivco_encode(data: np.ndarray, code_len: np.ndarray) -> bytes | None:

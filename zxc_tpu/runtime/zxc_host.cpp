@@ -1839,3 +1839,124 @@ int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Whole-frame one-shot encode, levels 1-5 non-dict: the per-block loop of
+// frame.compress (codec/frame.py:190, reference zxc_dispatch.c:671-826)
+// entirely in C — header, GHI/GLO payloads with RAW fallback, optional
+// per-block rapidhash32 + rolling global hash, optional SEK table, footer.
+// Byte-identical with the Python frame assembly.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
+                            int max_probes, int lazy, int sufficient_len,
+                            int step_base, int step_shift,
+                            uint64_t block_size, int block_size_code,
+                            int checksum, int seekable,
+                            uint8_t *out, uint64_t cap) {
+  const uint64_t HDR = 16, BH = 8, FOOT = 12;
+  uint64_t w = 0;
+  if (cap < HDR) return -10;
+  // file header (headers.py:20)
+  memset(out, 0, HDR);
+  out[0] = 0xF5; out[1] = 0x2E; out[2] = 0xB0; out[3] = 0x9C;  // MAGIC_WORD
+  out[4] = 7;                                   // FORMAT_VERSION
+  out[5] = (uint8_t)block_size_code;
+  out[6] = checksum ? (uint8_t)0x80 : 0;  // FLAG_HAS_CHECKSUM|RAPIDHASH(0)
+  uint16_t h16 = zxch_hash16(out);
+  out[14] = (uint8_t)(h16 & 0xFF);
+  out[15] = (uint8_t)(h16 >> 8);
+  w = HDR;
+
+  uint64_t n_blocks = (n + block_size - 1) / block_size;
+  uint32_t *seek_sizes = seekable && n_blocks
+      ? new uint32_t[n_blocks] : nullptr;
+  uint32_t global_hash = 0;
+  uint64_t bi = 0;
+  for (uint64_t pos = 0; pos < n; pos += block_size, bi++) {
+    uint64_t len = n - pos < block_size ? n - pos : block_size;
+    if (w + BH + len + 64 + len / 4 > cap) {
+      delete[] seek_sizes;
+      return -10;
+    }
+    uint8_t *payload = out + w + BH;
+    uint64_t pcap = cap - w - BH - 8;
+    int64_t psz;
+    int btype;
+    if (level <= 2) {
+      psz = zxch_encode_ghi(data + pos, len, 0, max_probes, lazy,
+                            sufficient_len, step_base, step_shift,
+                            payload, pcap);
+      btype = 2;  // GHI
+    } else {
+      psz = zxch_encode_glo(data + pos, len, 0, max_probes, lazy,
+                            sufficient_len, step_base, step_shift,
+                            payload, pcap);
+      btype = 1;  // GLO
+    }
+    if (psz < 0 || (uint64_t)(BH + psz) >= len) {
+      // RAW fallback (encode_chunk expansion rule, block_encode.py)
+      memmove(payload, data + pos, len);
+      psz = (int64_t)len;
+      btype = 0;
+    }
+    // block header (headers.py:64)
+    uint8_t *bh = out + w;
+    memset(bh, 0, BH);
+    bh[0] = (uint8_t)btype;
+    bh[3] = (uint8_t)(psz & 0xFF);
+    bh[4] = (uint8_t)((psz >> 8) & 0xFF);
+    bh[5] = (uint8_t)((psz >> 16) & 0xFF);
+    bh[6] = (uint8_t)((psz >> 24) & 0xFF);
+    bh[7] = zxch_hash8(bh);
+    w += BH + (uint64_t)psz;
+    uint64_t blk_bytes = BH + (uint64_t)psz;
+    if (checksum) {
+      uint32_t cs = zxch_rapidhash32(payload, (size_t)psz, 0);
+      out[w] = (uint8_t)(cs & 0xFF);
+      out[w + 1] = (uint8_t)((cs >> 8) & 0xFF);
+      out[w + 2] = (uint8_t)((cs >> 16) & 0xFF);
+      out[w + 3] = (uint8_t)((cs >> 24) & 0xFF);
+      w += 4;
+      blk_bytes += 4;
+      global_hash = ((global_hash << 1) | (global_hash >> 31)) ^ cs;
+    }
+    if (seek_sizes) seek_sizes[bi] = (uint32_t)blk_bytes;
+  }
+
+  // EOF block
+  if (w + BH + FOOT > cap) { delete[] seek_sizes; return -10; }
+  uint8_t *eof = out + w;
+  memset(eof, 0, BH);
+  eof[0] = 0xFF;
+  eof[7] = zxch_hash8(eof);
+  w += BH;
+  // SEK table (headers.py:138: SEK block header + u32 sizes)
+  if (seek_sizes && bi) {
+    uint64_t body = 4 * bi;
+    if (w + BH + body + FOOT > cap) { delete[] seek_sizes; return -10; }
+    uint8_t *sh = out + w;
+    memset(sh, 0, BH);
+    sh[0] = 0xFE;
+    sh[3] = (uint8_t)(body & 0xFF);
+    sh[4] = (uint8_t)((body >> 8) & 0xFF);
+    sh[5] = (uint8_t)((body >> 16) & 0xFF);
+    sh[6] = (uint8_t)((body >> 24) & 0xFF);
+    sh[7] = zxch_hash8(sh);
+    w += BH;
+    memcpy(out + w, seek_sizes, body);
+    w += body;
+  }
+  delete[] seek_sizes;
+  // footer: <QI> src_size, global_hash (0 when checksums off)
+  for (int i = 0; i < 8; i++) out[w + i] = (uint8_t)((n >> (8 * i)) & 0xFF);
+  uint32_t gh = checksum ? global_hash : 0;
+  for (int i = 0; i < 4; i++)
+    out[w + 8 + i] = (uint8_t)((gh >> (8 * i)) & 0xFF);
+  w += FOOT;
+  return (int64_t)w;
+}
+
+}  // extern "C"
