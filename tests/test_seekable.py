@@ -146,3 +146,16 @@ def test_open_file_adapter(tmp_path):
     s = seekable.Seekable.open_file(str(p))
     assert s.decompressed_size == len(data)
     assert s.decompress_range(10_000, 30_000) == data[10_000:40_000]
+
+
+def test_block_size_getters(arc):
+    """Per-block size queries (zxc_seekable_get_block_*_size parity)."""
+    data, archive = arc
+    s = seekable.Seekable.open_bytes(archive)
+    assert sum(s.block_comp_size(i) for i in range(s.num_blocks)) <= len(archive)
+    assert sum(s.block_decomp_size(i) for i in range(s.num_blocks)) == len(data)
+    assert s.block_decomp_size(s.num_blocks - 1) == len(data) % 16384 or 16384
+    with pytest.raises(ZxcError):
+        s.block_comp_size(s.num_blocks)
+    with pytest.raises(ZxcError):
+        s.block_decomp_size(-1)

@@ -134,6 +134,22 @@ class Seekable:
     def num_blocks(self) -> int:
         return len(self.seek_entries)
 
+    def block_comp_size(self, i: int) -> int:
+        """Compressed bytes of block ``i`` incl. header/checksum tail
+        (zxc_seekable_get_block_comp_size)."""
+        if not (0 <= i < self.num_blocks):
+            raise ZxcError(ERROR_SRC_TOO_SMALL, "block index out of range")
+        return self.seek_entries[i]
+
+    def block_decomp_size(self, i: int) -> int:
+        """Decompressed bytes of block ``i``
+        (zxc_seekable_get_block_decomp_size)."""
+        if not (0 <= i < self.num_blocks):
+            raise ZxcError(ERROR_SRC_TOO_SMALL, "block index out of range")
+        if i < self.num_blocks - 1:
+            return self.block_size
+        return self.decompressed_size - i * self.block_size
+
     def block_of(self, offset: int) -> int:
         if not (0 <= offset < max(self.decompressed_size, 1)):
             raise ZxcError(ERROR_SRC_TOO_SMALL, "offset out of range")
