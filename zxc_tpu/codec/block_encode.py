@@ -50,7 +50,7 @@ def level_params(level: int) -> LevelParams:
     5-byte-hash chain matcher to match or beat its per-level sizes)."""
     level = max(C.LEVEL_MIN, min(C.LEVEL_MAX, level))
     table = {
-        1: LevelParams(2, False, 8, 16, 1, 4),
+        1: LevelParams(4, False, 8, 16, 1, 4),
         2: LevelParams(4, False, 8, 18, 1, 6),
         3: LevelParams(6, True, 8, 32, 1, 6),
         4: LevelParams(8, True, 8, 64),
