@@ -31,41 +31,13 @@ BLOCK_SIZE = int(os.environ.get("ZXC_BENCH_BLOCK",
 
 
 def build_corpus(target_bytes: int) -> bytes:
-    """Deterministic text+binary mix approximating Silesia's profile
-    (~45% compressible at level 3)."""
-    import numpy as np
-
-    parts = []
-    total = 0
-    # text/code: reference sources (public content, used as sample *data*)
-    for root in ("/root/reference/src", "/root/reference/docs",
-                 "/root/reference/include", "/opt/venv/lib"):
-        if total >= target_bytes * 2 // 3:
-            break
-        for dirpath, _, files in sorted(os.walk(root)):
-            for f in sorted(files):
-                if total >= target_bytes * 2 // 3:
-                    break
-                p = os.path.join(dirpath, f)
-                try:
-                    if f.endswith((".c", ".h", ".md", ".py", ".txt", ".json",
-                                   ".cmake", ".so")):
-                        b = open(p, "rb").read()
-                        parts.append(b)
-                        total += len(b)
-                except OSError:
-                    continue
-    rng = np.random.default_rng(42)
-    # structured records (xml/dna-like repetitive content)
-    rec = (b"<row id='%06d' level='3'><field>abcdefgh</field></row>\n")
-    xml = b"".join(rec % (i % 9973) for i in range(60_000))
-    dna = rng.choice(np.frombuffer(b"ACGT", np.uint8),
-                     size=target_bytes // 8).tobytes()
-    noise = rng.integers(0, 256, target_bytes // 12, dtype=np.uint8).tobytes()
-    parts += [xml, dna, noise]
-    data = b"".join(parts)
-    reps = target_bytes // len(data) + 1
-    return (data * reps)[:target_bytes]
+    """Pinned deterministic corpus (tools/gen_corpus.py): bytes depend
+    only on (size, seed), sha256 recorded in tools/corpus_manifest.json,
+    so perf/ratio numbers are comparable across sessions."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from gen_corpus import gen_corpus
+    return gen_corpus(target_bytes)
 
 
 def encode(data: bytes, level: int) -> bytes:
