@@ -365,6 +365,15 @@ def decode_block(block_type: int, payload: np.ndarray, dst_capacity: int,
     if verify_checksum and stored_checksum is not None:
         if rapidhash32(payload.tobytes()) != stored_checksum:
             raise ZxcError(ERROR_BAD_CHECKSUM, "block payload checksum")
+    try:  # fused native block decode (one C call); NumPy path = oracle
+        from .. import runtime
+        out = runtime.decode_block(
+            block_type, payload, dst_capacity, dict_buf,
+            None if dict_tree is None else dict_tree.code_len)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
     if block_type == C.BLOCK_RAW:
         if len(payload) > dst_capacity:
             raise ZxcError(ERROR_OVERFLOW, "RAW block exceeds capacity")

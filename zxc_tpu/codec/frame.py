@@ -74,6 +74,17 @@ def decompress(archive: bytes, opts: DecodeOpts | None = None) -> bytes:
         if provided_id != fh.dict_id:
             raise ZxcError(ERROR_DICT_MISMATCH)
 
+    try:  # fully-native frame loop: one C call per archive (the host
+        # decode hot path); the NumPy loop below stays as the oracle
+        from .. import runtime
+        nat = runtime.decompress_frame(
+            archive, fh.block_size, fh.has_checksum, verify, dict_buf,
+            None if dict_tree is None else dict_tree.code_len)
+        if nat is not None:
+            return nat
+    except ImportError:
+        pass
+
     buf = np.frombuffer(archive, np.uint8)
     out_parts: list[np.ndarray] = []
     produced = 0

@@ -118,6 +118,11 @@ def lib() -> ctypes.CDLL | None:
             fn.argtypes = [vp] * 4 + [u64, i64, vp, vp, u64]
         L.zxch_pivco_decode.restype = ci
         L.zxch_pivco_decode.argtypes = [vp, u64, vp, u64, vp]
+        L.zxch_decode_block.restype = i64
+        L.zxch_decode_block.argtypes = [ci, vp, u64, vp, u64, vp, u64, vp]
+        L.zxch_decompress_frame.restype = i64
+        L.zxch_decompress_frame.argtypes = [vp, u64, u64, ci, ci, vp, u64,
+                                            vp, vp, u64]
         L.zxch_encode_ghi.restype = i64
         L.zxch_encode_ghi.argtypes = [vp, u64, u64, ci, ci, ci, ci, ci,
                                       vp, u64]
@@ -248,6 +253,82 @@ def resolve_pieces(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
     if n < 0:
         return None  # budget exceeded: fall back
     return po[:n], pc[:n], ps[:n], pk[:n], lit_full[:lit_out.value]
+
+
+def _as_dict_args(dict_buf, dict_cl):
+    d8 = np.ascontiguousarray(dict_buf, np.uint8) if dict_buf is not None \
+        else np.zeros(0, np.uint8)
+    cl8 = np.ascontiguousarray(dict_cl, np.uint8) if dict_cl is not None \
+        else None
+    cl_ptr = cl8.ctypes.data_as(ctypes.c_void_p) if cl8 is not None else None
+    return d8, cl8, cl_ptr
+
+
+def decode_block(block_type: int, payload: np.ndarray, block_size: int,
+                 dict_buf: np.ndarray | None = None,
+                 dict_cl: np.ndarray | None = None) -> np.ndarray | None:
+    """Fully-native single-block decode (section parse + entropy + fused
+    expand in one C call). None when the library is unavailable; raises
+    ZxcError with the same codes as the Python path on malformed input."""
+    L = lib()
+    if L is None:
+        return None
+    pl = np.ascontiguousarray(payload, np.uint8)
+    d8, cl8, cl_ptr = _as_dict_args(dict_buf, dict_cl)
+    dst = np.empty(block_size + 64, np.uint8)
+    n = L.zxch_decode_block(block_type, pl.ctypes.data_as(ctypes.c_void_p),
+                            len(pl), dst.ctypes.data_as(ctypes.c_void_p),
+                            block_size, d8.ctypes.data_as(ctypes.c_void_p),
+                            len(d8), cl_ptr)
+    if n < 0:
+        from ..errors import ZxcError
+        raise ZxcError(int(n), "native block decode")
+    return dst[:n]
+
+
+def decompress_frame(archive, block_size: int, has_checksum: bool,
+                     verify: bool, dict_buf: np.ndarray | None = None,
+                     dict_cl: np.ndarray | None = None) -> bytes | None:
+    """Whole-frame native decode: one C call per archive (the host decode
+    hot path). None when unavailable; raises ZxcError on malformed input
+    with the same codes as the Python frame loop."""
+    L = lib()
+    if L is None:
+        return None
+    src = np.frombuffer(archive, np.uint8) if isinstance(archive, (bytes, bytearray, memoryview)) \
+        else np.ascontiguousarray(archive, np.uint8)
+    n = len(src)
+    # frame walk first: block count bounds the output allocation, and a
+    # footer lying about the size can never overflow it (each block's
+    # logical writes are capped at block_size inside the C loop).
+    max_blocks = n // 8 + 2
+    pos = np.empty(max_blocks, np.uint64)
+    typ = np.empty(max_blocks, np.uint8)
+    comp = np.empty(max_blocks, np.uint64)
+    eof = ctypes.c_uint64(0)
+    from .. import constants as C
+    nb = L.zxch_walk_frame(src.ctypes.data_as(ctypes.c_void_p), n,
+                           1 if has_checksum else 0,
+                           C.compress_block_bound(block_size), 16,
+                           pos.ctypes.data_as(ctypes.c_void_p),
+                           typ.ctypes.data_as(ctypes.c_void_p),
+                           comp.ctypes.data_as(ctypes.c_void_p),
+                           max_blocks, ctypes.byref(eof))
+    if nb < 0:
+        from ..errors import ZxcError
+        raise ZxcError(int(nb), "frame walk")
+    d8, cl8, cl_ptr = _as_dict_args(dict_buf, dict_cl)
+    dst = np.empty(int(nb) * block_size + 64, np.uint8)
+    w = L.zxch_decompress_frame(src.ctypes.data_as(ctypes.c_void_p), n,
+                                block_size, 1 if has_checksum else 0,
+                                1 if verify else 0,
+                                d8.ctypes.data_as(ctypes.c_void_p), len(d8),
+                                cl_ptr, dst.ctypes.data_as(ctypes.c_void_p),
+                                len(dst))
+    if w < 0:
+        from ..errors import ZxcError
+        raise ZxcError(int(w), "native frame decode")
+    return dst[:w].tobytes()
 
 
 def find_matches(data: np.ndarray, start: int, max_probes: int):

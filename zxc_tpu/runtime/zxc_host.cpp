@@ -1151,8 +1151,9 @@ extern "C" {
 // BFS run sizing (pass 1), bottom-up level merges (pass 2).
 // code_len: 256 entries (0 = absent). Decodes exactly n symbols from
 // payload (node runs only, no lengths header). Returns 0 or negative err.
-int zxch_pivco_decode(const uint8_t *payload, uint64_t plen,
-                      const uint8_t *code_len, uint64_t n, uint8_t *out) {
+int zxch_pivco_decode_s(const uint8_t *payload, uint64_t plen,
+                        const uint8_t *code_len, uint64_t n, uint8_t *out,
+                        uint8_t *user_scratch) {
   const int MAXLEN = 11;
   const int MAXN = 2 * 256 - 1;
   if (n == 0) return -8;
@@ -1304,7 +1305,7 @@ int zxch_pivco_decode(const uint8_t *payload, uint64_t plen,
   }
 
   // pass 2: bottom-up level merges (ping-pong buffers)
-  uint8_t *scratch = new uint8_t[n];
+  uint8_t *scratch = user_scratch ? user_scratch : new uint8_t[n];
   uint8_t *bufs[2] = {out, scratch};
   for (int d = max_depth; d >= 0; d--) {
     uint8_t *bd = bufs[d & 1];
@@ -1357,8 +1358,13 @@ int zxch_pivco_decode(const uint8_t *payload, uint64_t plen,
     }
   }
   // result parity: level 0 writes into bufs[0] == out
-  delete[] scratch;
+  if (!user_scratch) delete[] scratch;
   return 0;
+}
+
+int zxch_pivco_decode(const uint8_t *payload, uint64_t plen,
+                      const uint8_t *code_len, uint64_t n, uint8_t *out) {
+  return zxch_pivco_decode_s(payload, plen, code_len, n, out, nullptr);
 }
 
 }  // extern "C"
@@ -1957,6 +1963,400 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
     out[w + 8 + i] = (uint8_t)((gh >> (8 * i)) & 0xFF);
   w += FOOT;
   return (int64_t)w;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fully-native frame decode (the host hot path).
+//
+// One C call decodes a whole archive: frame walk, per-block section parse,
+// entropy literal decode, and a FUSED token/extras/expand loop — no
+// intermediate (ll, ml, off) arrays, no per-block Python round trips.
+// Mirrors the conformance-verified Python pipeline in
+// zxc_tpu/codec/frame.py (decompress) + codec/block_decode.py; reference
+// behavior contract: zxc_dispatch.c:856-1055 + zxc_decompress.c:1495-1544.
+//
+// Output buffer contract: callers allocate n_blocks*block_size + 64 bytes
+// so fixed-width wild copies may overshoot the logical write cursor; all
+// LOGICAL bounds are still checked exactly (same error codes as Python).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct DecScratch {
+  uint8_t *lit;  // block_size + 64 (decoded literal section)
+  uint8_t *tok;  // block_size     (decoded token section)
+  uint8_t *piv;  // block_size     (PivCo ping-pong scratch)
+};
+
+inline uint64_t rd16le(const uint8_t *p) {
+  uint16_t v;
+  memcpy(&v, p, 2);
+  return v;
+}
+
+// 1..3-byte prefix varint; returns consumed bytes or -8.
+inline int64_t dec_varint(const uint8_t *p, uint64_t rem, uint64_t *v) {
+  if (!rem) return -8;
+  uint8_t b0 = p[0];
+  if (b0 < 0x80) {
+    *v = b0;
+    return 1;
+  }
+  if (b0 < 0xC0) {
+    if (rem < 2) return -8;
+    *v = (uint64_t)(b0 & 0x3F) | ((uint64_t)p[1] << 6);
+    return 2;
+  }
+  if (b0 < 0xE0) {
+    if (rem < 3) return -8;
+    *v = (uint64_t)(b0 & 0x1F) | ((uint64_t)p[1] << 5) |
+         ((uint64_t)p[2] << 13);
+    return 3;
+  }
+  return -8;
+}
+
+// Unpack the 128-byte nibble-packed code-length header (cap 11, not all 0).
+inline int unpack_cl(const uint8_t *packed, uint8_t *cl) {
+  int any = 0;
+  for (int i = 0; i < 128; i++) {
+    uint8_t b = packed[i];
+    uint8_t lo = (uint8_t)(b & 15), hi = (uint8_t)(b >> 4);
+    if (lo > 11 || hi > 11) return -8;
+    cl[2 * i] = lo;
+    cl[2 * i + 1] = hi;
+    any |= b;
+  }
+  return any ? 0 : -8;
+}
+
+// Overlap-aware match copy: wild 16-byte chunks once the effective
+// distance reaches 16; below that, pattern-doubling (copy o bytes, then
+// 2o, ...) grows the distance in O(log) steps. Caller guarantees >= 32
+// bytes of physical slack past the logical end.
+inline void copy_match(uint8_t *d, uint64_t o, uint64_t mlen) {
+  if (o >= 16) {
+    const uint8_t *sp = d - o;
+    for (uint64_t k = 0; k < mlen; k += 16) memcpy(d + k, sp + k, 16);
+    return;
+  }
+  if (o == 1) {
+    memset(d, d[-1], mlen);
+    return;
+  }
+  uint64_t done = 0, dist = o;
+  while (dist < 16) {
+    if (done + dist >= mlen) {
+      for (; done < mlen; done++) d[done] = d[done - dist];
+      return;
+    }
+    memcpy(d + done, d + done - dist, dist);
+    done += dist;
+    dist <<= 1;
+  }
+  for (; done < mlen; done += 16) memcpy(d + done, d + done - dist, 16);
+}
+
+// Literal copy: fixed-width wild chunks when the source has >= 32 bytes
+// of readable slack (scratch buffers always do; raw payload sections only
+// when not flush against the archive end).
+inline void copy_literals(uint8_t *d, const uint8_t *s, uint64_t l,
+                          int wild) {
+  if (!wild) {
+    memcpy(d, s, l);
+    return;
+  }
+  memcpy(d, s, 16);
+  if (l > 16)
+    for (uint64_t k = 16; k < l; k += 32) memcpy(d + k, s + k, 32);
+}
+
+// Decode one GLO or GHI payload into out[0..block_size). Returns produced
+// bytes or a negative ZXC error (codes match the Python path exactly).
+int64_t decode_gnr_block(int is_glo, const uint8_t *pl, uint64_t plen,
+                         uint8_t *out, uint64_t block_size,
+                         const uint8_t *dict, uint64_t n_dict,
+                         const uint8_t *dict_cl, DecScratch *S,
+                         int payload_wild) {
+  const int n_sec = is_glo ? 4 : 3;
+  const uint64_t HDR = 16 + 8u * n_sec;
+  if (plen < HDR) return -6;  // BAD_HEADER: sub-header truncated
+  uint32_t n_seq;
+  memcpy(&n_seq, pl, 4);
+  uint8_t enc_lit = pl[8], enc_tok = pl[9], enc_off = pl[11];
+  uint64_t sz[4] = {0, 0, 0, 0}, raw[4] = {0, 0, 0, 0};
+  uint64_t tile = HDR;
+  for (int k = 0; k < n_sec; k++) {
+    uint64_t d;
+    memcpy(&d, pl + 16 + 8 * k, 8);
+    sz[k] = d & 0xFFFFFFFFu;
+    raw[k] = d >> 32;
+    tile += sz[k];
+  }
+  if (tile != plen) return -8;  // sections do not tile payload
+  const uint8_t *sec_lit = pl + HDR;
+  const uint8_t *sec_b = sec_lit + sz[0];   // tokens (GLO) / words (GHI)
+  const uint8_t *sec_c = sec_b + sz[1];     // offsets (GLO) / extras (GHI)
+  const uint8_t *sec_ext = is_glo ? sec_c + sz[2] : sec_c;
+  const uint64_t sz_ext = is_glo ? sz[3] : sz[2];
+  if (n_seq > block_size / 5 + 1) return -8;  // cannot fit MIN_MATCH each
+
+  // ---- literal section ----
+  const uint8_t *lit;
+  uint64_t n_lit;
+  int lit_wild;
+  if (!is_glo || enc_lit == 0) {  // GHI literals are always raw
+    lit = sec_lit;
+    n_lit = sz[0];
+    lit_wild = payload_wild;
+  } else {
+    uint64_t rl = raw[0];
+    if (rl > block_size) return -8;  // literal section larger than block
+    lit = S->lit;
+    n_lit = rl;
+    lit_wild = 1;
+    if (enc_lit == 1) {  // RLE
+      if (rl) {
+        int rc = zxch_rle_decode(sec_lit, sz[0], S->lit, rl);
+        if (rc) return rc;
+      }
+    } else if (enc_lit == 2) {  // Huffman with inline lengths header
+      if (rl) {
+        if (sz[0] < 128) return -8;
+        uint8_t cl[256];
+        if (unpack_cl(sec_lit, cl)) return -8;
+        int rc = zxch_pivco_decode_s(sec_lit + 128, sz[0] - 128, cl, rl,
+                                     S->lit, S->piv);
+        if (rc) return rc;
+      }
+    } else if (enc_lit == 3) {  // shared dictionary table
+      if (!dict_cl) return -15;  // DICT_REQUIRED
+      if (rl) {
+        int rc = zxch_pivco_decode_s(sec_lit, sz[0], dict_cl, rl, S->lit,
+                                     S->piv);
+        if (rc) return rc;
+      }
+    } else {
+      return -8;
+    }
+  }
+
+  // ---- token / word section ----
+  const uint8_t *tok = sec_b;
+  if (is_glo) {
+    if (enc_tok == 2) {
+      if (n_seq) {
+        if (sz[1] < 128) return -8;
+        uint8_t cl[256];
+        if (unpack_cl(sec_b, cl)) return -8;
+        int rc = zxch_pivco_decode_s(sec_b + 128, sz[1] - 128, cl, n_seq,
+                                     S->tok, S->piv);
+        if (rc) return rc;
+      }
+      tok = S->tok;
+    } else if (enc_tok == 0) {
+      if (sz[1] < n_seq) return -8;
+    } else {
+      return -8;
+    }
+    uint64_t expected_off = (enc_off == 1) ? n_seq : 2u * n_seq;
+    if (sz[2] < expected_off) return -8;
+  } else {
+    if (sz[1] < 4u * n_seq) return -8;
+  }
+
+  // ---- fused expand ----
+  uint64_t w = 0, r = 0, e = 0;
+  for (uint64_t i = 0; i < n_seq; i++) {
+    uint64_t l, m, o;
+    if (is_glo) {
+      uint32_t t = tok[i];
+      l = t >> 4;
+      m = t & 15;
+      if (l == 15) {
+        uint64_t v;
+        int64_t c = dec_varint(sec_ext + e, sz_ext - e, &v);
+        if (c < 0) return -8;
+        e += (uint64_t)c;
+        l += v;
+      }
+      if (m == 15) {
+        uint64_t v;
+        int64_t c = dec_varint(sec_ext + e, sz_ext - e, &v);
+        if (c < 0) return -8;
+        e += (uint64_t)c;
+        m += v;
+      }
+      o = (enc_off == 1) ? (uint64_t)sec_c[i] + 1 : rd16le(sec_c + 2 * i) + 1;
+    } else {
+      uint32_t wd;
+      memcpy(&wd, sec_b + 4 * i, 4);
+      l = wd >> 24;
+      m = (wd >> 16) & 0xFF;
+      o = (wd & 0xFFFF) + 1;
+      if (l == 255) {
+        uint64_t v;
+        int64_t c = dec_varint(sec_ext + e, sz_ext - e, &v);
+        if (c < 0) return -8;
+        e += (uint64_t)c;
+        l += v;
+      }
+      if (m == 255) {
+        uint64_t v;
+        int64_t c = dec_varint(sec_ext + e, sz_ext - e, &v);
+        if (c < 0) return -8;
+        e += (uint64_t)c;
+        m += v;
+      }
+    }
+    m += 5;  // MIN_MATCH
+    if (r + l > n_lit) return -10;          // literal stream exhausted
+    if (w + l + m > block_size) return -10; // exceeds capacity
+    copy_literals(out + w, lit + r, l, lit_wild);
+    w += l;
+    r += l;
+    if (o > w + n_dict) return -9;  // BAD_OFFSET
+    uint64_t mlen = m;
+    if (o > w) {  // leading bytes come from the dictionary window
+      uint64_t from_dict = o - w;
+      uint64_t take = from_dict < mlen ? from_dict : mlen;
+      memcpy(out + w, dict + n_dict - from_dict, take);
+      w += take;
+      mlen -= take;
+    }
+    if (mlen) {
+      copy_match(out + w, o, mlen);
+      w += mlen;
+    }
+  }
+  uint64_t trailing = n_lit - r;
+  if (w + trailing > block_size) return -10;
+  memcpy(out + w, lit + r, trailing);
+  return (int64_t)(w + trailing);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one data block payload (chunk-wrapper equivalent without the
+// checksum step). out must have block_size + 64 bytes. Scratch is
+// allocated per call; use zxch_decompress_frame for whole archives.
+int64_t zxch_decode_block(int block_type, const uint8_t *pl, uint64_t plen,
+                          uint8_t *out, uint64_t block_size,
+                          const uint8_t *dict, uint64_t n_dict,
+                          const uint8_t *dict_cl) {
+  if (block_type == 0) {  // RAW
+    if (plen > block_size) return -10;
+    memcpy(out, pl, plen);
+    return (int64_t)plen;
+  }
+  if (block_type != 1 && block_type != 2) return -13;
+  uint8_t *mem = new uint8_t[3 * block_size + 64];
+  DecScratch S = {mem, mem + block_size + 64, mem + 2 * block_size + 64};
+  int64_t rc = decode_gnr_block(block_type == 1, pl, plen, out, block_size,
+                                dict, n_dict, dict_cl, &S, 0);
+  delete[] mem;
+  return rc;
+}
+
+// Whole-frame decode starting after the (caller-validated) 16-byte file
+// header. dst_alloc must be >= n_blocks*block_size + 64. Returns produced
+// bytes or a negative ZXC error code.
+int64_t zxch_decompress_frame(const uint8_t *src, uint64_t n,
+                              uint64_t block_size, int has_checksum,
+                              int verify, const uint8_t *dict,
+                              uint64_t n_dict, const uint8_t *dict_cl,
+                              uint8_t *dst, uint64_t dst_alloc) {
+  if (n < 16 + 12) return -3;
+  uint64_t p = 16, w_total = 0;
+  uint32_t ghash = 0;
+  const uint64_t tail = has_checksum ? 4 : 0;
+  const uint64_t bound = 8 + block_size + 4;  // compress_block_bound
+  uint8_t *mem = new uint8_t[3 * block_size + 64];
+  DecScratch S = {mem, mem + block_size + 64, mem + 2 * block_size + 64};
+  int64_t err = 0;
+  int saw_eof = 0;
+  while (p + 8 <= n) {
+    uint8_t hdr[8];
+    memcpy(hdr, src + p, 8);
+    uint8_t crc = hdr[7];
+    hdr[7] = 0;
+    if (zxch_hash8(hdr) != crc) {
+      err = -6;
+      break;
+    }
+    uint8_t bt = hdr[0];
+    uint32_t csz;
+    memcpy(&csz, hdr + 3, 4);
+    if (bt == 255) {  // EOF
+      if (csz != 0) {
+        err = -6;
+        break;
+      }
+      saw_eof = 1;
+      break;
+    }
+    uint64_t poff = p + 8;
+    if (poff + csz + tail > n) {
+      err = -3;
+      break;
+    }
+    if (csz > bound) {
+      err = -8;
+      break;
+    }
+    const uint8_t *pl = src + poff;
+    if (has_checksum) {
+      uint32_t stored;
+      memcpy(&stored, src + poff + csz, 4);
+      if (verify) {
+        ghash = ((ghash << 1) | (ghash >> 31)) ^ stored;
+        if (zxch_rapidhash32(pl, csz, 0) != stored) {
+          err = -7;
+          break;
+        }
+      }
+    }
+    if (w_total + block_size + 64 > dst_alloc) {
+      err = -10;  // caller sizing violation (should be impossible)
+      break;
+    }
+    int payload_wild = (poff + csz + 32 <= n);
+    int64_t out_n;
+    if (bt == 0) {  // RAW
+      if (csz > block_size) {
+        err = -10;
+        break;
+      }
+      memcpy(dst + w_total, pl, csz);
+      out_n = csz;
+    } else if (bt == 1 || bt == 2) {
+      out_n = decode_gnr_block(bt == 1, pl, csz, dst + w_total, block_size,
+                               dict, n_dict, dict_cl, &S, payload_wild);
+    } else {
+      err = -13;
+      break;
+    }
+    if (out_n < 0) {
+      err = out_n;
+      break;
+    }
+    w_total += (uint64_t)out_n;
+    p = poff + csz + tail;
+  }
+  delete[] mem;
+  if (err) return err;
+  if (!saw_eof) return -3;  // missing EOF block
+  uint64_t stored_size;
+  uint32_t stored_hash;
+  memcpy(&stored_size, src + n - 12, 8);
+  memcpy(&stored_hash, src + n - 4, 4);
+  if (stored_size != w_total) return -8;  // footer size mismatch
+  if (verify && stored_hash != ghash) return -7;
+  return (int64_t)w_total;
 }
 
 }  // extern "C"
