@@ -13,6 +13,11 @@
 #include <cstring>
 #include <cstddef>
 
+#if defined(__AVX512VBMI2__) && defined(__AVX512BW__) && defined(__BMI2__)
+#include <immintrin.h>
+#define ZXCH_HAVE_VBMI2 1
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -1276,10 +1281,16 @@ int zxch_pivco_decode_s(const uint8_t *payload, uint64_t plen,
     run_ptr[nid] = payload + pos;
     pos += nbytes;
     if (fd) continue;
-    // popcount the run's first c bits
+    // popcount the run's first c bits (8 bytes per step)
     int64_t ones = 0;
     uint64_t full = (uint64_t)c / 8;
-    for (uint64_t k = 0; k < full; k++)
+    uint64_t k = 0;
+    for (; k + 8 <= full; k += 8) {
+      uint64_t v;
+      memcpy(&v, run_ptr[nid] + k, 8);
+      ones += __builtin_popcountll(v);
+    }
+    for (; k < full; k++)
       ones += __builtin_popcount(run_ptr[nid][k]);
     int rem = (int)(c & 7);
     if (rem)
@@ -1336,8 +1347,19 @@ int zxch_pivco_decode_s(const uint8_t *payload, uint64_t plen,
           stack[sp++] = {child[it.nid][1], it.path | (1 << it.len), it.len + 1};
         }
         const uint8_t *rp = run_ptr[nid];
+        const uint64_t nbytes = ((uint64_t)c * D + 7) / 8;
+        const uint64_t dmask = (1u << D) - 1;
         uint64_t bitpos = 0;
-        for (int64_t t = 0; t < c; t++) {
+        int64_t t = 0;
+        // 64-bit bit-buffer fast path: one load+shift per symbol while a
+        // full 8-byte window fits inside the run
+        for (; t < c && (bitpos >> 3) + 8 <= nbytes; t++) {
+          uint64_t wbits;
+          memcpy(&wbits, rp + (bitpos >> 3), 8);
+          bd[o + t] = c2s[(wbits >> (bitpos & 7)) & dmask];
+          bitpos += D;
+        }
+        for (; t < c; t++) {  // bit-exact tail
           uint32_t path = 0;
           for (int j = 0; j < D; j++) {
             path |= ((rp[bitpos >> 3] >> (bitpos & 7)) & 1u) << j;
@@ -1350,7 +1372,25 @@ int zxch_pivco_decode_s(const uint8_t *payload, uint64_t plen,
         const uint8_t *rp = run_ptr[nid];
         int64_t l = (ch0 >= 0) ? seq_off[ch0] : 0;
         int64_t r = (ch1 >= 0) ? seq_off[ch1] : 0;
-        for (int64_t t = 0; t < c; t++) {
+        int64_t t = 0;
+#ifdef ZXCH_HAVE_VBMI2
+        // 64 selector bits per step: expand-load the exact number of
+        // child bytes each side contributes (masked loads suppress
+        // faults, so no over-read past the child sequences)
+        for (; t + 64 <= c; t += 64) {
+          uint64_t m;
+          memcpy(&m, rp + (t >> 3), 8);
+          uint64_t nr = (uint64_t)__builtin_popcountll(m);
+          __m512i rv = _mm512_maskz_expand_epi8(
+              m, _mm512_maskz_loadu_epi8(_bzhi_u64(~0ull, nr), bc + r));
+          __m512i lv = _mm512_maskz_expand_epi8(
+              ~m, _mm512_maskz_loadu_epi8(_bzhi_u64(~0ull, 64 - nr), bc + l));
+          _mm512_storeu_si512(bd + o + t, _mm512_or_si512(rv, lv));
+          r += (int64_t)nr;
+          l += (int64_t)(64 - nr);
+        }
+#endif
+        for (; t < c; t++) {
           int bit = (rp[t >> 3] >> (t & 7)) & 1;
           bd[o + t] = bit ? bc[r++] : bc[l++];
         }
@@ -2037,6 +2077,13 @@ inline int unpack_cl(const uint8_t *packed, uint8_t *cl) {
 // 2o, ...) grows the distance in O(log) steps. Caller guarantees >= 32
 // bytes of physical slack past the logical end.
 inline void copy_match(uint8_t *d, uint64_t o, uint64_t mlen) {
+  if (o >= 32) {
+    const uint8_t *sp = d - o;
+    memcpy(d, sp, 32);
+    if (mlen > 32)
+      for (uint64_t k = 32; k < mlen; k += 32) memcpy(d + k, sp + k, 32);
+    return;
+  }
   if (o >= 16) {
     const uint8_t *sp = d - o;
     for (uint64_t k = 0; k < mlen; k += 16) memcpy(d + k, sp + k, 16);
