@@ -42,6 +42,7 @@ class LevelParams:
     sufficient_len: int = 0  # chain-walk early exit (0 = unbounded)
     step_base: int = 1      # miss-path skip: step_base + (run >> step_shift)
     step_shift: int = 0     # 0 = no acceleration
+    cover_base: int = 1     # chain-insert stride inside emitted matches
 
 
 def level_params(level: int) -> LevelParams:
@@ -50,11 +51,11 @@ def level_params(level: int) -> LevelParams:
     5-byte-hash chain matcher to match or beat its per-level sizes)."""
     level = max(C.LEVEL_MIN, min(C.LEVEL_MAX, level))
     table = {
-        1: LevelParams(4, False, 8, 16, 1, 4),
-        2: LevelParams(4, False, 8, 18, 1, 6),
-        3: LevelParams(6, True, 8, 32, 1, 6),
-        4: LevelParams(8, True, 8, 64),
-        5: LevelParams(64, True, 8, 256),
+        1: LevelParams(2, False, 8, 16, 1, 4, 4),
+        2: LevelParams(6, True, 8, 24, 1, 6, 4),
+        3: LevelParams(6, True, 8, 32, 1, 6, 4),
+        4: LevelParams(8, True, 8, 64, cover_base=2),
+        5: LevelParams(64, True, 8, 256, cover_base=2),
         6: LevelParams(64, True, 8),
         7: LevelParams(128, True, 11),
     }
@@ -384,7 +385,8 @@ def _build_sequences(data: np.ndarray, level: int,
             from .. import runtime
             r = runtime.find_parse(full, start, params.n_candidates,
                                    params.lazy, params.sufficient_len,
-                                     params.step_base, params.step_shift)
+                                   params.step_base, params.step_shift,
+                                   params.cover_base)
             if r is not None:
                 m_pos, m_len, m_off = (a.astype(np.int64) for a in r)
         except ImportError:
@@ -483,7 +485,8 @@ def encode_block_glo(data: np.ndarray, level: int,
             params = level_params(level)
             out = runtime.encode_glo(data, 0, params.n_candidates,
                                      params.lazy, params.sufficient_len,
-                                     params.step_base, params.step_shift)
+                                     params.step_base, params.step_shift,
+                                     params.cover_base)
             if out is not None:
                 return out
         except ImportError:
@@ -572,7 +575,8 @@ def encode_block_ghi(data: np.ndarray, level: int,
             params = level_params(level)
             out = runtime.encode_ghi(data, 0, params.n_candidates,
                                      params.lazy, params.sufficient_len,
-                                     params.step_base, params.step_shift)
+                                     params.step_base, params.step_shift,
+                                     params.cover_base)
             if out is not None:
                 return out
         except ImportError:

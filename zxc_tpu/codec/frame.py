@@ -225,8 +225,8 @@ def compress(data: bytes, opts: EncodeOpts | None = None) -> bytes:
         nat = runtime.compress_frame(
             arr, level, params.n_candidates, params.lazy,
             params.sufficient_len, params.step_base, params.step_shift,
-            block_size, C.block_size_code(block_size), opts.checksum,
-            opts.seekable)
+            params.cover_base, block_size, C.block_size_code(block_size),
+            opts.checksum, opts.seekable)
         if nat is not None:
             return nat
     out = bytearray()

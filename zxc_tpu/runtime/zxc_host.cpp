@@ -852,12 +852,13 @@ extern "C" {
 // (pos, len, off) relative to `start`. Returns sequence count or -10.
 int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
                         int max_probes, int lazy, int sufficient_len,
-                        int step_base, int step_shift,
+                        int step_base, int step_shift, int cover_base,
                         int32_t *out_pos, int32_t *out_len, int32_t *out_off,
                         uint64_t max_seq) {
   if (sufficient_len <= 0) sufficient_len = 1 << 30;
   if (step_base <= 0) step_base = 1;
   if (step_shift <= 0) step_shift = 30;
+  if (cover_base <= 0) cover_base = 1;
   const uint64_t WINDOW = 64 * 1024;
   const int HASH_BITS = 15;
   const uint64_t MIN_MATCH = 5;
@@ -898,17 +899,20 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
     return (idx << 8) | tag;
   };
 
+  auto insert_ht = [&](uint64_t p, uint32_t ht) {
+    uint32_t h = ht >> 8;
+    chain[p] = head[h];
+    head[h] = ((ht & 0xFF) << 24) | (uint32_t)p;
+  };
+
   auto insert = [&](uint64_t p) {
-    if (p < hend) {
-      uint32_t ht = hash5t(data + p);
-      uint32_t h = ht >> 8;
-      chain[p] = head[h];
-      head[h] = ((ht & 0xFF) << 24) | (uint32_t)p;
-    }
+    if (p < hend) insert_ht(p, hash5t(data + p));
   };
 
   int64_t rep_off = 0;  // last emitted offset (reference seeds this,
                         // zxc_compress.c:242-267)
+  uint32_t cur_ht = 0;  // hash computed by the last search() at its cursor
+                        // (valid whenever that cursor was < hend)
 
   auto try_cand = [&](uint64_t p, uint64_t c, int *best_len,
                       int64_t *best_off) {
@@ -941,8 +945,8 @@ done:
     // repeat-offset candidate first: free, and structured data repeats
     if (rep_off > 0 && p >= (uint64_t)rep_off)
       try_cand(p, p - (uint64_t)rep_off, best_len, best_off);
+    uint32_t ht = cur_ht = hash5t(data + p);
     if (*best_len >= sufficient_len) return;  // good enough: stop searching
-    uint32_t ht = hash5t(data + p);
     uint32_t mytag = ht & 0xFF;
     uint32_t cand = head[ht >> 8];
     int probes = max_probes;
@@ -989,7 +993,7 @@ done:
     if (l < (int)MIN_MATCH) {
       // accelerating miss step (reference zxc_compress.c:1231): skip
       // ahead through incompressible runs, skipped positions not inserted
-      insert(p);
+      if (p < hend) insert_ht(p, cur_ht);  // search already hashed p
       p += (uint64_t)step_base + ((p - anchor) >> step_shift);
       continue;
     }
@@ -997,7 +1001,7 @@ done:
     if (lazy && l < sufficient_len && p + 1 < n) {
       int l2;
       int64_t o2;
-      insert(p);
+      if (p < hend) insert_ht(p, cur_ht);
       already = p + 1;
       search(p + 1, &l2, &o2);
       if (l2 >= (int)MIN_MATCH && l2 > l) { p++; l = l2; o = o2; }
@@ -1016,7 +1020,10 @@ done:
     nseq++;
     // insert covered positions (stride 2 beyond 64 keeps long runs cheap)
     uint64_t end = p + (uint64_t)l;
-    uint64_t step = l > 64 ? 2 : 1;
+    // insertion density inside the emitted match: sparser chains trade a
+    // few hundredths of a percent of ratio for large speed wins at fast
+    // levels (cover_base=1 restores full-density insertion)
+    uint64_t step = (uint64_t)(l > 32 ? 2 * cover_base : cover_base);
     uint64_t q0 = p < already ? already : p;
     for (uint64_t q = q0; q < end && q < hend; q += step) insert(q);
     p = end;
@@ -1421,7 +1428,7 @@ extern "C" {
 // when cap is too small.
 int64_t zxch_encode_ghi(const uint8_t *data, uint64_t n, uint64_t start,
                         int max_probes, int lazy, int sufficient_len,
-                        int step_base, int step_shift,
+                        int step_base, int step_shift, int cover_base,
                         uint8_t *out, uint64_t cap) {
   uint64_t P = n - start;
   uint64_t max_seq = P / 5 + 8;
@@ -1430,7 +1437,7 @@ int64_t zxch_encode_ghi(const uint8_t *data, uint64_t n, uint64_t start,
   int32_t *mo = new int32_t[max_seq];
   int64_t nseq = zxch_find_parse(data, n, start, max_probes, lazy,
                                  sufficient_len, step_base, step_shift,
-                                 mp, ml, mo, max_seq);
+                                 cover_base, mp, ml, mo, max_seq);
   if (nseq < 0) { delete[] mp; delete[] ml; delete[] mo; return -10; }
 
   // sizes: literals = P - sum(ml); extras per saturated field
@@ -1580,7 +1587,7 @@ static int64_t ghi_rle_encode(const uint8_t *lit, uint64_t n, uint8_t *out,
 // prem_rle = 8 below level 6. Returns payload size or -10.
 int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
                         int max_probes, int lazy, int sufficient_len,
-                        int step_base, int step_shift,
+                        int step_base, int step_shift, int cover_base,
                         uint8_t *out, uint64_t cap) {
   uint64_t P = n - start;
   uint64_t max_seq = P / 5 + 8;
@@ -1589,7 +1596,7 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
   int32_t *mo = new int32_t[max_seq];
   int64_t nseq = zxch_find_parse(data, n, start, max_probes, lazy,
                                  sufficient_len, step_base, step_shift,
-                                 mp, ml, mo, max_seq);
+                                 cover_base, mp, ml, mo, max_seq);
   if (nseq < 0) { delete[] mp; delete[] ml; delete[] mo; return -10; }
 
   uint64_t lit_total = P;
@@ -1898,7 +1905,7 @@ extern "C" {
 
 int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
                             int max_probes, int lazy, int sufficient_len,
-                            int step_base, int step_shift,
+                            int step_base, int step_shift, int cover_base,
                             uint64_t block_size, int block_size_code,
                             int checksum, int seekable,
                             uint8_t *out, uint64_t cap) {
@@ -1934,12 +1941,12 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
     if (level <= 2) {
       psz = zxch_encode_ghi(data + pos, len, 0, max_probes, lazy,
                             sufficient_len, step_base, step_shift,
-                            payload, pcap);
+                            cover_base, payload, pcap);
       btype = 2;  // GHI
     } else {
       psz = zxch_encode_glo(data + pos, len, 0, max_probes, lazy,
                             sufficient_len, step_base, step_shift,
-                            payload, pcap);
+                            cover_base, payload, pcap);
       btype = 1;  // GLO
     }
     if (psz < 0 || (uint64_t)(BH + psz) >= len) {
