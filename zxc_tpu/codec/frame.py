@@ -159,22 +159,47 @@ def decompress_inplace_bound(archive: bytes) -> int:
 def decompress_inplace(buffer: bytearray, comp_size: int,
                        opts: DecodeOpts | None = None) -> int:
     """Decode an archive sitting flush-right in ``buffer`` into
-    ``buffer[0:dsize]``; returns dsize (zxc_decompress_inplace parity —
-    single caller-owned allocation, write cursor never overtakes the
-    archive thanks to the margin checked here)."""
+    ``buffer[0:dsize]``; returns dsize (zxc_decompress_inplace parity,
+    zxc_dispatch.c:1104-1165 — single caller-owned allocation; the margin
+    validated here keeps the write cursor >= 32 bytes behind the archive
+    read cursor at every block, so native decode runs truly in place)."""
     if comp_size < C.FILE_HEADER_SIZE + C.FILE_FOOTER_SIZE or \
             comp_size > len(buffer):
         raise ZxcError(ERROR_SRC_TOO_SMALL)
-    comp = bytes(buffer[len(buffer) - comp_size:])
-    fh = headers.read_file_header(comp)
-    dsize, _ = headers.read_file_footer(comp)
+    hdr = bytes(buffer[len(buffer) - comp_size:
+                       len(buffer) - comp_size + C.FILE_HEADER_SIZE])
+    foot = bytes(buffer[len(buffer) - C.FILE_FOOTER_SIZE:])
+    fh = headers.read_file_header(hdr)
+    dsize, _ = struct_unpack_footer(foot)
     margin = _inplace_margin(dsize, fh.block_size, fh.has_checksum)
     from ..errors import ERROR_DST_TOO_SMALL
     if dsize > len(buffer) or len(buffer) - dsize < margin:
         raise ZxcError(ERROR_DST_TOO_SMALL, "missing in-place margin")
-    out = decompress(comp, opts)
+    verify = bool(opts and opts.checksum) and fh.has_checksum
+    dict_buf, dict_tree, provided_id = _dict_state(opts)
+    if fh.dict_id != 0:
+        if dict_buf is None:
+            raise ZxcError(ERROR_DICT_REQUIRED)
+        if provided_id != fh.dict_id:
+            raise ZxcError(ERROR_DICT_MISMATCH)
+    try:  # true in-place: native decoder writes directly into `buffer`
+        from .. import runtime
+        w = runtime.decompress_frame_into(
+            buffer, comp_size, fh.block_size, fh.has_checksum, verify,
+            dict_buf, None if dict_tree is None else dict_tree.code_len)
+        if w is not None:
+            return w
+    except ImportError:
+        pass
+    # pure-Python fallback: decode out of place, copy back (oracle path)
+    out = decompress(bytes(buffer[len(buffer) - comp_size:]), opts)
     buffer[:len(out)] = out
     return len(out)
+
+
+def struct_unpack_footer(foot: bytes) -> tuple[int, int]:
+    import struct
+    return struct.unpack("<QI", foot)
 
 
 def get_decompressed_size(archive: bytes) -> int:

@@ -331,6 +331,33 @@ def decompress_frame(archive, block_size: int, has_checksum: bool,
     return dst[:w].tobytes()
 
 
+def decompress_frame_into(buffer: bytearray, comp_size: int,
+                          block_size: int, has_checksum: bool, verify: bool,
+                          dict_buf: np.ndarray | None = None,
+                          dict_cl: np.ndarray | None = None) -> int | None:
+    """True single-buffer in-place decode: the archive sits flush-right in
+    ``buffer``; decoded bytes land at ``buffer[0:dsize]``. The caller has
+    already validated the in-place margin (frame.decompress_inplace), which
+    guarantees the write cursor stays >= 32 bytes behind the archive read
+    cursor — covering the <= 31-byte wild-copy overshoot. None when the
+    native library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    n = len(buffer)
+    buf_t = (ctypes.c_uint8 * n).from_buffer(buffer)
+    base = ctypes.addressof(buf_t)
+    d8, cl8, cl_ptr = _as_dict_args(dict_buf, dict_cl)
+    w = L.zxch_decompress_frame(base + n - comp_size, comp_size, block_size,
+                                1 if has_checksum else 0, 1 if verify else 0,
+                                d8.ctypes.data_as(ctypes.c_void_p), len(d8),
+                                cl_ptr, base, n)
+    if w < 0:
+        from ..errors import ZxcError
+        raise ZxcError(int(w), "native in-place decode")
+    return int(w)
+
+
 def find_matches(data: np.ndarray, start: int, max_probes: int):
     """Native hash-chain match finder; returns (lens, offs) int64 arrays
     for positions data[start:], or None when unavailable."""
