@@ -46,6 +46,9 @@ int zxch_ghi_words(const uint8_t *words, uint64_t n_seq, const uint32_t *ext,
                    uint64_t n_ext, int32_t *ll, int32_t *ml, int32_t *off);
 int zxch_pivco_decode(const uint8_t *payload, uint64_t plen,
                       const uint8_t *code_len256, uint64_t n, uint8_t *out);
+int zxch_pivco_decode_s(const uint8_t *payload, uint64_t plen,
+                        const uint8_t *code_len256, uint64_t n, uint8_t *out,
+                        uint8_t *scratch_n /* may be NULL */);
 
 /* -- decode ------------------------------------------------------------ */
 int64_t zxch_expand(const int32_t *ll, const int32_t *ml, const int32_t *off,
@@ -72,16 +75,61 @@ int64_t zxch_window_ops2(const int32_t *po, const int32_t *pc,
 int zxch_find_matches(const uint8_t *data, uint64_t n, uint64_t start,
                       int max_probes, int32_t *lens, int32_t *offs);
 int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
-                        int max_probes, int lazy, int32_t *out_pos,
-                        int32_t *out_len, int32_t *out_off, uint64_t max_seq);
+                        int max_probes, int lazy, int sufficient_len,
+                        int step_base, int step_shift, int cover_base,
+                        int32_t *out_pos, int32_t *out_len,
+                        int32_t *out_off, uint64_t max_seq);
 int64_t zxch_lazy_parse(const int32_t *lens, const int32_t *offs, uint64_t P,
                         int lazy, int32_t *out_pos, int32_t *out_len,
                         int32_t *out_off, uint64_t max_seq);
 int64_t zxch_optimal_parse(const int32_t *lens, const int32_t *offs,
                            uint64_t P, const uint8_t *data,
-                           const uint16_t *lit_cost_bits, int32_t *out_pos,
-                           int32_t *out_len, int32_t *out_off,
-                           uint64_t max_seq);
+                           const uint16_t *lit_cost_bits, int token_bits,
+                           int32_t *out_pos, int32_t *out_len,
+                           int32_t *out_off, uint64_t max_seq);
+
+/* -- whole-frame codec -------------------------------------------------- */
+/* Decode a full archive (after the caller validated the file header).
+ * dst must have n_blocks*block_size + 64 bytes (wild-copy slack).    */
+int64_t zxch_decompress_frame(const uint8_t *src, uint64_t n,
+                              uint64_t block_size, int has_checksum,
+                              int verify, const uint8_t *dict,
+                              uint64_t n_dict, const uint8_t *dict_cl256,
+                              uint8_t *dst, uint64_t dst_alloc);
+/* Decode one data-block payload; out needs block_size + 64 bytes.    */
+int64_t zxch_decode_block(int block_type, const uint8_t *payload,
+                          uint64_t plen, uint8_t *out, uint64_t block_size,
+                          const uint8_t *dict, uint64_t n_dict,
+                          const uint8_t *dict_cl256);
+/* Encode a full frame at levels 1-5 (find+parse+emit native).        */
+int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
+                            int max_probes, int lazy, int sufficient_len,
+                            int step_base, int step_shift, int cover_base,
+                            uint64_t block_size, int block_size_code,
+                            int checksum, int seekable, uint8_t *out,
+                            uint64_t cap);
+
+/* -- simple one-call ABI (binding surface) ------------------------------ */
+/* Header parse/validate; fills block_size / has_checksum / dict_id.  */
+int zxch_frame_info(const uint8_t *src, uint64_t n, uint64_t *block_size,
+                    int *has_checksum, uint32_t *dict_id);
+int64_t zxch_get_decompressed_size(const uint8_t *src, uint64_t n);
+/* dst capacity needed by zxch_simple_decompress.                     */
+int64_t zxch_simple_decompress_bound(const uint8_t *src, uint64_t n);
+int64_t zxch_simple_decompress(const uint8_t *src, uint64_t n, uint8_t *dst,
+                               uint64_t dst_cap, const uint8_t *dict,
+                               uint64_t n_dict, const uint8_t *dict_cl256,
+                               int verify);
+int64_t zxch_compress_bound(uint64_t n, uint64_t block_size);
+/* Levels 1-5; 0 block_size selects the 512 KB default.               */
+int64_t zxch_simple_compress(const uint8_t *data, uint64_t n, int level,
+                             uint64_t block_size, int checksum, int seekable,
+                             uint8_t *dst, uint64_t dst_cap);
+/* O(1) random-access range decode from a seekable archive.           */
+int64_t zxch_seekable_range(const uint8_t *src, uint64_t n, uint64_t offset,
+                            uint64_t length, uint8_t *dst, uint64_t dst_cap,
+                            const uint8_t *dict, uint64_t n_dict,
+                            const uint8_t *dict_cl256);
 
 #ifdef __cplusplus
 }

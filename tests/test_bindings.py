@@ -1,0 +1,94 @@
+"""Language-binding surfaces over the simple C ABI (SURVEY rows 27-31).
+
+The wrappers (wrappers/{nodejs,go,rust,wasm}) are complete sources; this
+environment has no node/go/cargo/emcc toolchains, so those suites gate on
+availability. What always runs here: the WASM entry shims compile with
+plain gcc (WASM_EXPORT is a no-op outside emscripten) and roundtrip
+against libzxchost — the same C logic every wrapper calls.
+"""
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_DIR)
+
+
+def _ensure_so():
+    from zxc_tpu import runtime
+    assert runtime.lib() is not None, "native runtime unavailable"
+    return os.path.join(_REPO, "zxc_tpu", "runtime", "libzxchost.so")
+
+
+def test_wasm_entry_shims(tmp_path):
+    """wasm_entry.c compiles natively and its u32 ABI roundtrips."""
+    so = _ensure_so()
+    main = tmp_path / "main.c"
+    main.write_text(r'''
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+int32_t zxcw_compress_bound(uint32_t, uint32_t);
+int32_t zxcw_compress(const uint8_t*, uint32_t, int32_t, uint32_t,
+                      int32_t, int32_t, uint8_t*, uint32_t);
+int32_t zxcw_get_decompressed_size(const uint8_t*, uint32_t);
+int32_t zxcw_decompress_bound(const uint8_t*, uint32_t);
+int32_t zxcw_decompress(const uint8_t*, uint32_t, uint8_t*, uint32_t,
+                        int32_t);
+int32_t zxcw_seekable_range(const uint8_t*, uint32_t, uint32_t, uint32_t,
+                            uint8_t*);
+int32_t zxcw_detect(const uint8_t*, uint32_t);
+int main(void) {
+    enum { N = 120000 };
+    uint8_t *data = malloc(N);
+    for (int i = 0; i < N; i++) data[i] = (uint8_t)((i * 13) % 199);
+    int32_t cap = zxcw_compress_bound(N, 65536);
+    if (cap <= 0) return 1;
+    uint8_t *arc = malloc(cap);
+    int32_t w = zxcw_compress(data, N, 3, 65536, 1, 1, arc, cap);
+    if (w <= 0) return 2;
+    if (!zxcw_detect(arc, w)) return 3;
+    if (zxcw_get_decompressed_size(arc, w) != N) return 4;
+    int32_t bound = zxcw_decompress_bound(arc, w);
+    uint8_t *back = malloc(bound);
+    if (zxcw_decompress(arc, w, back, bound, 1) != N) return 5;
+    if (memcmp(back, data, N)) return 6;
+    uint8_t slice[512];
+    if (zxcw_seekable_range(arc, w, 100000, 512, slice) != 512) return 7;
+    if (memcmp(slice, data + 100000, 512)) return 8;
+    return 0;
+}
+''')
+    exe = tmp_path / "wasm_shim_test"
+    subprocess.run(
+        ["gcc", "-O1", "-I", os.path.join(_REPO, "include"),
+         os.path.join(_REPO, "wrappers", "wasm", "wasm_entry.c"),
+         str(main), so, "-o", str(exe),
+         f"-Wl,-rpath,{os.path.dirname(so)}"],
+        check=True, capture_output=True)
+    subprocess.run([str(exe)], check=True, timeout=120)
+
+
+@pytest.mark.skipif(shutil.which("npm") is None, reason="node/npm absent")
+def test_node_binding(tmp_path):
+    _ensure_so()
+    cwd = os.path.join(_REPO, "wrappers", "nodejs")
+    subprocess.run(["npm", "install"], cwd=cwd, check=True, timeout=600)
+    subprocess.run(["npm", "test"], cwd=cwd, check=True, timeout=300)
+
+
+@pytest.mark.skipif(shutil.which("go") is None, reason="go absent")
+def test_go_binding():
+    _ensure_so()
+    cwd = os.path.join(_REPO, "wrappers", "go")
+    subprocess.run(["go", "test", "./..."], cwd=cwd, check=True, timeout=600)
+
+
+@pytest.mark.skipif(shutil.which("cargo") is None, reason="cargo absent")
+def test_rust_binding():
+    _ensure_so()
+    cwd = os.path.join(_REPO, "wrappers", "rust", "zxc")
+    subprocess.run(["cargo", "test"], cwd=cwd, check=True, timeout=900)

@@ -113,6 +113,7 @@ def test_c_abi_consumer_compiles_and_runs(tmp_path):
     src = tmp_path / "consumer.c"
     src.write_text('''
 #include "zxc_host.h"
+#include <stdlib.h>
 #include <string.h>
 int main(void) {
     const uint8_t d[] = "abc";
@@ -120,7 +121,29 @@ int main(void) {
     uint8_t rle[] = {0x83, 0x41};
     uint8_t out[7];
     if (zxch_rle_decode(rle, 2, out, 7) != 0) return 1;
-    return memcmp(out, "AAAAAAA", 7) ? 1 : 0;
+    if (memcmp(out, "AAAAAAA", 7)) return 1;
+    /* simple one-call ABI roundtrip (the binding surface) */
+    enum { N = 100000 };
+    uint8_t *data = malloc(N);
+    for (int i = 0; i < N; i++) data[i] = (uint8_t)((i * 7) % 151);
+    int64_t cap = zxch_compress_bound(N, 65536);
+    uint8_t *arc = malloc(cap);
+    int64_t w = zxch_simple_compress(data, N, 3, 65536, 1, 1, arc, cap);
+    if (w <= 0) return 3;
+    int64_t ds = zxch_get_decompressed_size(arc, w);
+    if (ds != N) return 4;
+    int64_t bound = zxch_simple_decompress_bound(arc, w);
+    if (bound < N) return 5;
+    uint8_t *back = malloc(bound);
+    int64_t r = zxch_simple_decompress(arc, w, back, bound, 0, 0, 0, 1);
+    if (r != N || memcmp(back, data, N)) return 6;
+    /* seekable range */
+    uint8_t slice[1000];
+    int64_t sr = zxch_seekable_range(arc, w, 70000, 1000, slice, 1000,
+                                     0, 0, 0);
+    if (sr != 1000 || memcmp(slice, data + 70000, 1000)) return 7;
+    free(data); free(arc); free(back);
+    return 0;
 }
 ''')
     exe = tmp_path / "consumer"

@@ -1,0 +1,151 @@
+// Package zxc is the Go binding for the zxc-tpu codec (ZXC v7 bitstream).
+//
+// It wraps the simple one-call C ABI of libzxchost.so
+// (include/zxc_host.h; reference-parity surface: wrappers/go/zxc.go):
+// Compress / Decompress / GetDecompressedSize / FrameInfo / SeekableRange.
+//
+// Build: the shared library must be built first (importing the Python
+// package once does it, or: g++ -O3 -march=native -shared -fPIC \
+// -o zxc_tpu/runtime/libzxchost.so zxc_tpu/runtime/zxc_host.cpp).
+package zxc
+
+/*
+#cgo CFLAGS: -I${SRCDIR}/../../include
+#cgo LDFLAGS: ${SRCDIR}/../../zxc_tpu/runtime/libzxchost.so -Wl,-rpath,${SRCDIR}/../../zxc_tpu/runtime
+#include <stdlib.h>
+#include "zxc_host.h"
+*/
+import "C"
+
+import (
+	"fmt"
+	"unsafe"
+)
+
+// Error is a ZXC error code (include/zxc_error.h semantics).
+type Error int64
+
+var errNames = map[int64]string{
+	-1: "MEMORY", -2: "DST_TOO_SMALL", -3: "SRC_TOO_SMALL", -4: "BAD_MAGIC",
+	-5: "BAD_VERSION", -6: "BAD_HEADER", -7: "BAD_CHECKSUM",
+	-8: "CORRUPT_DATA", -9: "BAD_OFFSET", -10: "OVERFLOW", -11: "IO",
+	-12: "NULL_INPUT", -13: "BAD_BLOCK_TYPE", -14: "BAD_BLOCK_SIZE",
+	-15: "DICT_REQUIRED", -16: "DICT_MISMATCH", -17: "DICT_TOO_LARGE",
+	-18: "BAD_LEVEL",
+}
+
+func (e Error) Error() string {
+	if n, ok := errNames[int64(e)]; ok {
+		return "zxc: ZXC_ERROR_" + n
+	}
+	return fmt.Sprintf("zxc: error %d", int64(e))
+}
+
+// CompressOptions configures Compress (options-pattern, reference parity).
+type CompressOptions struct {
+	Level     int    // 1..5 (0 = default 3)
+	BlockSize uint64 // power of two 4KB..2MB (0 = 512KB default)
+	Checksum  bool
+	Seekable  bool
+}
+
+func ptr(b []byte) *C.uint8_t {
+	if len(b) == 0 {
+		return (*C.uint8_t)(unsafe.Pointer(&[]byte{0}[0]))
+	}
+	return (*C.uint8_t)(unsafe.Pointer(&b[0]))
+}
+
+func boolInt(b bool) C.int {
+	if b {
+		return 1
+	}
+	return 0
+}
+
+// Compress encodes data into a ZXC v7 frame.
+func Compress(data []byte, opts *CompressOptions) ([]byte, error) {
+	o := CompressOptions{Level: 3}
+	if opts != nil {
+		o = *opts
+	}
+	if o.Level == 0 {
+		o.Level = 3
+	}
+	bs := o.BlockSize
+	if bs == 0 {
+		bs = 512 * 1024
+	}
+	cap := int64(C.zxch_compress_bound(C.uint64_t(len(data)), C.uint64_t(bs)))
+	dst := make([]byte, cap)
+	w := int64(C.zxch_simple_compress(ptr(data), C.uint64_t(len(data)),
+		C.int(o.Level), C.uint64_t(o.BlockSize), boolInt(o.Checksum),
+		boolInt(o.Seekable), ptr(dst), C.uint64_t(len(dst))))
+	if w < 0 {
+		return nil, Error(w)
+	}
+	return dst[:w], nil
+}
+
+// GetDecompressedSize returns the footer-declared size of an archive.
+func GetDecompressedSize(archive []byte) (int64, error) {
+	s := int64(C.zxch_get_decompressed_size(ptr(archive),
+		C.uint64_t(len(archive))))
+	if s < 0 {
+		return 0, Error(s)
+	}
+	return s, nil
+}
+
+// Decompress decodes a full archive (verify enables checksum validation).
+func Decompress(archive []byte, verify bool) ([]byte, error) {
+	bound := int64(C.zxch_simple_decompress_bound(ptr(archive),
+		C.uint64_t(len(archive))))
+	if bound < 0 {
+		return nil, Error(bound)
+	}
+	dst := make([]byte, bound+1)
+	w := int64(C.zxch_simple_decompress(ptr(archive),
+		C.uint64_t(len(archive)), ptr(dst), C.uint64_t(bound), nil, 0, nil,
+		boolInt(verify)))
+	if w < 0 {
+		return nil, Error(w)
+	}
+	return dst[:w], nil
+}
+
+// FrameInfo holds the validated file-header fields.
+type FrameInfo struct {
+	BlockSize   uint64
+	HasChecksum bool
+	DictID      uint32
+}
+
+// Info parses and validates the archive's file header.
+func Info(archive []byte) (FrameInfo, error) {
+	var bs C.uint64_t
+	var ck C.int
+	var did C.uint32_t
+	rc := int64(C.zxch_frame_info(ptr(archive), C.uint64_t(len(archive)),
+		&bs, &ck, &did))
+	if rc != 0 {
+		return FrameInfo{}, Error(rc)
+	}
+	return FrameInfo{uint64(bs), ck != 0, uint32(did)}, nil
+}
+
+// SeekableRange decodes [offset, offset+length) from a seekable archive
+// in O(blocks touched), not O(archive).
+func SeekableRange(archive []byte, offset, length uint64) ([]byte, error) {
+	if length == 0 {
+		return nil, nil
+	}
+	dst := make([]byte, length)
+	w := int64(C.zxch_seekable_range(ptr(archive), C.uint64_t(len(archive)),
+		C.uint64_t(offset), C.uint64_t(length), ptr(dst),
+		C.uint64_t(length), nil, 0, nil))
+	if w < 0 {
+		return nil, Error(w)
+	}
+	return dst[:w], nil
+}

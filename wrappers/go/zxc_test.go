@@ -1,0 +1,61 @@
+package zxc
+
+import (
+	"bytes"
+	"strings"
+	"testing"
+)
+
+func corpus() []byte {
+	text := strings.Repeat("the quick brown fox jumps over the dog ", 3000)
+	bin := make([]byte, 60000)
+	for i := range bin {
+		bin[i] = byte((i * 7) % 251)
+	}
+	return append([]byte(text), bin...)
+}
+
+func TestRoundtrip(t *testing.T) {
+	data := corpus()
+	for _, level := range []int{1, 2, 3, 5} {
+		arc, err := Compress(data, &CompressOptions{
+			Level: level, Checksum: true, Seekable: true})
+		if err != nil {
+			t.Fatalf("level %d: compress: %v", level, err)
+		}
+		if len(arc) >= len(data) {
+			t.Fatalf("level %d: no compression (%d >= %d)", level,
+				len(arc), len(data))
+		}
+		if s, err := GetDecompressedSize(arc); err != nil || s != int64(len(data)) {
+			t.Fatalf("level %d: size %d err %v", level, s, err)
+		}
+		out, err := Decompress(arc, true)
+		if err != nil || !bytes.Equal(out, data) {
+			t.Fatalf("level %d: roundtrip mismatch (err %v)", level, err)
+		}
+		slice, err := SeekableRange(arc, 60000, 5000)
+		if err != nil || !bytes.Equal(slice, data[60000:65000]) {
+			t.Fatalf("level %d: range mismatch (err %v)", level, err)
+		}
+		info, err := Info(arc)
+		if err != nil || !info.HasChecksum {
+			t.Fatalf("level %d: info %+v err %v", level, info, err)
+		}
+	}
+}
+
+func TestCorruptRejected(t *testing.T) {
+	data := corpus()
+	arc, _ := Compress(data, &CompressOptions{Level: 3, Checksum: true})
+	for _, bad := range [][]byte{arc[:40], {1, 2, 3}, {}} {
+		if _, err := Decompress(bad, true); err == nil {
+			t.Fatalf("truncated archive accepted")
+		}
+	}
+	mut := append([]byte(nil), arc...)
+	mut[100] ^= 0xFF
+	if _, err := Decompress(mut, true); err == nil {
+		t.Fatalf("corrupted archive accepted")
+	}
+}

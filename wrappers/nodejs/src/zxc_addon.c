@@ -1,0 +1,177 @@
+/* Node.js N-API addon over the zxc-tpu simple C ABI (libzxchost.so).
+ *
+ * Mirrors the reference's wrappers/nodejs/src/zxc_addon.cc surface at the
+ * frame level: compress / decompress / getDecompressedSize / frameInfo /
+ * seekableRange. Plain N-API C (no node-addon-api dependency) so the only
+ * build requirement is node-gyp + the shared library.
+ */
+#include <node_api.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "zxc_host.h"
+
+static napi_value throw_code(napi_env env, int64_t code) {
+  char msg[64];
+  snprintf(msg, sizeof(msg), "zxc error %lld", (long long)code);
+  napi_throw_error(env, NULL, msg);
+  return NULL;
+}
+
+static int get_buffer(napi_env env, napi_value v, uint8_t **data,
+                      size_t *len) {
+  bool is;
+  if (napi_is_buffer(env, v, &is) != napi_ok || !is) {
+    napi_throw_type_error(env, NULL, "expected Buffer");
+    return 0;
+  }
+  void *p;
+  napi_get_buffer_info(env, v, &p, len);
+  *data = (uint8_t *)p;
+  return 1;
+}
+
+static int64_t get_int(napi_env env, napi_value v, int64_t dflt) {
+  napi_valuetype t;
+  napi_typeof(env, v, &t);
+  if (t != napi_number) return dflt;
+  int64_t out;
+  napi_get_value_int64(env, v, &out);
+  return out;
+}
+
+/* compress(data: Buffer, level=3, blockSize=0, checksum=false,
+ *          seekable=false) -> Buffer */
+static napi_value Compress(napi_env env, napi_callback_info info) {
+  size_t argc = 5;
+  napi_value args[5];
+  napi_get_cb_info(env, info, &argc, args, NULL, NULL);
+  uint8_t *data;
+  size_t n;
+  if (!get_buffer(env, args[0], &data, &n)) return NULL;
+  int64_t level = argc > 1 ? get_int(env, args[1], 3) : 3;
+  int64_t bs = argc > 2 ? get_int(env, args[2], 0) : 0;
+  bool checksum = false, seekable = false;
+  if (argc > 3) napi_get_value_bool(env, args[3], &checksum);
+  if (argc > 4) napi_get_value_bool(env, args[4], &seekable);
+  int64_t cap = zxch_compress_bound(n, bs ? bs : 512 * 1024);
+  uint8_t *dst = (uint8_t *)malloc(cap);
+  if (!dst) return throw_code(env, -1);
+  int64_t w = zxch_simple_compress(data, n, (int)level, bs, checksum,
+                                   seekable, dst, cap);
+  if (w < 0) {
+    free(dst);
+    return throw_code(env, w);
+  }
+  napi_value out;
+  napi_create_buffer_copy(env, (size_t)w, dst, NULL, &out);
+  free(dst);
+  return out;
+}
+
+/* decompress(archive: Buffer, verify=true) -> Buffer */
+static napi_value Decompress(napi_env env, napi_callback_info info) {
+  size_t argc = 2;
+  napi_value args[2];
+  napi_get_cb_info(env, info, &argc, args, NULL, NULL);
+  uint8_t *arc;
+  size_t n;
+  if (!get_buffer(env, args[0], &arc, &n)) return NULL;
+  bool verify = true;
+  if (argc > 1) napi_get_value_bool(env, args[1], &verify);
+  int64_t bound = zxch_simple_decompress_bound(arc, n);
+  if (bound < 0) return throw_code(env, bound);
+  uint8_t *dst = (uint8_t *)malloc((size_t)bound + 1);
+  if (!dst) return throw_code(env, -1);
+  int64_t w = zxch_simple_decompress(arc, n, dst, (uint64_t)bound, NULL, 0,
+                                     NULL, verify);
+  if (w < 0) {
+    free(dst);
+    return throw_code(env, w);
+  }
+  napi_value out;
+  napi_create_buffer_copy(env, (size_t)w, dst, NULL, &out);
+  free(dst);
+  return out;
+}
+
+/* getDecompressedSize(archive: Buffer) -> number */
+static napi_value GetDecompressedSize(napi_env env, napi_callback_info info) {
+  size_t argc = 1;
+  napi_value args[1];
+  napi_get_cb_info(env, info, &argc, args, NULL, NULL);
+  uint8_t *arc;
+  size_t n;
+  if (!get_buffer(env, args[0], &arc, &n)) return NULL;
+  int64_t s = zxch_get_decompressed_size(arc, n);
+  if (s < 0) return throw_code(env, s);
+  napi_value out;
+  napi_create_int64(env, s, &out);
+  return out;
+}
+
+/* frameInfo(archive: Buffer) -> {blockSize, hasChecksum, dictId} */
+static napi_value FrameInfo(napi_env env, napi_callback_info info) {
+  size_t argc = 1;
+  napi_value args[1];
+  napi_get_cb_info(env, info, &argc, args, NULL, NULL);
+  uint8_t *arc;
+  size_t n;
+  if (!get_buffer(env, args[0], &arc, &n)) return NULL;
+  uint64_t bs;
+  int ck;
+  uint32_t did;
+  int rc = zxch_frame_info(arc, n, &bs, &ck, &did);
+  if (rc) return throw_code(env, rc);
+  napi_value out, v;
+  napi_create_object(env, &out);
+  napi_create_int64(env, (int64_t)bs, &v);
+  napi_set_named_property(env, out, "blockSize", v);
+  napi_get_boolean(env, ck != 0, &v);
+  napi_set_named_property(env, out, "hasChecksum", v);
+  napi_create_uint32(env, did, &v);
+  napi_set_named_property(env, out, "dictId", v);
+  return out;
+}
+
+/* seekableRange(archive: Buffer, offset, length) -> Buffer */
+static napi_value SeekableRange(napi_env env, napi_callback_info info) {
+  size_t argc = 3;
+  napi_value args[3];
+  napi_get_cb_info(env, info, &argc, args, NULL, NULL);
+  uint8_t *arc;
+  size_t n;
+  if (!get_buffer(env, args[0], &arc, &n)) return NULL;
+  int64_t off = get_int(env, args[1], 0);
+  int64_t len = get_int(env, args[2], 0);
+  if (off < 0 || len < 0) return throw_code(env, -12);
+  uint8_t *dst = (uint8_t *)malloc(len ? (size_t)len : 1);
+  if (!dst) return throw_code(env, -1);
+  int64_t w = zxch_seekable_range(arc, n, (uint64_t)off, (uint64_t)len, dst,
+                                  (uint64_t)len, NULL, 0, NULL);
+  if (w < 0) {
+    free(dst);
+    return throw_code(env, w);
+  }
+  napi_value out;
+  napi_create_buffer_copy(env, (size_t)w, dst, NULL, &out);
+  free(dst);
+  return out;
+}
+
+static napi_value Init(napi_env env, napi_value exports) {
+  napi_value fn;
+#define EXPORT(name, f)                                    \
+  napi_create_function(env, name, NAPI_AUTO_LENGTH, f, NULL, &fn); \
+  napi_set_named_property(env, exports, name, fn)
+  EXPORT("compress", Compress);
+  EXPORT("decompress", Decompress);
+  EXPORT("getDecompressedSize", GetDecompressedSize);
+  EXPORT("frameInfo", FrameInfo);
+  EXPORT("seekableRange", SeekableRange);
+#undef EXPORT
+  return exports;
+}
+
+NAPI_MODULE(NODE_GYP_MODULE_NAME, Init)

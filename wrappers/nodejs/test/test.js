@@ -1,0 +1,33 @@
+'use strict';
+const assert = require('assert');
+const zxc = require('..');
+
+// roundtrip at several levels
+const data = Buffer.concat([
+  Buffer.from('the quick brown fox '.repeat(4000)),
+  Buffer.from(Array.from({ length: 50000 }, (_, i) => (i * 7) % 251)),
+]);
+for (const level of [1, 2, 3, 5]) {
+  const arc = zxc.compress(data, { level, checksum: true, seekable: true });
+  assert(arc.length < data.length, `level ${level} did not compress`);
+  assert.strictEqual(zxc.getDecompressedSize(arc), data.length);
+  const out = zxc.decompress(arc);
+  assert(out.equals(data), `level ${level} roundtrip mismatch`);
+  // seekable range
+  const slice = zxc.seekableRange(arc, 60000, 5000);
+  assert(slice.equals(data.subarray(60000, 65000)),
+         `level ${level} range mismatch`);
+  const info = zxc.frameInfo(arc);
+  assert.strictEqual(info.hasChecksum, true);
+}
+
+// corrupt archives must throw, never crash
+const arc = zxc.compress(data, { level: 3, checksum: true });
+for (const mut of [arc.subarray(0, 40), Buffer.from([1, 2, 3])]) {
+  assert.throws(() => zxc.decompress(mut));
+}
+const bad = Buffer.from(arc);
+bad[100] ^= 0xff;
+assert.throws(() => zxc.decompress(bad));
+
+console.log('zxc-tpu node binding: all tests passed');

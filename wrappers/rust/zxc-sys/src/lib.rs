@@ -1,0 +1,51 @@
+//! Raw FFI declarations for the zxc-tpu simple C ABI
+//! (include/zxc_host.h). Hand-written (no bindgen dependency); the
+//! signatures are guarded by the repo's C consumer test
+//! (tests/test_runtime_native.py).
+#![no_std]
+#![allow(non_camel_case_types)]
+
+extern "C" {
+    pub fn zxch_rapidhash32(data: *const u8, len: usize, seed: u64) -> u32;
+    pub fn zxch_frame_info(
+        src: *const u8,
+        n: u64,
+        block_size: *mut u64,
+        has_checksum: *mut i32,
+        dict_id: *mut u32,
+    ) -> i32;
+    pub fn zxch_get_decompressed_size(src: *const u8, n: u64) -> i64;
+    pub fn zxch_simple_decompress_bound(src: *const u8, n: u64) -> i64;
+    pub fn zxch_simple_decompress(
+        src: *const u8,
+        n: u64,
+        dst: *mut u8,
+        dst_cap: u64,
+        dict: *const u8,
+        n_dict: u64,
+        dict_cl256: *const u8,
+        verify: i32,
+    ) -> i64;
+    pub fn zxch_compress_bound(n: u64, block_size: u64) -> i64;
+    pub fn zxch_simple_compress(
+        data: *const u8,
+        n: u64,
+        level: i32,
+        block_size: u64,
+        checksum: i32,
+        seekable: i32,
+        dst: *mut u8,
+        dst_cap: u64,
+    ) -> i64;
+    pub fn zxch_seekable_range(
+        src: *const u8,
+        n: u64,
+        offset: u64,
+        length: u64,
+        dst: *mut u8,
+        dst_cap: u64,
+        dict: *const u8,
+        n_dict: u64,
+        dict_cl256: *const u8,
+    ) -> i64;
+}

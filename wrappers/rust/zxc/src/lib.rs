@@ -1,0 +1,205 @@
+//! Safe Rust binding for the zxc-tpu codec (reference-parity surface:
+//! wrappers/rust/zxc — oneshot compress/decompress, frame info, seekable
+//! range; errors map the ZXC error codes of include/zxc_error.h).
+//!
+//! ```no_run
+//! let arc = zxc_tpu::compress(b"hello world", &Default::default())?;
+//! let out = zxc_tpu::decompress(&arc, true)?;
+//! # Ok::<(), zxc_tpu::Error>(())
+//! ```
+
+use zxc_tpu_sys as sys;
+
+/// ZXC error code (negative values of the C ABI).
+#[derive(Debug, Clone, Copy, PartialEq, Eq)]
+pub struct Error(pub i64);
+
+impl core::fmt::Display for Error {
+    fn fmt(&self, f: &mut core::fmt::Formatter<'_>) -> core::fmt::Result {
+        let name = match self.0 {
+            -1 => "MEMORY",
+            -2 => "DST_TOO_SMALL",
+            -3 => "SRC_TOO_SMALL",
+            -4 => "BAD_MAGIC",
+            -5 => "BAD_VERSION",
+            -6 => "BAD_HEADER",
+            -7 => "BAD_CHECKSUM",
+            -8 => "CORRUPT_DATA",
+            -9 => "BAD_OFFSET",
+            -10 => "OVERFLOW",
+            -13 => "BAD_BLOCK_TYPE",
+            -14 => "BAD_BLOCK_SIZE",
+            -15 => "DICT_REQUIRED",
+            -16 => "DICT_MISMATCH",
+            _ => return write!(f, "zxc: error {}", self.0),
+        };
+        write!(f, "zxc: ZXC_ERROR_{}", name)
+    }
+}
+
+impl std::error::Error for Error {}
+
+fn check(rc: i64) -> Result<i64, Error> {
+    if rc < 0 {
+        Err(Error(rc))
+    } else {
+        Ok(rc)
+    }
+}
+
+/// Compression options (builder-style struct, zero value = defaults).
+#[derive(Debug, Clone)]
+pub struct CompressOptions {
+    /// 1..=5 (the C-ABI fast levels; archival 6-7 live in the Python
+    /// surface).
+    pub level: i32,
+    /// Power of two 4 KiB..2 MiB; 0 selects the 512 KiB default.
+    pub block_size: u64,
+    pub checksum: bool,
+    pub seekable: bool,
+}
+
+impl Default for CompressOptions {
+    fn default() -> Self {
+        Self { level: 3, block_size: 0, checksum: false, seekable: false }
+    }
+}
+
+/// One-shot frame encode.
+pub fn compress(data: &[u8], opts: &CompressOptions) -> Result<Vec<u8>, Error> {
+    let bs = if opts.block_size == 0 { 512 * 1024 } else { opts.block_size };
+    let cap = unsafe { sys::zxch_compress_bound(data.len() as u64, bs) };
+    let cap = check(cap)? as usize;
+    let mut dst = vec![0u8; cap];
+    let w = unsafe {
+        sys::zxch_simple_compress(
+            data.as_ptr(),
+            data.len() as u64,
+            opts.level,
+            opts.block_size,
+            opts.checksum as i32,
+            opts.seekable as i32,
+            dst.as_mut_ptr(),
+            cap as u64,
+        )
+    };
+    let w = check(w)? as usize;
+    dst.truncate(w);
+    Ok(dst)
+}
+
+/// Footer-declared decompressed size of a validated archive.
+pub fn get_decompressed_size(archive: &[u8]) -> Result<u64, Error> {
+    let s = unsafe {
+        sys::zxch_get_decompressed_size(archive.as_ptr(), archive.len() as u64)
+    };
+    check(s).map(|v| v as u64)
+}
+
+/// One-shot frame decode; `verify` enables checksum validation.
+pub fn decompress(archive: &[u8], verify: bool) -> Result<Vec<u8>, Error> {
+    let bound = unsafe {
+        sys::zxch_simple_decompress_bound(archive.as_ptr(),
+                                          archive.len() as u64)
+    };
+    let bound = check(bound)? as usize;
+    let mut dst = vec![0u8; bound + 1];
+    let w = unsafe {
+        sys::zxch_simple_decompress(
+            archive.as_ptr(),
+            archive.len() as u64,
+            dst.as_mut_ptr(),
+            bound as u64,
+            core::ptr::null(),
+            0,
+            core::ptr::null(),
+            verify as i32,
+        )
+    };
+    let w = check(w)? as usize;
+    dst.truncate(w);
+    Ok(dst)
+}
+
+/// Validated file-header fields.
+#[derive(Debug, Clone, Copy, PartialEq, Eq)]
+pub struct FrameInfo {
+    pub block_size: u64,
+    pub has_checksum: bool,
+    pub dict_id: u32,
+}
+
+/// Parse + validate the 16-byte file header.
+pub fn frame_info(archive: &[u8]) -> Result<FrameInfo, Error> {
+    let mut bs = 0u64;
+    let mut ck = 0i32;
+    let mut did = 0u32;
+    let rc = unsafe {
+        sys::zxch_frame_info(archive.as_ptr(), archive.len() as u64, &mut bs,
+                             &mut ck, &mut did)
+    };
+    check(rc as i64)?;
+    Ok(FrameInfo { block_size: bs, has_checksum: ck != 0, dict_id: did })
+}
+
+/// O(1) random-access range decode from a seekable archive.
+pub fn seekable_range(archive: &[u8], offset: u64, length: u64)
+                      -> Result<Vec<u8>, Error> {
+    let mut dst = vec![0u8; length.max(1) as usize];
+    let w = unsafe {
+        sys::zxch_seekable_range(
+            archive.as_ptr(),
+            archive.len() as u64,
+            offset,
+            length,
+            dst.as_mut_ptr(),
+            length,
+            core::ptr::null(),
+            0,
+            core::ptr::null(),
+        )
+    };
+    let w = check(w)? as usize;
+    dst.truncate(w);
+    Ok(dst)
+}
+
+#[cfg(test)]
+mod tests {
+    use super::*;
+
+    fn corpus() -> Vec<u8> {
+        let mut v = b"the quick brown fox ".repeat(4000);
+        v.extend((0..50000u32).map(|i| ((i * 7) % 251) as u8));
+        v
+    }
+
+    #[test]
+    fn roundtrip_all_levels() {
+        let data = corpus();
+        for level in [1, 2, 3, 5] {
+            let arc = compress(&data, &CompressOptions {
+                level, checksum: true, seekable: true, ..Default::default()
+            }).unwrap();
+            assert!(arc.len() < data.len());
+            assert_eq!(get_decompressed_size(&arc).unwrap(),
+                       data.len() as u64);
+            assert_eq!(decompress(&arc, true).unwrap(), data);
+            assert_eq!(seekable_range(&arc, 60000, 5000).unwrap(),
+                       &data[60000..65000]);
+            assert!(frame_info(&arc).unwrap().has_checksum);
+        }
+    }
+
+    #[test]
+    fn corrupt_rejected() {
+        let data = corpus();
+        let arc = compress(&data, &CompressOptions {
+            checksum: true, ..Default::default()
+        }).unwrap();
+        assert!(decompress(&arc[..40], true).is_err());
+        let mut bad = arc.clone();
+        bad[100] ^= 0xFF;
+        assert!(decompress(&bad, true).is_err());
+    }
+}

@@ -2414,3 +2414,216 @@ int64_t zxch_decompress_frame(const uint8_t *src, uint64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Simple one-call ABI for language bindings (Node/Go/WASM wrappers).
+//
+// These wrap the full-frame codec behind the kind of surface the
+// reference exposes to its wrappers (zxc_compress / zxc_decompress /
+// zxc_get_decompressed_size, include/zxc_buffer.h): header parse and
+// validation included, no Python-side orchestration required.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Parse + validate the 16-byte file header. Returns 0 and fills
+// (block_size, has_checksum, dict_id) or a negative ZXC error.
+int zxch_frame_info(const uint8_t *src, uint64_t n, uint64_t *block_size,
+                    int *has_checksum, uint32_t *dict_id) {
+  if (n < 16 + 12) return -3;
+  uint32_t magic;
+  memcpy(&magic, src, 4);
+  if (magic != 0x9CB02EF5u) return -4;
+  if (src[4] != 7) return -5;  // FORMAT_VERSION
+  uint8_t tmp[16];
+  memcpy(tmp, src, 16);
+  tmp[14] = tmp[15] = 0;
+  uint16_t stored;
+  memcpy(&stored, src + 14, 2);
+  if (stored != zxch_hash16(tmp) || (src[6] & 0x0F) != 0) return -6;
+  uint8_t code = src[5];
+  if (code < 12 || code > 21) return -14;  // BAD_BLOCK_SIZE
+  *block_size = 1ull << code;
+  *has_checksum = (src[6] & 0x80) != 0;
+  *dict_id = 0;
+  if (src[6] & 0x40) memcpy(dict_id, src + 7, 4);  // FLAG_HAS_DICTIONARY
+  return 0;
+}
+
+// Footer-declared decompressed size (after header validation); negative
+// ZXC error when the frame is malformed.
+int64_t zxch_get_decompressed_size(const uint8_t *src, uint64_t n) {
+  uint64_t bs;
+  int ck;
+  uint32_t did;
+  int rc = zxch_frame_info(src, n, &bs, &ck, &did);
+  if (rc) return rc;
+  uint64_t size;
+  memcpy(&size, src + n - 12, 8);
+  if (size > (int64_t)1 << 62) return -8;
+  return (int64_t)size;
+}
+
+// One-call frame decode: header parse, frame walk (sizes the logical
+// output), decode. dst_cap must be >= zxch_get_decompressed_size() +
+// block_size + 64 (wild-copy slack; zxch_simple_decompress_bound gives
+// this). dict/dict_cl may be NULL (non-dictionary frames).
+int64_t zxch_simple_decompress(const uint8_t *src, uint64_t n, uint8_t *dst,
+                               uint64_t dst_cap, const uint8_t *dict,
+                               uint64_t n_dict, const uint8_t *dict_cl,
+                               int verify) {
+  uint64_t bs;
+  int ck;
+  uint32_t did;
+  int rc = zxch_frame_info(src, n, &bs, &ck, &did);
+  if (rc) return rc;
+  if (did != 0 && dict == nullptr) return -15;  // DICT_REQUIRED
+  uint64_t max_blocks = n / 8 + 2;
+  uint64_t *pos = new uint64_t[max_blocks];
+  uint64_t *comp = new uint64_t[max_blocks];
+  uint8_t *typ = new uint8_t[max_blocks];
+  uint64_t eof = 0;
+  int64_t nb = zxch_walk_frame(src, n, ck, 8 + bs + 4, 16, pos, typ, comp,
+                               max_blocks, &eof);
+  delete[] pos;
+  delete[] comp;
+  delete[] typ;
+  if (nb < 0) return nb;
+  if ((uint64_t)nb * bs + 64 > dst_cap) return -2;  // DST_TOO_SMALL
+  return zxch_decompress_frame(src, n, bs, ck, verify, dict, n_dict,
+                               dict_cl, dst, dst_cap);
+}
+
+// Safe capacity for zxch_simple_decompress's dst buffer.
+int64_t zxch_simple_decompress_bound(const uint8_t *src, uint64_t n) {
+  uint64_t bs;
+  int ck;
+  uint32_t did;
+  int rc = zxch_frame_info(src, n, &bs, &ck, &did);
+  if (rc) return rc;
+  uint64_t max_blocks = n / 8 + 2;
+  uint64_t *pos = new uint64_t[max_blocks];
+  uint64_t *comp = new uint64_t[max_blocks];
+  uint8_t *typ = new uint8_t[max_blocks];
+  uint64_t eof = 0;
+  int64_t nb = zxch_walk_frame(src, n, ck, 8 + bs + 4, 16, pos, typ, comp,
+                               max_blocks, &eof);
+  delete[] pos;
+  delete[] comp;
+  delete[] typ;
+  if (nb < 0) return nb;
+  return (int64_t)((uint64_t)nb * bs + 64);
+}
+
+// Worst-case archive size for zxch_simple_compress (RAW fallback bound).
+int64_t zxch_compress_bound(uint64_t n, uint64_t block_size) {
+  if (block_size == 0) block_size = 512 * 1024;
+  uint64_t nb = (n + block_size - 1) / block_size;
+  return (int64_t)(16 + 12 + n + nb * (8 + 4 + 64) + n / 4 + 4 * nb + 4096);
+}
+
+// One-call frame encode at `level` (1-7 clamped; levels 6-7 fall back to
+// 5 in this C-only surface — the archival DP/Huffman pipeline lives in
+// the Python package). block_size 0 selects the 512 KB default.
+int64_t zxch_simple_compress(const uint8_t *data, uint64_t n, int level,
+                             uint64_t block_size, int checksum, int seekable,
+                             uint8_t *dst, uint64_t dst_cap) {
+  if (level < 1) level = 1;
+  if (level > 5) level = 5;  // C-ABI surface: fast levels only
+  if (block_size == 0) block_size = 512 * 1024;
+  if (block_size & (block_size - 1)) return -14;
+  int code = 0;
+  while ((1ull << code) < block_size) code++;
+  if (code < 12 || code > 21) return -14;
+  // level-param table mirror (codec/block_encode.py level_params)
+  struct Par { int probes, lazy, suff, sb, ss, cover; };
+  static const Par tab[5] = {{2, 0, 16, 1, 4, 4},  {6, 1, 24, 1, 6, 4},
+                             {6, 1, 32, 1, 6, 4},  {8, 1, 64, 1, 0, 2},
+                             {64, 1, 256, 1, 0, 2}};
+  Par p = tab[level - 1];
+  return zxch_compress_frame(data, n, level, p.probes, p.lazy, p.suff,
+                             p.sb, p.ss, p.cover, block_size, code,
+                             checksum, seekable, dst, dst_cap);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Seekable range decode for the simple ABI (zxc_seekable_decompress_range
+// parity, zxc_seekable.c:701-825): backward SEK detection, decode only the
+// blocks overlapping [offset, offset+length), copy the slice.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t zxch_seekable_range(const uint8_t *src, uint64_t n, uint64_t offset,
+                            uint64_t length, uint8_t *dst, uint64_t dst_cap,
+                            const uint8_t *dict, uint64_t n_dict,
+                            const uint8_t *dict_cl) {
+  uint64_t bs;
+  int ck;
+  uint32_t did;
+  int rc = zxch_frame_info(src, n, &bs, &ck, &did);
+  if (rc) return rc;
+  uint64_t dsize;
+  memcpy(&dsize, src + n - 12, 8);
+  if (offset >= dsize || length == 0) return 0;
+  if (offset + length > dsize) length = dsize - offset;
+  if (length > dst_cap) return -2;
+  uint64_t nb = (dsize + bs - 1) / bs;
+  if (nb == 0) return 0;
+  uint64_t sek_size = 8 + nb * 4;
+  if (n < 12 + sek_size + 16) return -8;
+  uint64_t sek_pos = n - 12 - sek_size;
+  uint8_t hdr[8];
+  memcpy(hdr, src + sek_pos, 8);
+  uint8_t crc = hdr[7];
+  hdr[7] = 0;
+  if (zxch_hash8(hdr) != crc || hdr[0] != 254) return -8;  // no SEK table
+  uint32_t body;
+  memcpy(&body, hdr + 3, 4);
+  if (body != nb * 4) return -8;
+  // cumulative compressed offsets (entries span header+payload+checksum)
+  uint64_t first = offset / bs, last = (offset + length - 1) / bs;
+  if (last >= nb) return -8;
+  uint64_t cpos = 16;
+  for (uint64_t b = 0; b < first; b++) {
+    uint32_t e;
+    memcpy(&e, src + sek_pos + 8 + 4 * b, 4);
+    cpos += e;
+  }
+  uint8_t *tmp = new uint8_t[bs + 64];
+  uint64_t w = 0;
+  int64_t err = 0;
+  for (uint64_t b = first; b <= last; b++) {
+    uint32_t e;
+    memcpy(&e, src + sek_pos + 8 + 4 * b, 4);
+    if (cpos + e > n) { err = -3; break; }
+    // block header
+    uint8_t bh[8];
+    memcpy(bh, src + cpos, 8);
+    uint8_t bcrc = bh[7];
+    bh[7] = 0;
+    if (zxch_hash8(bh) != bcrc) { err = -6; break; }
+    uint8_t bt = bh[0];
+    uint32_t csz;
+    memcpy(&csz, bh + 3, 4);
+    if (8 + csz + (ck ? 4u : 0u) != e) { err = -8; break; }
+    int64_t out_n = zxch_decode_block(bt, src + cpos + 8, csz, tmp, bs,
+                                      dict, n_dict, dict_cl);
+    if (out_n < 0) { err = out_n; break; }
+    uint64_t blk_start = b * bs;
+    uint64_t lo = offset > blk_start ? offset - blk_start : 0;
+    uint64_t hi = offset + length - blk_start;
+    if (hi > (uint64_t)out_n) hi = (uint64_t)out_n;
+    if (lo < hi) {
+      memcpy(dst + w, tmp + lo, hi - lo);
+      w += hi - lo;
+    }
+    cpos += e;
+  }
+  delete[] tmp;
+  return err ? err : (int64_t)w;
+}
+
+}  // extern "C"
