@@ -132,3 +132,36 @@ def test_window_op_kernels_agree(variant):
                                          plan.block_size, interpret=True,
                                          variant=variant)
     assert b"".join(res) == data
+
+
+def test_v9_lane_kernel_interpret():
+    """v9 per-sublane lane-op kernel: bit-exact vs plaintext in interpret
+    mode across content classes (text, periodic, fills, random)."""
+    import numpy as np
+    from zxc_tpu.ops import plan_frame, pallas_decode as PD
+    from zxc_tpu import runtime
+    from zxc_tpu.codec import frame
+    from zxc_tpu.codec.frame import EncodeOpts
+    if runtime.lib() is None:
+        import pytest
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(3)
+    seg = rng.integers(0, 256, 997, dtype=np.uint8).tobytes()
+    data = (b"hello zxc world " * 800 + seg * 40 + b"A" * 5000
+            + b"ab" * 3000
+            + rng.integers(0, 256, 20000, dtype=np.uint8).tobytes())
+    BLOCK = 16384
+    data = (data * ((BLOCK * 5) // len(data) + 1))[:BLOCK * 5 - 77]
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=BLOCK))
+    plan = plan_frame(arc)
+    pieces, lits = [], []
+    for i in range(plan.n_blocks):
+        r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
+                                   plan.lit[i], plan.dict_buf,
+                                   device_pure=True)
+        assert r is not None
+        pieces.append(r[:4])
+        lits.append(r[4])
+    outs = PD.decode_blocks_v9(pieces, lits, list(plan.totals), BLOCK,
+                               interpret=True)
+    assert b"".join(outs) == data

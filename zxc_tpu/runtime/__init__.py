@@ -116,6 +116,8 @@ def lib() -> ctypes.CDLL | None:
         for fn in (L.zxch_window_ops, L.zxch_window_ops2):
             fn.restype = i64
             fn.argtypes = [vp] * 4 + [u64, i64, vp, vp, u64]
+        L.zxch_lane_ops.restype = i64
+        L.zxch_lane_ops.argtypes = [vp] * 4 + [u64, i64] + [vp] * 5 + [u64]
         L.zxch_pivco_decode.restype = ci
         L.zxch_pivco_decode.argtypes = [vp, u64, vp, u64, vp]
         L.zxch_decode_block.restype = i64
@@ -505,6 +507,37 @@ def window_ops(po, pc, ps, pk, total: int, split_src: bool = False):
     if r < 0:
         return None
     return ops[:r * 4], wstart
+
+
+def lane_ops(po, pc, ps, pk, total: int):
+    """Split device_pure pieces into (32,128)-tile lane-op batches for the
+    v9 per-sublane Pallas kernel. Returns (rows, roll, s, e) int32 arrays
+    of shape (n_batches, 32) plus tile_start (n_tiles+1,), or None."""
+    L = lib()
+    if L is None:
+        return None
+    n = len(po)
+    n_rows = (total + 127) // 128
+    n_tiles = (n_rows + 31) // 32
+    # worst case: every op its own layer in its tile
+    max_batches = 2 * n + 8 * n_tiles + 64
+    rows = np.empty((max_batches, 32), np.int32)
+    roll = np.empty((max_batches, 32), np.int32)
+    s = np.empty((max_batches, 32), np.int32)
+    e = np.empty((max_batches, 32), np.int32)
+    tile_start = np.empty(n_tiles + 1, np.int32)
+    po32 = np.ascontiguousarray(po, np.int32)
+    pc32 = np.ascontiguousarray(pc, np.int32)
+    ps32 = np.ascontiguousarray(ps, np.int32)
+    pk32 = np.ascontiguousarray(pk, np.int32)
+    P = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    nb = L.zxch_lane_ops(P(po32), P(pc32), P(ps32), P(pk32), n, total,
+                         P(rows), P(roll), P(s), P(e), P(tile_start),
+                         max_batches)
+    if nb < 0:
+        return None
+    nb = int(nb)
+    return rows[:nb], roll[:nb], s[:nb], e[:nb], tile_start
 
 
 def compress_frame(data: np.ndarray, level: int, max_probes: int,

@@ -2627,3 +2627,116 @@ int64_t zxch_seekable_range(const uint8_t *src, uint64_t n, uint64_t offset,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// v9 lane-op emission: split device_pure pieces into (32,128)-tile batched
+// lane ops for the per-sublane Pallas decode kernel.
+//
+// Each op covers lanes [s, e) of ONE 128-byte output row and reads from
+// ONE 128-byte lit_full row at a fixed lane offset (roll), so the kernel
+// can process 32 ops as one (32,128) tile: one take_along_axis shuffle +
+// one mask/select, with only the 32 source-row fetches scalar-issued.
+// Ops are layered per tile: batch b of tile t holds the b-th op of every
+// output row (sublane) in that tile, padded with s==e (no-op) entries.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// rows/roll/s/e: caller arrays of capacity max_batches*32 (i32).
+// tile_start: capacity n_tiles+1 where n_tiles = ceil(total/4096).
+// Returns n_batches, or -10 when a cap is exceeded.
+int64_t zxch_lane_ops(const int32_t *po, const int32_t *pc,
+                      const int32_t *ps, const int32_t *pk, uint64_t n,
+                      int64_t total, int32_t *rows, int32_t *roll,
+                      int32_t *s_out, int32_t *e_out, int32_t *tile_start,
+                      uint64_t max_batches) {
+  if (total <= 0) {
+    tile_start[0] = 0;
+    return 0;
+  }
+  const int64_t n_rows = (total + 127) >> 7;
+  const int64_t n_tiles = (n_rows + 31) >> 5;
+  // pass 1: split pieces into per-row op lists
+  struct Op { int32_t row, src_row, roll, s, e; };
+  static thread_local Op *ops = nullptr;
+  static thread_local uint64_t ops_cap = 0;
+  static thread_local int32_t *row_cnt = nullptr;
+  static thread_local uint64_t row_cap = 0;
+  if ((uint64_t)n_rows > row_cap) {
+    delete[] row_cnt;
+    row_cap = n_rows * 2;
+    row_cnt = new int32_t[row_cap];
+  }
+  memset(row_cnt, 0, n_rows * sizeof(int32_t));
+  uint64_t nops = 0;
+  for (uint64_t j = 0; j < n; j++) {
+    int64_t q = po[j];
+    int64_t end = (j + 1 < n) ? po[j + 1] : total;
+    int64_t c = pc[j], sd = ps[j], k = pk[j];
+    while (q < end) {
+      int64_t row = q >> 7;
+      int64_t s = q & 127;
+      int64_t row_end = (row + 1) << 7;
+      if (row_end > end) row_end = end;
+      int64_t src = (k >= ZXCH_KBIG) ? c + (q - sd) : c + ((q - sd) % k);
+      int64_t src_lane = src & 127;
+      int64_t len = row_end - q;
+      if (len > 128 - src_lane) len = 128 - src_lane;
+      if (nops >= ops_cap) {
+        uint64_t nc = ops_cap ? ops_cap * 2 : 4096;
+        Op *no = new Op[nc];
+        memcpy(no, ops, nops * sizeof(Op));
+        delete[] ops;
+        ops = no;
+        ops_cap = nc;
+      }
+      ops[nops++] = {(int32_t)row, (int32_t)(src >> 7),
+                     (int32_t)((src_lane - s) & 127), (int32_t)s,
+                     (int32_t)(s + len)};
+      row_cnt[row]++;
+      q += len;
+    }
+  }
+  // pass 2: layered placement. Ops arrive sorted by output position, so
+  // per-row op order is already layer order; compute per-tile layer
+  // counts and batch offsets, then scatter.
+  static thread_local int32_t *row_fill = nullptr;
+  static thread_local uint64_t fill_cap = 0;
+  if ((uint64_t)n_rows > fill_cap) {
+    delete[] row_fill;
+    fill_cap = n_rows * 2;
+    row_fill = new int32_t[fill_cap];
+  }
+  memset(row_fill, 0, n_rows * sizeof(int32_t));
+  uint64_t nb = 0;
+  for (int64_t t = 0; t < n_tiles; t++) {
+    tile_start[t] = (int32_t)nb;
+    int32_t layers = 0;
+    int64_t r0 = t << 5;
+    int64_t r1 = r0 + 32 < n_rows ? r0 + 32 : n_rows;
+    for (int64_t r = r0; r < r1; r++)
+      if (row_cnt[r] > layers) layers = row_cnt[r];
+    nb += (uint64_t)layers;
+    if (nb > max_batches) return -10;
+  }
+  tile_start[n_tiles] = (int32_t)nb;
+  // initialize pads: src_row 0, roll 0, s=e=0 (masked no-op)
+  memset(rows, 0, nb * 32 * sizeof(int32_t));
+  memset(roll, 0, nb * 32 * sizeof(int32_t));
+  memset(s_out, 0, nb * 32 * sizeof(int32_t));
+  memset(e_out, 0, nb * 32 * sizeof(int32_t));
+  for (uint64_t i = 0; i < nops; i++) {
+    const Op &o = ops[i];
+    int64_t tile = o.row >> 5;
+    int64_t sub = o.row & 31;
+    int64_t b = tile_start[tile] + row_fill[o.row]++;
+    int64_t slot = b * 32 + sub;
+    rows[slot] = o.src_row;
+    roll[slot] = o.roll;
+    s_out[slot] = o.s;
+    e_out[slot] = o.e;
+  }
+  return (int64_t)nb;
+}
+
+}  // extern "C"
