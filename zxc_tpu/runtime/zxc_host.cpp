@@ -801,6 +801,27 @@ done:
     }
     chain[p] = head[h];
     head[h] = (mytag << 24) | (uint32_t)p;
+    // long-match skip (reference ZXC_OPT_LONG_MATCH_SKIP,
+    // zxc_internal.h:544): interior positions of a very long match
+    // inherit its suffix as their candidate instead of searching —
+    // keeps the DP feeder O(N) on runs; the final stretch is
+    // re-searched so the parse can still leave the match early.
+    if (best_len >= 256) {
+      const uint64_t keep = 64;
+      uint64_t endp = p + (uint64_t)best_len - keep;
+      uint64_t q = p + 1;
+      for (; q < endp && q < n; q++) {
+        uint64_t qi = q - start;
+        lens[qi] = best_len - (int)(q - p);
+        offs[qi] = (int32_t)best_off;
+        if ((q & 3) == 0 && q < hend) {  // sparse chain insertion
+          uint32_t ht2 = hash5t(data + q);
+          chain[q] = head[ht2 >> 8];
+          head[ht2 >> 8] = ((ht2 & 0xFF) << 24) | (uint32_t)q;
+        }
+      }
+      p = q - 1;
+    }
   }
   return 0;
 }
