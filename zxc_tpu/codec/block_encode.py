@@ -522,9 +522,14 @@ def encode_block_glo(data: np.ndarray, level: int,
         if level >= 6 and n_lit >= 139:
             freq = np.bincount(literals, minlength=256)
             cl = huffman.build_code_lengths(freq, level_params(level).max_code_len)
-            if cl is not None:
-                cl = huffman.nudge_code_lengths(freq, cl,
-                                                level_params(level).max_code_len)
+            # NOTE round 2: the decode-speed "nudge" (reduced-cap
+            # rebuilds) was A/B-measured against this framework's
+            # VBMI2 level-merge decoder and made decode ~30% SLOWER at
+            # +0.1% size (it optimizes the reference's SIMD-shuffle
+            # cost model, not ours — flat-subtree preservation matters
+            # more here). Optimal-length trees win on both axes, so the
+            # nudge is not applied; huffman.nudge_code_lengths remains
+            # for parity study.
             if cl is not None:
                 tree = huffman.build_tree(cl)
                 size = huffman.calc_size(freq, tree, with_header=True)
