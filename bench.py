@@ -53,6 +53,22 @@ def encode(data: bytes, level: int) -> bytes:
                                                block_size=BLOCK_SIZE))
 
 
+def _verify_fp(data, plan, fp1, fp2):
+    import numpy as np
+    exp1 = np.uint32(0)
+    exp2 = np.uint32(0)
+    wn = (np.arange(plan.block_size, dtype=np.uint32) % 8191).astype(np.uint32)
+    pos = 0
+    with np.errstate(over="ignore"):
+        for i in range(plan.n_blocks):
+            blk = np.frombuffer(data[pos:pos + plan.totals[i]], np.uint8)
+            exp1 += blk.astype(np.uint32).sum(dtype=np.uint32)
+            exp2 += (blk.astype(np.uint32) * wn[:len(blk)]).sum(dtype=np.uint32)
+            pos += plan.totals[i]
+    assert fp1 == int(exp1) and fp2 == int(exp2), \
+        "device fingerprint mismatch"
+
+
 def bench_serial(data: bytes, plan, dev, t_plan: float):
     """Pallas serial copy-engine benchmark path."""
     import numpy as np
@@ -89,6 +105,79 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
     else:
         totals_all = list(plan.totals)
     variant = int(os.environ.get("ZXC_BENCH_VARIANT", "6"))
+    if variant == 9:
+        # v9 per-sublane lane-op kernel: scalar-prefetch control bounds
+        # the dispatch size (SMEM budget), default 16 blocks per call
+        B9 = int(os.environ.get("ZXC_BENCH_DISPATCH", "16"))
+        nb9 = plan.n_blocks
+        nd9 = -(-nb9 // B9)
+        pad9 = nd9 * B9 - nb9
+        p9 = pieces[:nb9] + [pieces[nb9 - 1]] * pad9
+        l9 = lits[:nb9] + [lits[nb9 - 1]] * pad9
+        t9 = list(plan.totals) + [0] * pad9
+        sets = []
+        for d in range(nd9):
+            sl = slice(d * B9, (d + 1) * B9)
+            sets.append(PD.pack_blocks_v9(p9[sl], l9[sl], t9[sl],
+                                          plan.block_size))
+        MAXB = max(s[3].shape[1] for s in sets)
+        MAXB = -(-MAXB // 8) * 8
+        RL9 = max(s[4].shape[1] for s in sets)
+
+        def pad_set(s):
+            nb_, ts_, rows_, vc_, lit_ = s
+            rows2 = np.zeros((B9, MAXB * 32), np.int32)
+            rows2[:, :rows_.shape[1]] = rows_
+            v2 = np.zeros((B9, MAXB, 128), np.int32)
+            v2[:, :vc_.shape[1]] = vc_
+            l2 = np.zeros((B9, RL9, 128), np.int32)
+            l2[:, :lit_.shape[1]] = lit_
+            return nb_, ts_, rows2, v2, l2
+
+        dsets = [tuple(jax.device_put(a, dev) for a in pad_set(s))
+                 for s in sets]
+        jax.block_until_ready(dsets)
+        kern9 = PD.v9_kernel(plan.block_size, MAXB, RL9)
+        NR = plan.block_size // 128
+        flatpos = jnp.arange(NR * 128, dtype=jnp.uint32)
+        w9 = (flatpos % 8191).astype(jnp.uint32)
+        tot_sets = [np.asarray(t9[d * B9:(d + 1) * B9], np.uint32)
+                    for d in range(nd9)]
+
+        @jax.jit
+        def step9(*a):
+            out = kern9(*a[:-1])
+            totals = a[-1]
+            flat = out.reshape(B9, NR * 128).astype(jnp.uint32)
+            mask = flatpos[None, :] < totals.astype(jnp.uint32)[:, None]
+            return (jnp.sum(jnp.where(mask, flat, 0)),
+                    jnp.sum(jnp.where(mask, flat * w9[None, :], 0)))
+
+        t0 = time.time()
+        fps = [tuple(map(np.asarray, step9(*s, jnp.asarray(t))))
+               for s, t in zip(dsets, tot_sets)]
+        fp1 = sum(int(a) for a, _ in fps) & 0xFFFFFFFF
+        fp2 = sum(int(b) for _, b in fps) & 0xFFFFFFFF
+        print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+        times = []
+        for _ in range(REPS):
+            t0 = time.time()
+            rs = [step9(*s, jnp.asarray(t))
+                  for s, t in zip(dsets, tot_sets)]
+            jax.block_until_ready(rs)
+            times.append(time.time() - t0)
+        t_dev = min(times)
+        gbps = len(data) / 1e9 / t_dev
+        _verify_fp(data, plan, fp1, fp2)
+        print(f"# v9 kernel: {t_dev:.3f}s = {gbps:.3f} GB/s "
+              f"({nd9} dispatches of {B9})", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"silesia_like_decode_level{LEVEL}_pallas_v9",
+            "value": round(gbps, 3),
+            "unit": "GB/s",
+            "vs_baseline": round(gbps / BASELINE_GBPS, 3),
+        }))
+        return
     if variant >= 4:
         args, (OR, RL, NW) = PD.pack_blocks_v4(
             pieces, lits, totals_all, plan.block_size,
