@@ -106,71 +106,73 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
         totals_all = list(plan.totals)
     variant = int(os.environ.get("ZXC_BENCH_VARIANT", "6"))
     if variant == 9:
-        # v9 per-sublane lane-op kernel: scalar-prefetch control bounds
-        # the dispatch size (SMEM budget), default 16 blocks per call
-        B9 = int(os.environ.get("ZXC_BENCH_DISPATCH", "16"))
+        # v9 per-sublane lane-op kernel. The whole corpus is decoded by ONE
+        # jitted program (a chain of pallas_calls + fingerprint reductions)
+        # so the tunnel round-trip is paid once, exactly as a production
+        # pipeline would submit a batch. Dispatch width B9 is sized so the
+        # scalar-prefetch `rows` operand fits the 1 MiB SMEM budget.
         nb9 = plan.n_blocks
+        per9 = PD.lane_ops_blocks(pieces[:nb9], list(plan.totals))
+        MAXB = max(max(len(r[0]), 1) for r in per9)
+        MAXB = -(-MAXB // 8) * 8
+        RL9 = max(-(-len(lit) // 128) for lit in lits[:nb9]) + 1
+        env_b9 = os.environ.get("ZXC_BENCH_DISPATCH")
+        if env_b9:
+            B9 = int(env_b9)
+        else:
+            B9 = 16
+            while B9 > 1 and B9 * MAXB * 32 * 4 > 512 * 1024:
+                B9 //= 2
         nd9 = -(-nb9 // B9)
         pad9 = nd9 * B9 - nb9
         p9 = pieces[:nb9] + [pieces[nb9 - 1]] * pad9
         l9 = lits[:nb9] + [lits[nb9 - 1]] * pad9
         t9 = list(plan.totals) + [0] * pad9
+        per9 = per9 + [per9[-1]] * pad9
+        t0 = time.time()
         sets = []
         for d in range(nd9):
             sl = slice(d * B9, (d + 1) * B9)
             sets.append(PD.pack_blocks_v9(p9[sl], l9[sl], t9[sl],
-                                          plan.block_size))
-        MAXB = max(s[3].shape[1] for s in sets)
-        MAXB = -(-MAXB // 8) * 8
-        RL9 = max(s[4].shape[1] for s in sets)
-
-        def pad_set(s):
-            nb_, ts_, rows_, vc_, lit_ = s
-            rows2 = np.zeros((B9, MAXB * 32), np.int32)
-            rows2[:, :rows_.shape[1]] = rows_
-            v2 = np.zeros((B9, MAXB, 128), np.int32)
-            v2[:, :vc_.shape[1]] = vc_
-            l2 = np.zeros((B9, RL9, 128), np.int32)
-            l2[:, :lit_.shape[1]] = lit_
-            return nb_, ts_, rows2, v2, l2
-
-        dsets = [tuple(jax.device_put(a, dev) for a in pad_set(s))
-                 for s in sets]
+                                          plan.block_size, per=per9[sl],
+                                          MAXB=MAXB, RL=RL9))
+        print(f"# v9 pack: {time.time()-t0:.3f}s, MAXB={MAXB} RL={RL9} "
+              f"B9={B9} ({nd9} kernel calls)", file=sys.stderr)
+        dsets = [tuple(jax.device_put(a, dev) for a in s) for s in sets]
         jax.block_until_ready(dsets)
         kern9 = PD.v9_kernel(plan.block_size, MAXB, RL9)
         NR = plan.block_size // 128
         flatpos = jnp.arange(NR * 128, dtype=jnp.uint32)
         w9 = (flatpos % 8191).astype(jnp.uint32)
-        tot_sets = [np.asarray(t9[d * B9:(d + 1) * B9], np.uint32)
+        tot_sets = [jnp.asarray(t9[d * B9:(d + 1) * B9], jnp.uint32)
                     for d in range(nd9)]
 
         @jax.jit
-        def step9(*a):
-            out = kern9(*a[:-1])
-            totals = a[-1]
-            flat = out.reshape(B9, NR * 128).astype(jnp.uint32)
-            mask = flatpos[None, :] < totals.astype(jnp.uint32)[:, None]
-            return (jnp.sum(jnp.where(mask, flat, 0)),
-                    jnp.sum(jnp.where(mask, flat * w9[None, :], 0)))
+        def megastep(sets_in, tots):
+            f1 = jnp.uint32(0)
+            f2 = jnp.uint32(0)
+            for s, t in zip(sets_in, tots):
+                out = kern9(*s)
+                flat = out.reshape(B9, NR * 128).astype(jnp.uint32)
+                mask = flatpos[None, :] < t[:, None]
+                f1 = f1 + jnp.sum(jnp.where(mask, flat, 0))
+                f2 = f2 + jnp.sum(jnp.where(mask, flat * w9[None, :], 0))
+            return f1, f2
 
         t0 = time.time()
-        fps = [tuple(map(np.asarray, step9(*s, jnp.asarray(t))))
-               for s, t in zip(dsets, tot_sets)]
-        fp1 = sum(int(a) for a, _ in fps) & 0xFFFFFFFF
-        fp2 = sum(int(b) for _, b in fps) & 0xFFFFFFFF
+        fp1, fp2 = map(int, megastep(dsets, tot_sets))
         print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
         times = []
         for _ in range(REPS):
             t0 = time.time()
-            rs = [step9(*s, jnp.asarray(t))
-                  for s, t in zip(dsets, tot_sets)]
-            jax.block_until_ready(rs)
+            r = tuple(map(int, megastep(dsets, tot_sets)))
             times.append(time.time() - t0)
+            assert r == (fp1, fp2)
         t_dev = min(times)
         gbps = len(data) / 1e9 / t_dev
-        _verify_fp(data, plan, fp1, fp2)
+        _verify_fp(data, plan, fp1 & 0xFFFFFFFF, fp2 & 0xFFFFFFFF)
         print(f"# v9 kernel: {t_dev:.3f}s = {gbps:.3f} GB/s "
-              f"({nd9} dispatches of {B9})", file=sys.stderr)
+              f"(one program, {nd9} calls of {B9} blocks)", file=sys.stderr)
         print(json.dumps({
             "metric": f"silesia_like_decode_level{LEVEL}_pallas_v9",
             "value": round(gbps, 3),

@@ -730,103 +730,108 @@ V9_CTRL = 128         # i32 lanes per batch control row (tile-aligned):
                       # [tile, row0..row31, pad...]
 
 
-def pack_blocks_v9(pieces_list, lit_list, totals, block: int):
-    """Build the v9 dispatch batch from per-block pieces + lit_full.
-
-    Returns (nb, scal, vctrl, lit32) where
-      nb    (B,)               int32  batches per block
-      scal  (B, MAXB, V9_CTRL) int32  [tile, 32 src rows] per batch
-      vctrl (B, MAXB, 128)     int32  lanes [0:32)=roll [32:64)=s [64:96)=e
-      lit32 (B, RL, 128)       int32  lit_full bytes, row-padded
-    """
+def lane_ops_blocks(pieces_list, totals):
+    """Per-block native lane-op emission (zxch_lane_ops) for the v9 kernel.
+    Returns a list of (rows, roll, s, e, tile_start) tuples."""
     from .. import runtime
 
-    B = len(pieces_list)
     per = []
-    for (po, pc, ps, pk), lit, total in zip(pieces_list, lit_list, totals):
+    for (po, pc, ps, pk), total in zip(pieces_list, totals):
         r = runtime.lane_ops(po, pc, ps, pk, int(total))
         assert r is not None, "lane_ops budget exceeded"
         per.append(r)
-    MAXB = max(max(len(r[0]), 1) for r in per)
-    MAXB = -(-MAXB // V9_GROUP) * V9_GROUP
-    RL = max(-(-len(lit) // 128) for lit in lit_list) + 1
+    return per
+
+
+def pack_blocks_v9(pieces_list, lit_list, totals, block: int,
+                   per=None, MAXB=None, RL=None):
+    """Build the v9 dispatch batch from per-block pieces + lit_full.
+
+    Returns (nb, ts, rows, vctrl, lit32) where
+      nb    (B,)            int32  batches per block        (scalar prefetch)
+      ts    (B, NT+1)       int32  per-tile batch prefix    (scalar prefetch)
+      rows  (B, MAXB*32)    int32  src row per (batch,sub)  (scalar prefetch)
+      vctrl (B, MAXB, 128)  int32  lanes [0:32)=roll [32:64)=s [64:96)=e
+      lit32 (B, RL, 128)    int32  lit_full bytes, row-padded
+
+    `per`/`MAXB`/`RL` let a caller precompute lane ops once and pack many
+    same-shape dispatch sets (bench.py's single-program pipeline).
+    """
+    B = len(pieces_list)
+    if per is None:
+        per = lane_ops_blocks(pieces_list, totals)
+    if MAXB is None:
+        MAXB = max(max(len(r[0]), 1) for r in per)
+        MAXB = -(-MAXB // V9_GROUP) * V9_GROUP
+    if RL is None:
+        RL = max(-(-len(lit) // 128) for lit in lit_list) + 1
+    NT = block // 4096
     nb = np.array([len(r[0]) for r in per], np.int32)
-    scal = np.zeros((B, MAXB, V9_CTRL), np.int32)
+    ts = np.zeros((B, NT + 1), np.int32)
+    rows_f = np.zeros((B, MAXB * 32), np.int32)
     vctrl = np.zeros((B, MAXB, 128), np.int32)
     lit32 = np.zeros((B, RL, 128), np.int32)
     for j, ((rows, rl, s, e, tile_start), lit) in enumerate(
             zip(per, lit_list)):
         k = len(rows)
-        # tile id per batch from the tile_start prefix
-        tiles = np.searchsorted(tile_start, np.arange(k), side="right") - 1
-        scal[j, :k, 0] = tiles
-        scal[j, :k, 1:33] = rows
+        nts = len(tile_start) - 1
+        ts[j, :nts + 1] = tile_start
+        ts[j, nts + 1:] = tile_start[-1]
+        rows_f[j, :k * 32] = rows.reshape(-1)
         vctrl[j, :k, 0:32] = rl
         vctrl[j, :k, 32:64] = s
         vctrl[j, :k, 64:96] = e
         flat = np.frombuffer(bytes(lit), np.uint8)
         lit32[j].reshape(-1)[:len(flat)] = flat
-    return nb, scal, vctrl, lit32
+    return nb, ts, rows_f, vctrl, lit32
 
 
-def _kernel_v9(nb_ref, scal_ref, vctrl_ref, lit_ref, out_ref,
-               stage_ref, sem):
-    # scal_ref/roll_ref/... already narrowed to this block by the wrapper
+def _kernel_v9(nb_ref, ts_ref, rows_ref, vctrl_ref, lit_ref, out_ref):
+    """v9.1: all scalar control via scalar-prefetch SMEM (no staging DMA);
+    static tile loop with a register accumulator stored once per tile."""
     b = pl.program_id(0)
-    n_batches = nb_ref[b]
+    NT = out_ref.shape[1] // 32
     lane = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 1)
-    out_ref[...] = jnp.zeros_like(out_ref)
 
-    n_groups = (n_batches + V9_GROUP - 1) // V9_GROUP
+    def contrib(bat):
+        # every output lane of a tile is covered by EXACTLY one op, so
+        # batch contributions are disjoint and combine by SUM — no
+        # ordering, which lets the pair below run as independent chains
+        base = bat * 32
+        gath = jnp.concatenate(
+            [lit_ref[0, pl.ds(rows_ref[b, base + k], 1), :]
+             for k in range(32)], axis=0)              # (32,128)
+        vc = jnp.transpose(vctrl_ref[0, pl.ds(bat, 1), :])  # (128,1)
+        rl = vc[0:32]
+        sv = vc[32:64]
+        ev = vc[64:96]
+        idx = (lane + rl) & 127
+        sh = jnp.take_along_axis(gath, idx, axis=1)
+        m = (lane >= sv) & (lane < ev)
+        return jnp.where(m, sh, 0)
 
-    def group_body(g, _):
-        base = g * V9_GROUP
-        # stage this group's scalar control rows into SMEM
-        dma = pltpu.make_async_copy(
-            scal_ref.at[pl.ds(pl.multiple_of(base, V9_GROUP), V9_GROUP), :],
-            stage_ref, sem)
-        dma.start()
-        dma.wait()
-        for gk in range(V9_GROUP):
-            bat = base + gk
+    for t in range(NT):
+        b0 = ts_ref[b, t]
+        b1 = ts_ref[b, t + 1]          # b1 - b0 is padded to a multiple of 2
 
-            @pl.when(bat < n_batches)
-            def _():
-                tile = stage_ref[gk, 0]
-                gath = jnp.concatenate(
-                    [lit_ref[pl.ds(stage_ref[gk, 1 + k], 1), :]
-                     for k in range(32)], axis=0)          # (32,128)
-                vc = jnp.transpose(vctrl_ref[pl.ds(bat, 1), :])  # (128,1)
-                rl = vc[0:32]
-                sv = vc[32:64]
-                ev = vc[64:96]
-                idx = (lane + rl) & 127
-                sh = jnp.take_along_axis(gath, idx, axis=1)
-                m = (lane >= sv) & (lane < ev)
-                cur = out_ref[pl.ds(tile * 32, 32), :]
-                out_ref[pl.ds(tile * 32, 32), :] = jnp.where(m, sh, cur)
-        return 0
+        def pair_body(g, acc):
+            bat = b0 + 2 * g
+            return acc + contrib(bat) + contrib(bat + 1)
 
-    jax.lax.fori_loop(0, n_groups, group_body, 0)
-
-
-def _kernel_v9_wrapped(nb_ref, scal_ref, vctrl_ref, lit_ref,
-                       out_ref, stage_ref, sem):
-    b = pl.program_id(0)
-    _kernel_v9(nb_ref, scal_ref.at[b], vctrl_ref.at[0], lit_ref.at[0],
-               out_ref.at[0], stage_ref, sem)
+        tile = jax.lax.fori_loop(0, (b1 - b0) // 2, pair_body,
+                                 jnp.zeros((32, 128), jnp.int32))
+        out_ref[0, t * 32:(t + 1) * 32, :] = tile
 
 
 def v9_kernel(block: int, MAXB: int, RL: int, interpret: bool = False):
     NR = block // 128
 
-    def call(nb, scal, vctrl, lit32):
-        B = scal.shape[0]
+    def call(nb, ts, rows, vctrl, lit32):
+        B = vctrl.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=3,          # nb, tile_start, rows
             grid=(B,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # staged via DMA
                 pl.BlockSpec((1, MAXB, 128), lambda b, *_: (b, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, RL, 128), lambda b, *_: (b, 0, 0),
@@ -834,27 +839,23 @@ def v9_kernel(block: int, MAXB: int, RL: int, interpret: bool = False):
             ],
             out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.SMEM((V9_GROUP, V9_CTRL), jnp.int32),
-                pltpu.SemaphoreType.DMA,
-            ],
         )
         return pl.pallas_call(
-            _kernel_v9_wrapped,
+            _kernel_v9,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
             interpret=interpret,
-        )(nb, scal, vctrl, lit32)
+        )(nb, ts, rows, vctrl, lit32)
 
     return jax.jit(call)
 
 
 def decode_blocks_v9(pieces_list, lit_list, totals, block: int,
                      interpret: bool = False, device=None):
-    nb, scal, vctrl, lit32 = pack_blocks_v9(pieces_list, lit_list,
-                                            totals, block)
-    kern = v9_kernel(block, scal.shape[1], lit32.shape[1], interpret)
-    args = (nb, scal, vctrl, lit32)
+    nb, ts, rows, vctrl, lit32 = pack_blocks_v9(pieces_list, lit_list,
+                                                totals, block)
+    kern = v9_kernel(block, vctrl.shape[1], lit32.shape[1], interpret)
+    args = (nb, ts, rows, vctrl, lit32)
     if device is not None:
         args = tuple(jax.device_put(a, device) for a in args)
     out = np.asarray(kern(*args))
