@@ -747,11 +747,16 @@ def pack_blocks_v9(pieces_list, lit_list, totals, block: int,
                    per=None, MAXB=None, RL=None):
     """Build the v9 dispatch batch from per-block pieces + lit_full.
 
-    Returns (nb, ts, rows, vctrl, lit32) where
+    Returns (nb, ts, rows, pctrl, lit32) where
       nb    (B,)            int32  batches per block        (scalar prefetch)
       ts    (B, NT+1)       int32  per-tile batch prefix    (scalar prefetch)
       rows  (B, MAXB*32)    int32  src row per (batch,sub)  (scalar prefetch)
-      vctrl (B, MAXB, 128)  int32  lanes [0:32)=roll [32:64)=s [64:96)=e
+      pctrl (B, G32, 128)   int32  pre-transposed packed control: for batch
+                                   bat = 128*g + j, sublane k,
+                                   pctrl[b, 32*g + k, j] = rl | s<<8 | (e-1)<<16
+                                   (empty ops packed as s=1, e-1=0), so the
+                                   kernel broadcasts a batch's 32 controls
+                                   with ONE lane-gather instead of a transpose
       lit32 (B, RL, 128)    int32  lit_full bytes, row-padded
 
     `per`/`MAXB`/`RL` let a caller precompute lane ops once and pack many
@@ -766,10 +771,11 @@ def pack_blocks_v9(pieces_list, lit_list, totals, block: int,
     if RL is None:
         RL = max(-(-len(lit) // 128) for lit in lit_list) + 1
     NT = block // 4096
+    NG = -(-MAXB // 128)
     nb = np.array([len(r[0]) for r in per], np.int32)
     ts = np.zeros((B, NT + 1), np.int32)
     rows_f = np.zeros((B, MAXB * 32), np.int32)
-    vctrl = np.zeros((B, MAXB, 128), np.int32)
+    pctrl = np.full((B, NG * 32, 128), 1 << 8, np.int32)
     lit32 = np.zeros((B, RL, 128), np.int32)
     for j, ((rows, rl, s, e, tile_start), lit) in enumerate(
             zip(per, lit_list)):
@@ -778,17 +784,24 @@ def pack_blocks_v9(pieces_list, lit_list, totals, block: int,
         ts[j, :nts + 1] = tile_start
         ts[j, nts + 1:] = tile_start[-1]
         rows_f[j, :k * 32] = rows.reshape(-1)
-        vctrl[j, :k, 0:32] = rl
-        vctrl[j, :k, 32:64] = s
-        vctrl[j, :k, 64:96] = e
+        packed = np.where(e > 0, rl | (s << 8) | ((e - 1) << 16), 1 << 8)
+        # scatter batch bat's sublane-k control to [32*(bat>>7)+k, bat&127]
+        bat = np.arange(k)[:, None]
+        sub = np.arange(32)[None, :]
+        pctrl[j, 32 * (bat >> 7) + sub, bat & 127] = packed
         flat = np.frombuffer(bytes(lit), np.uint8)
         lit32[j].reshape(-1)[:len(flat)] = flat
-    return nb, ts, rows_f, vctrl, lit32
+    return nb, ts, rows_f, pctrl, lit32
 
 
-def _kernel_v9(nb_ref, ts_ref, rows_ref, vctrl_ref, lit_ref, out_ref):
-    """v9.1: all scalar control via scalar-prefetch SMEM (no staging DMA);
-    static tile loop with a register accumulator stored once per tile."""
+V9_UNROLL = 4         # batches per tile-loop iteration (lane_ops pads to it)
+
+
+def _kernel_v9(nb_ref, ts_ref, rows_ref, pctrl_ref, lit_ref, out_ref):
+    """v9.3: scalar control via scalar-prefetch SMEM; per-batch (rl, s, e)
+    broadcast by ONE lane-gather from the pre-transposed packed control
+    (no in-kernel transpose); static tile loop with a register accumulator
+    stored once per tile; 4x-unrolled batch loop."""
     b = pl.program_id(0)
     NT = out_ref.shape[1] // 32
     lane = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 1)
@@ -796,43 +809,48 @@ def _kernel_v9(nb_ref, ts_ref, rows_ref, vctrl_ref, lit_ref, out_ref):
     def contrib(bat):
         # every output lane of a tile is covered by EXACTLY one op, so
         # batch contributions are disjoint and combine by SUM — no
-        # ordering, which lets the pair below run as independent chains
+        # ordering, which lets the unrolled ops run as independent chains
         base = bat * 32
         gath = jnp.concatenate(
             [lit_ref[0, pl.ds(rows_ref[b, base + k], 1), :]
              for k in range(32)], axis=0)              # (32,128)
-        vc = jnp.transpose(vctrl_ref[0, pl.ds(bat, 1), :])  # (128,1)
-        rl = vc[0:32]
-        sv = vc[32:64]
-        ev = vc[64:96]
+        grp = pctrl_ref[0, pl.ds((bat >> 7) * 32, 32), :]
+        bc = jnp.take_along_axis(
+            grp, jnp.full((32, 128), bat & 127, jnp.int32), axis=1)
+        rl = bc & 255
+        sv = (bc >> 8) & 255
+        e1 = (bc >> 16) & 255
         idx = (lane + rl) & 127
         sh = jnp.take_along_axis(gath, idx, axis=1)
-        m = (lane >= sv) & (lane < ev)
+        m = (lane >= sv) & (lane <= e1)
         return jnp.where(m, sh, 0)
 
     for t in range(NT):
         b0 = ts_ref[b, t]
-        b1 = ts_ref[b, t + 1]          # b1 - b0 is padded to a multiple of 2
+        b1 = ts_ref[b, t + 1]      # b1 - b0 is padded to a multiple of 4
 
-        def pair_body(g, acc):
-            bat = b0 + 2 * g
-            return acc + contrib(bat) + contrib(bat + 1)
+        def quad_body(g, acc):
+            bat = b0 + V9_UNROLL * g
+            for u in range(V9_UNROLL):
+                acc = acc + contrib(bat + u)
+            return acc
 
-        tile = jax.lax.fori_loop(0, (b1 - b0) // 2, pair_body,
+        tile = jax.lax.fori_loop(0, (b1 - b0) // V9_UNROLL, quad_body,
                                  jnp.zeros((32, 128), jnp.int32))
         out_ref[0, t * 32:(t + 1) * 32, :] = tile
 
 
 def v9_kernel(block: int, MAXB: int, RL: int, interpret: bool = False):
     NR = block // 128
+    G32 = 32 * (-(-MAXB // 128))
 
-    def call(nb, ts, rows, vctrl, lit32):
-        B = vctrl.shape[0]
+    def call(nb, ts, rows, pctrl, lit32):
+        B = pctrl.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,          # nb, tile_start, rows
             grid=(B,),
             in_specs=[
-                pl.BlockSpec((1, MAXB, 128), lambda b, *_: (b, 0, 0),
+                pl.BlockSpec((1, G32, 128), lambda b, *_: (b, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, RL, 128), lambda b, *_: (b, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -845,17 +863,17 @@ def v9_kernel(block: int, MAXB: int, RL: int, interpret: bool = False):
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
             interpret=interpret,
-        )(nb, ts, rows, vctrl, lit32)
+        )(nb, ts, rows, pctrl, lit32)
 
     return jax.jit(call)
 
 
 def decode_blocks_v9(pieces_list, lit_list, totals, block: int,
                      interpret: bool = False, device=None):
-    nb, ts, rows, vctrl, lit32 = pack_blocks_v9(pieces_list, lit_list,
+    nb, ts, rows, pctrl, lit32 = pack_blocks_v9(pieces_list, lit_list,
                                                 totals, block)
-    kern = v9_kernel(block, vctrl.shape[1], lit32.shape[1], interpret)
-    args = (nb, ts, rows, vctrl, lit32)
+    kern = v9_kernel(block, rows.shape[1] // 32, lit32.shape[1], interpret)
+    args = (nb, ts, rows, pctrl, lit32)
     if device is not None:
         args = tuple(jax.device_put(a, device) for a in args)
     out = np.asarray(kern(*args))

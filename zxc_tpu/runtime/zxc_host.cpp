@@ -2737,7 +2737,7 @@ int64_t zxch_lane_ops(const int32_t *po, const int32_t *pc,
     int64_t r1 = r0 + 32 < n_rows ? r0 + 32 : n_rows;
     for (int64_t r = r0; r < r1; r++)
       if (row_cnt[r] > layers) layers = row_cnt[r];
-    layers = (layers + 1) & ~1;  // pad to pairs: the kernel unrolls 2x
+    layers = (layers + 3) & ~3;  // pad to quads: the kernel unrolls 4x
     nb += (uint64_t)layers;
     if (nb > max_batches) return -10;
   }
