@@ -43,6 +43,7 @@ class LevelParams:
     step_base: int = 1      # miss-path skip: step_base + (run >> step_shift)
     step_shift: int = 0     # 0 = no acceleration
     cover_base: int = 1     # chain-insert stride inside emitted matches
+    min_emit: int = 5       # shortest match the parse will emit
 
 
 def level_params(level: int) -> LevelParams:
@@ -51,8 +52,13 @@ def level_params(level: int) -> LevelParams:
     5-byte-hash chain matcher to match or beat its per-level sizes)."""
     level = max(C.LEVEL_MIN, min(C.LEVEL_MAX, level))
     table = {
-        1: LevelParams(2, False, 8, 16, 1, 4, 4),
-        2: LevelParams(6, True, 8, 24, 1, 6, 4),
+        # GHI levels: a 4-byte sequence word per match makes length-5
+        # matches net losers (greedy myopia blocks longer ones); the
+        # reference's L1 parse also never emits below 6 (measured on its
+        # archives). min_emit stays 5 from L3 up, where GLO token+Huffman
+        # pricing makes short matches profitable again.
+        1: LevelParams(2, False, 8, 16, 1, 4, 4, min_emit=6),
+        2: LevelParams(6, True, 8, 24, 1, 6, 4, min_emit=6),
         3: LevelParams(6, True, 8, 32, 1, 6, 4),
         4: LevelParams(8, True, 8, 64, cover_base=2),
         5: LevelParams(64, True, 8, 256, cover_base=2),
@@ -244,11 +250,12 @@ def find_matches(data: np.ndarray, start: int, n_candidates: int
 # Parse: greedy / lazy via jump-table doubling
 # ---------------------------------------------------------------------------
 
-def parse_sequences(lens: np.ndarray, offs: np.ndarray, lazy: bool
+def parse_sequences(lens: np.ndarray, offs: np.ndarray, lazy: bool,
+                    min_emit: int = 5
                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Chain-of-jumps parse. Returns (match_pos, match_len, match_off)."""
     P = len(lens)
-    good = lens >= C.MIN_MATCH
+    good = lens >= max(C.MIN_MATCH, min_emit)
     if lazy and P > 1:
         nxt_len = np.concatenate([lens[1:], [0]])
         nxt_good = np.concatenate([good[1:], [False]])
@@ -386,7 +393,7 @@ def _build_sequences(data: np.ndarray, level: int,
             r = runtime.find_parse(full, start, params.n_candidates,
                                    params.lazy, params.sufficient_len,
                                    params.step_base, params.step_shift,
-                                   params.cover_base)
+                                   params.cover_base, params.min_emit)
             if r is not None:
                 m_pos, m_len, m_off = (a.astype(np.int64) for a in r)
         except ImportError:
@@ -441,13 +448,15 @@ def _build_sequences(data: np.ndarray, level: int,
     if m_pos is None:
         try:
             from .. import runtime
-            r = runtime.lazy_parse(lens, offs, params.lazy)
+            r = runtime.lazy_parse(lens, offs, params.lazy,
+                                   params.min_emit)
             if r is not None:
                 m_pos, m_len, m_off = (a.astype(np.int64) for a in r)
         except ImportError:
             pass
     if m_pos is None:
-        m_pos, m_len, m_off = parse_sequences(lens, offs, params.lazy)
+        m_pos, m_len, m_off = parse_sequences(lens, offs, params.lazy,
+                                              params.min_emit)
     return _sequences_to_streams(data, m_pos, m_len, m_off)
 
 

@@ -251,7 +251,7 @@ def compress(data: bytes, opts: EncodeOpts | None = None) -> bytes:
             arr, level, params.n_candidates, params.lazy,
             params.sufficient_len, params.step_base, params.step_shift,
             params.cover_base, block_size, C.block_size_code(block_size),
-            opts.checksum, opts.seekable)
+            opts.checksum, opts.seekable, params.min_emit)
         if nat is not None:
             return nat
     out = bytearray()

@@ -131,8 +131,9 @@ def find_matches_device(data: jnp.ndarray, n_candidates: int
     return lens, offs
 
 
-@functools.partial(jax.jit, static_argnames=("lazy",))
-def parse_compact_device(lens: jnp.ndarray, offs: jnp.ndarray, lazy: bool
+@functools.partial(jax.jit, static_argnames=("lazy", "min_emit"))
+def parse_compact_device(lens: jnp.ndarray, offs: jnp.ndarray, lazy: bool,
+                         min_emit: int = 5
                          ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                     jnp.ndarray]:
     """parse_device + on-device compaction of the chosen sequences.
@@ -141,7 +142,7 @@ def parse_compact_device(lens: jnp.ndarray, offs: jnp.ndarray, lazy: bool
     (P//5+1)-element buffers — the D2H readback is ~5x smaller than the
     per-position arrays, which matters on links where readback is the
     bottleneck (and never hurts)."""
-    keep = parse_device(lens, offs, lazy)
+    keep = parse_device(lens, offs, lazy, min_emit)
     P = lens.shape[0]
     cap = P // C.MIN_MATCH + 1
     idx = jnp.cumsum(keep) - 1
@@ -158,16 +159,16 @@ def parse_compact_device(lens: jnp.ndarray, offs: jnp.ndarray, lazy: bool
     return n_seq, pos_buf, len_buf, off_buf
 
 
-@functools.partial(jax.jit, static_argnames=("lazy",))
-def parse_device(lens: jnp.ndarray, offs: jnp.ndarray, lazy: bool
-                 ) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("lazy", "min_emit"))
+def parse_device(lens: jnp.ndarray, offs: jnp.ndarray, lazy: bool,
+                 min_emit: int = 5) -> jnp.ndarray:
     """Greedy/lazy tiling of the block: True where a kept match starts.
 
     The serial cursor walk becomes a jump table squared log2(P) times
     (pointer doubling) — identical result to the host parse_sequences.
     """
     P = lens.shape[0]
-    good = lens >= C.MIN_MATCH
+    good = lens >= max(C.MIN_MATCH, min_emit)
     if lazy and P > 1:
         nxt_len = jnp.concatenate([lens[1:], jnp.zeros(1, lens.dtype)])
         nxt_good = jnp.concatenate([good[1:], jnp.zeros(1, bool)])
@@ -202,7 +203,8 @@ def encode_chunk_device(data: bytes | np.ndarray, level: int,
         d = jax.device_put(d, device)
     lens, offs = find_matches_device(d, params.n_candidates)
     n_seq, pos_b, len_b, off_b = parse_compact_device(lens, offs,
-                                                      params.lazy)
+                                                      params.lazy,
+                                                      params.min_emit)
     k = int(n_seq)
     seqs = (np.asarray(pos_b[:k]).astype(np.int64),
             np.asarray(len_b[:k]).astype(np.int64),

@@ -107,12 +107,12 @@ def lib() -> ctypes.CDLL | None:
         L.zxch_find_matches.restype = ctypes.c_int
         L.zxch_find_matches.argtypes = [vp, u64, u64, ctypes.c_int, vp, vp]
         L.zxch_lazy_parse.restype = i64
-        L.zxch_lazy_parse.argtypes = [vp, vp, u64, ctypes.c_int, vp, vp, vp,
-                                      u64]
+        L.zxch_lazy_parse.argtypes = [vp, vp, u64, ctypes.c_int,
+                                      ctypes.c_int, vp, vp, vp, u64]
         ci = ctypes.c_int
         L.zxch_find_parse.restype = i64
         L.zxch_find_parse.argtypes = [vp, u64, u64, ci, ci, ci, ci, ci, ci,
-                                      vp, vp, vp, u64]
+                                      ci, vp, vp, vp, u64]
         for fn in (L.zxch_window_ops, L.zxch_window_ops2):
             fn.restype = i64
             fn.argtypes = [vp] * 4 + [u64, i64, vp, vp, u64]
@@ -127,15 +127,15 @@ def lib() -> ctypes.CDLL | None:
                                             vp, vp, u64]
         L.zxch_encode_ghi.restype = i64
         L.zxch_encode_ghi.argtypes = [vp, u64, u64, ci, ci, ci, ci, ci, ci,
-                                      vp, u64]
+                                      ci, vp, u64]
         L.zxch_encode_glo.restype = i64
         L.zxch_encode_glo.argtypes = [vp, u64, u64, ci, ci, ci, ci, ci, ci,
-                                      vp, u64]
+                                      ci, vp, u64]
         L.zxch_pivco_encode.restype = i64
         L.zxch_pivco_encode.argtypes = [vp, u64, vp, vp, u64]
         L.zxch_compress_frame.restype = i64
         L.zxch_compress_frame.argtypes = [vp, u64, ci, ci, ci, ci, ci, ci,
-                                          ci, u64, ci, ci, ci, vp, u64]
+                                          ci, ci, u64, ci, ci, ci, vp, u64]
         _lib = L
         _install_fast_paths(L)
         _tried = True
@@ -376,7 +376,8 @@ def find_matches(data: np.ndarray, start: int, max_probes: int):
     return lens[:P], offs[:P]
 
 
-def lazy_parse(lens: np.ndarray, offs: np.ndarray, lazy: bool):
+def lazy_parse(lens: np.ndarray, offs: np.ndarray, lazy: bool,
+               min_emit: int = 5):
     """Native greedy/lazy parse; returns (pos, len, off) or None."""
     L = lib()
     if L is None:
@@ -390,7 +391,7 @@ def lazy_parse(lens: np.ndarray, offs: np.ndarray, lazy: bool):
     oo = np.empty(max_seq, np.int32)
     n = L.zxch_lazy_parse(lens32.ctypes.data_as(ctypes.c_void_p),
                           offs32.ctypes.data_as(ctypes.c_void_p), P,
-                          1 if lazy else 0,
+                          1 if lazy else 0, min_emit,
                           op.ctypes.data_as(ctypes.c_void_p),
                           ol.ctypes.data_as(ctypes.c_void_p),
                           oo.ctypes.data_as(ctypes.c_void_p), max_seq)
@@ -458,7 +459,8 @@ def expand(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
 
 def find_parse(data: np.ndarray, start: int, max_probes: int, lazy: bool,
                sufficient_len: int = 0, step_base: int = 1,
-               step_shift: int = 0, cover_base: int = 1):
+               step_shift: int = 0, cover_base: int = 1,
+               min_emit: int = 5):
     """Combined native find+parse (levels 1-5 hot path); returns
     (pos, len, off) int32 arrays relative to `start`, or None."""
     L = lib()
@@ -472,7 +474,7 @@ def find_parse(data: np.ndarray, start: int, max_probes: int, lazy: bool,
     oo = np.empty(max_seq, np.int32)
     n = L.zxch_find_parse(d8.ctypes.data_as(ctypes.c_void_p), len(d8), start,
                           max_probes, 1 if lazy else 0, sufficient_len,
-                          step_base, step_shift, cover_base,
+                          step_base, step_shift, cover_base, min_emit,
                           op.ctypes.data_as(ctypes.c_void_p),
                           ol.ctypes.data_as(ctypes.c_void_p),
                           oo.ctypes.data_as(ctypes.c_void_p), max_seq)
@@ -544,7 +546,7 @@ def compress_frame(data: np.ndarray, level: int, max_probes: int,
                    lazy: bool, sufficient_len: int, step_base: int,
                    step_shift: int, cover_base: int, block_size: int,
                    block_size_code: int, checksum: bool,
-                   seekable: bool) -> bytes | None:
+                   seekable: bool, min_emit: int = 5) -> bytes | None:
     """Whole-frame one-shot encode, levels 1-5 non-dict; byte-identical
     with the Python frame assembly. None when unavailable."""
     L = lib()
@@ -557,7 +559,8 @@ def compress_frame(data: np.ndarray, level: int, max_probes: int,
     out = np.empty(cap, np.uint8)
     w = L.zxch_compress_frame(d8.ctypes.data_as(ctypes.c_void_p), n, level,
                               max_probes, 1 if lazy else 0, sufficient_len,
-                              step_base, step_shift, cover_base, block_size,
+                              step_base, step_shift, cover_base, min_emit,
+                              block_size,
                               block_size_code, 1 if checksum else 0,
                               1 if seekable else 0,
                               out.ctypes.data_as(ctypes.c_void_p), cap)
@@ -604,7 +607,8 @@ def pivco_decode(payload: np.ndarray, n: int, code_len: np.ndarray):
 
 def encode_ghi(data: np.ndarray, start: int, max_probes: int, lazy: bool,
                sufficient_len: int = 0, step_base: int = 1,
-               step_shift: int = 0, cover_base: int = 1):
+               step_shift: int = 0, cover_base: int = 1,
+               min_emit: int = 5):
     """Fully-native GHI payload emission (levels 1-2); returns bytes or
     None when unavailable."""
     L = lib()
@@ -616,7 +620,7 @@ def encode_ghi(data: np.ndarray, start: int, max_probes: int, lazy: bool,
     out = np.empty(cap, np.uint8)
     n = L.zxch_encode_ghi(d8.ctypes.data_as(ctypes.c_void_p), len(d8), start,
                           max_probes, 1 if lazy else 0, sufficient_len,
-                          step_base, step_shift, cover_base,
+                          step_base, step_shift, cover_base, min_emit,
                           out.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         return None
@@ -625,7 +629,8 @@ def encode_ghi(data: np.ndarray, start: int, max_probes: int, lazy: bool,
 
 def encode_glo(data: np.ndarray, start: int, max_probes: int, lazy: bool,
                sufficient_len: int = 0, step_base: int = 1,
-               step_shift: int = 0, cover_base: int = 1):
+               step_shift: int = 0, cover_base: int = 1,
+               min_emit: int = 5):
     """Fully-native GLO payload emission (levels 3-5, RAW/RLE literal
     pricing); returns bytes or None."""
     L = lib()
@@ -637,7 +642,7 @@ def encode_glo(data: np.ndarray, start: int, max_probes: int, lazy: bool,
     out = np.empty(cap, np.uint8)
     n = L.zxch_encode_glo(d8.ctypes.data_as(ctypes.c_void_p), len(d8), start,
                           max_probes, 1 if lazy else 0, sufficient_len,
-                          step_base, step_shift, cover_base,
+                          step_base, step_shift, cover_base, min_emit,
                           out.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         return None

@@ -12,6 +12,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <vector>
+#include <algorithm>
 
 #if defined(__AVX512VBMI2__) && defined(__AVX512BW__) && defined(__BMI2__)
 #include <immintrin.h>
@@ -838,16 +840,18 @@ extern "C" {
 // when the next position's match is strictly longer. Returns sequence
 // count, or -10 if max_seq too small.
 int64_t zxch_lazy_parse(const int32_t *lens, const int32_t *offs, uint64_t P,
-                        int lazy, int32_t *out_pos, int32_t *out_len,
-                        int32_t *out_off, uint64_t max_seq) {
+                        int lazy, int min_emit, int32_t *out_pos,
+                        int32_t *out_len, int32_t *out_off,
+                        uint64_t max_seq) {
+  if (min_emit < 5) min_emit = 5;
   uint64_t n = 0;
   uint64_t p = 0;
   while (p < P) {
     int32_t l = lens[p];
-    if (l < 5) { p++; continue; }
+    if (l < min_emit) { p++; continue; }
     if (lazy && p + 1 < P) {
       int32_t nl = lens[p + 1];
-      if (nl >= 5 && nl > l) { p++; continue; }  // defer to the longer match
+      if (nl >= min_emit && nl > l) { p++; continue; }  // defer to the longer match
     }
     if (n >= max_seq) return -10;
     out_pos[n] = (int32_t)p;
@@ -874,9 +878,10 @@ extern "C" {
 int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
                         int max_probes, int lazy, int sufficient_len,
                         int step_base, int step_shift, int cover_base,
-                        int32_t *out_pos, int32_t *out_len, int32_t *out_off,
-                        uint64_t max_seq) {
+                        int min_emit, int32_t *out_pos, int32_t *out_len,
+                        int32_t *out_off, uint64_t max_seq) {
   if (sufficient_len <= 0) sufficient_len = 1 << 30;
+  if (min_emit < 5) min_emit = 5;
   if (step_base <= 0) step_base = 1;
   if (step_shift <= 0) step_shift = 30;
   if (cover_base <= 0) cover_base = 1;
@@ -1011,7 +1016,7 @@ done:
     int l;
     int64_t o;
     search(p, &l, &o);
-    if (l < (int)MIN_MATCH) {
+    if (l < min_emit) {
       // accelerating miss step (reference zxc_compress.c:1231): skip
       // ahead through incompressible runs, skipped positions not inserted
       if (p < hend) insert_ht(p, cur_ht);  // search already hashed p
@@ -1025,7 +1030,7 @@ done:
       if (p < hend) insert_ht(p, cur_ht);
       already = p + 1;
       search(p + 1, &l2, &o2);
-      if (l2 >= (int)MIN_MATCH && l2 > l) { p++; l = l2; o = o2; }
+      if (l2 >= min_emit && l2 > l) { p++; l = l2; o = o2; }
     }
     // backward extension into the pending literal run (reference
     // zxc_compress.c:452-463): reclaim literals that also match at -off
@@ -1450,7 +1455,7 @@ extern "C" {
 int64_t zxch_encode_ghi(const uint8_t *data, uint64_t n, uint64_t start,
                         int max_probes, int lazy, int sufficient_len,
                         int step_base, int step_shift, int cover_base,
-                        uint8_t *out, uint64_t cap) {
+                        int min_emit, uint8_t *out, uint64_t cap) {
   uint64_t P = n - start;
   uint64_t max_seq = P / 5 + 8;
   int32_t *mp = new int32_t[max_seq];
@@ -1458,7 +1463,7 @@ int64_t zxch_encode_ghi(const uint8_t *data, uint64_t n, uint64_t start,
   int32_t *mo = new int32_t[max_seq];
   int64_t nseq = zxch_find_parse(data, n, start, max_probes, lazy,
                                  sufficient_len, step_base, step_shift,
-                                 cover_base, mp, ml, mo, max_seq);
+                                 cover_base, min_emit, mp, ml, mo, max_seq);
   if (nseq < 0) { delete[] mp; delete[] ml; delete[] mo; return -10; }
 
   // sizes: literals = P - sum(ml); extras per saturated field
@@ -1609,7 +1614,7 @@ static int64_t ghi_rle_encode(const uint8_t *lit, uint64_t n, uint8_t *out,
 int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
                         int max_probes, int lazy, int sufficient_len,
                         int step_base, int step_shift, int cover_base,
-                        uint8_t *out, uint64_t cap) {
+                        int min_emit, uint8_t *out, uint64_t cap) {
   uint64_t P = n - start;
   uint64_t max_seq = P / 5 + 8;
   int32_t *mp = new int32_t[max_seq];
@@ -1617,7 +1622,7 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
   int32_t *mo = new int32_t[max_seq];
   int64_t nseq = zxch_find_parse(data, n, start, max_probes, lazy,
                                  sufficient_len, step_base, step_shift,
-                                 cover_base, mp, ml, mo, max_seq);
+                                 cover_base, min_emit, mp, ml, mo, max_seq);
   if (nseq < 0) { delete[] mp; delete[] ml; delete[] mo; return -10; }
 
   uint64_t lit_total = P;
@@ -1915,6 +1920,120 @@ int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Entropy fallback for the fast levels: package-merge code lengths (mirror
+// of codec/huffman.py build_code_lengths — identical tie-breaking so the
+// native and Python frame paths keep making the same per-block decision)
+// and an all-literal Huffman GLO payload. GHI literals are RAW by format,
+// so when a block's match structure is poor (short-match-dense data), a
+// sequence-free GLO block with PivCo-coded literals can be far smaller
+// than any GHI parse; block types are self-describing so mixing them in
+// one frame is wire-legal (reference decodes GLO at any level).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
+                          const uint8_t *code_len, uint8_t *out,
+                          uint64_t cap);
+}
+
+// freq[256] -> cl[256] (0 = absent), cap max_len. Returns number of
+// distinct symbols (0 => no lengths written).
+static int zxch_build_code_lengths(const uint64_t *freq, int max_len,
+                                   uint8_t *cl) {
+  struct Item { uint64_t w; std::vector<uint16_t> coins; };
+  int present[256];
+  int n = 0;
+  for (int s = 0; s < 256; s++)
+    if (freq[s]) present[n++] = s;
+  memset(cl, 0, 256);
+  if (n == 0) return 0;
+  if (n == 1) { cl[present[0]] = 1; return 1; }
+  if (n > (1 << max_len)) return -1;
+  // stable argsort by weight (ties keep ascending symbol order)
+  int order[256];
+  for (int i = 0; i < n; i++) order[i] = i;
+  std::stable_sort(order, order + n, [&](int a, int b) {
+    return freq[present[a]] < freq[present[b]];
+  });
+  std::vector<Item> base(n), prev;
+  for (int i = 0; i < n; i++) {
+    base[i].w = freq[present[order[i]]];
+    base[i].coins = {(uint16_t)i};
+  }
+  for (int lvl = 0; lvl < max_len - 1; lvl++) {
+    std::vector<Item> merged;
+    merged.reserve(base.size() + prev.size());
+    for (auto &it : base) merged.push_back(it);
+    for (auto &it : prev) merged.push_back(std::move(it));
+    std::stable_sort(merged.begin(), merged.end(),
+                     [](const Item &a, const Item &b) { return a.w < b.w; });
+    prev.clear();
+    for (size_t i = 0; i + 1 < merged.size(); i += 2) {
+      Item pk;
+      pk.w = merged[i].w + merged[i + 1].w;
+      pk.coins = merged[i].coins;
+      pk.coins.insert(pk.coins.end(), merged[i + 1].coins.begin(),
+                      merged[i + 1].coins.end());
+      prev.push_back(std::move(pk));
+    }
+  }
+  std::vector<Item> merged;
+  merged.reserve(base.size() + prev.size());
+  for (auto &it : base) merged.push_back(std::move(it));
+  for (auto &it : prev) merged.push_back(std::move(it));
+  std::stable_sort(merged.begin(), merged.end(),
+                   [](const Item &a, const Item &b) { return a.w < b.w; });
+  int lengths[256] = {0};
+  size_t take = (size_t)(2 * n - 2);
+  for (size_t i = 0; i < take; i++)
+    for (uint16_t c : merged[i].coins) lengths[c]++;
+  for (int i = 0; i < n; i++) cl[present[order[i]]] = (uint8_t)lengths[i];
+  return n;
+}
+
+// All-literal Huffman GLO payload (GNR header + 4 descs + 128-byte
+// lengths header + PivCo payload; empty token/offset/extras sections).
+// `budget` = the competing payload size; returns emitted size only when
+// strictly smaller, else -1 (also -1 when Huffman cannot help).
+static int64_t zxch_encode_hufflit(const uint8_t *data, uint64_t P,
+                                   uint8_t *out, uint64_t cap,
+                                   uint64_t budget) {
+  const uint64_t FIXED = 16 + 32 + 128;
+  if (FIXED + (P + 7) / 8 >= budget || FIXED + (P + 7) / 8 > cap) return -1;
+  uint64_t freq[256] = {0};
+  for (uint64_t i = 0; i < P; i++) freq[data[i]]++;
+  uint8_t cl[256];
+  if (zxch_build_code_lengths(freq, 8, cl) <= 0) return -1;
+  uint64_t bits = 0;
+  for (int s = 0; s < 256; s++) bits += freq[s] * cl[s];
+  if (FIXED + (bits + 7) / 8 >= budget) return -1;  // lower bound: padding
+  if (cap < FIXED + P + 64) return -1;
+  uint8_t *w = out;
+  // lengths header: two 4-bit lengths per byte, low nibble first
+  uint8_t *lit_w = w + 16 + 32;
+  for (int s = 0; s < 256; s += 2)
+    lit_w[s / 2] = (uint8_t)((cl[s] & 0x0F) | (cl[s + 1] << 4));
+  int64_t paysz = zxch_pivco_encode(data, P, cl, lit_w + 128,
+                                    cap - FIXED);
+  if (paysz < 0) return -1;
+  uint64_t lit_sec = 128 + (uint64_t)paysz;
+  uint64_t need = 16 + 32 + lit_sec;
+  if (need >= budget) return -1;
+  uint32_t u = 0;
+  memcpy(w, &u, 4);                       // n_sequences = 0
+  u = (uint32_t)P; memcpy(w + 4, &u, 4);  // n_literals
+  w[8] = 2;                               // enc_lit = HUFFMAN
+  w[9] = 0; w[10] = 0;
+  w[11] = 1;                              // enc_off (8-bit; no offsets)
+  memset(w + 12, 0, 4);
+  uint64_t d = lit_sec | ((uint64_t)P << 32);
+  memcpy(w + 16, &d, 8);
+  d = 0; memcpy(w + 24, &d, 8); memcpy(w + 32, &d, 8);
+  memcpy(w + 40, &d, 8);
+  return (int64_t)need;
+}
+
+// ---------------------------------------------------------------------------
 // Whole-frame one-shot encode, levels 1-5 non-dict: the per-block loop of
 // frame.compress (codec/frame.py:190, reference zxc_dispatch.c:671-826)
 // entirely in C — header, GHI/GLO payloads with RAW fallback, optional
@@ -1927,6 +2046,7 @@ extern "C" {
 int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
                             int max_probes, int lazy, int sufficient_len,
                             int step_base, int step_shift, int cover_base,
+                            int min_emit,
                             uint64_t block_size, int block_size_code,
                             int checksum, int seekable,
                             uint8_t *out, uint64_t cap) {
@@ -1962,12 +2082,12 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
     if (level <= 2) {
       psz = zxch_encode_ghi(data + pos, len, 0, max_probes, lazy,
                             sufficient_len, step_base, step_shift,
-                            cover_base, payload, pcap);
+                            cover_base, min_emit, payload, pcap);
       btype = 2;  // GHI
     } else {
       psz = zxch_encode_glo(data + pos, len, 0, max_probes, lazy,
                             sufficient_len, step_base, step_shift,
-                            cover_base, payload, pcap);
+                            cover_base, min_emit, payload, pcap);
       btype = 1;  // GLO
     }
     if (psz < 0 || (uint64_t)(BH + psz) >= len) {
@@ -2557,13 +2677,14 @@ int64_t zxch_simple_compress(const uint8_t *data, uint64_t n, int level,
   while ((1ull << code) < block_size) code++;
   if (code < 12 || code > 21) return -14;
   // level-param table mirror (codec/block_encode.py level_params)
-  struct Par { int probes, lazy, suff, sb, ss, cover; };
-  static const Par tab[5] = {{2, 0, 16, 1, 4, 4},  {6, 1, 24, 1, 6, 4},
-                             {6, 1, 32, 1, 6, 4},  {8, 1, 64, 1, 0, 2},
-                             {64, 1, 256, 1, 0, 2}};
+  struct Par { int probes, lazy, suff, sb, ss, cover, min_emit; };
+  static const Par tab[5] = {{2, 0, 16, 1, 4, 4, 6},  {6, 1, 24, 1, 6, 4, 6},
+                             {6, 1, 32, 1, 6, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
+                             {64, 1, 256, 1, 0, 2, 5}};
   Par p = tab[level - 1];
   return zxch_compress_frame(data, n, level, p.probes, p.lazy, p.suff,
-                             p.sb, p.ss, p.cover, block_size, code,
+                             p.sb, p.ss, p.cover, p.min_emit,
+                             block_size, code,
                              checksum, seekable, dst, dst_cap);
 }
 
