@@ -105,6 +105,75 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
     else:
         totals_all = list(plan.totals)
     variant = int(os.environ.get("ZXC_BENCH_VARIANT", "6"))
+    if variant == 10:
+        # v10 MXU one-hot row-gather kernel: no scalar loads in the hot
+        # loop (control rides one lane-gather per batch; source rows come
+        # from a bf16 one-hot matmul). One jitted program for the corpus.
+        nb10 = plan.n_blocks
+        per10 = PD.lane_ops_blocks(pieces[:nb10], list(plan.totals))
+        MAXB = max(max(len(r[0]), 1) for r in per10)
+        MAXB = -(-MAXB // 8) * 8
+        RL10 = max(-(-len(lit) // 128) for lit in lits[:nb10]) + 1
+        B10 = int(os.environ.get("ZXC_BENCH_DISPATCH", "16"))
+        nd10 = -(-nb10 // B10)
+        pad10 = nd10 * B10 - nb10
+        p10 = pieces[:nb10] + [pieces[nb10 - 1]] * pad10
+        l10 = lits[:nb10] + [lits[nb10 - 1]] * pad10
+        t10 = list(plan.totals) + [0] * pad10
+        per10 = per10 + [per10[-1]] * pad10
+        t0 = time.time()
+        sets = []
+        for d in range(nd10):
+            sl = slice(d * B10, (d + 1) * B10)
+            sets.append(PD.pack_blocks_v10(p10[sl], l10[sl], t10[sl],
+                                           plan.block_size, per=per10[sl],
+                                           MAXB=MAXB, RL=RL10))
+        RLP = sets[0][3].shape[1]
+        print(f"# v10 pack: {time.time()-t0:.3f}s, MAXB={MAXB} RLP={RLP} "
+              f"B10={B10} ({nd10} kernel calls)", file=sys.stderr)
+        dsets = [tuple(jax.device_put(a, dev) for a in s) for s in sets]
+        jax.block_until_ready(dsets)
+        kern10 = PD.v10_kernel(plan.block_size,
+                               (sets[0][2].shape[1] // 32) * 128, RLP)
+        NR = plan.block_size // 128
+        flatpos = jnp.arange(NR * 128, dtype=jnp.uint32)
+        w10 = (flatpos % 8191).astype(jnp.uint32)
+        tot_sets = [jnp.asarray(t10[d * B10:(d + 1) * B10], jnp.uint32)
+                    for d in range(nd10)]
+
+        @jax.jit
+        def megastep(sets_in, tots):
+            f1 = jnp.uint32(0)
+            f2 = jnp.uint32(0)
+            for s, t in zip(sets_in, tots):
+                out = kern10(*s)
+                flat = out.reshape(B10, NR * 128).astype(jnp.uint32)
+                mask = flatpos[None, :] < t[:, None]
+                f1 = f1 + jnp.sum(jnp.where(mask, flat, 0))
+                f2 = f2 + jnp.sum(jnp.where(mask, flat * w10[None, :], 0))
+            return f1, f2
+
+        t0 = time.time()
+        fp1, fp2 = map(int, megastep(dsets, tot_sets))
+        print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+        times = []
+        for _ in range(REPS):
+            t0 = time.time()
+            r = tuple(map(int, megastep(dsets, tot_sets)))
+            times.append(time.time() - t0)
+            assert r == (fp1, fp2)
+        t_dev = min(times)
+        gbps = len(data) / 1e9 / t_dev
+        _verify_fp(data, plan, fp1 & 0xFFFFFFFF, fp2 & 0xFFFFFFFF)
+        print(f"# v10 kernel: {t_dev:.3f}s = {gbps:.3f} GB/s "
+              f"(one program, {nd10} calls of {B10} blocks)", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"silesia_like_decode_level{LEVEL}_pallas_v10",
+            "value": round(gbps, 3),
+            "unit": "GB/s",
+            "vs_baseline": round(gbps / BASELINE_GBPS, 3),
+        }))
+        return
     if variant == 9:
         # v9 per-sublane lane-op kernel. The whole corpus is decoded by ONE
         # jitted program (a chain of pallas_calls + fingerprint reductions)

@@ -879,3 +879,299 @@ def decode_blocks_v9(pieces_list, lit_list, totals, block: int,
     out = np.asarray(kern(*args))
     return [out[j].reshape(-1)[:totals[j]].astype(np.uint8).tobytes()
             for j in range(len(pieces_list))]
+
+
+# ---------------------------------------------------------------------------
+# v10: MXU one-hot row-gather.
+#
+# v9.3's wall is the 32 serial scalar-addressed source-row loads per batch
+# (~85% of kernel time). v10 removes every scalar load from the hot loop:
+#
+#   * ALL per-op control packs into ONE i32 — roll:7 | s:7 | (e-1):7 |
+#     src_row:11 — so one lane-gather per batch broadcasts the whole
+#     control set to its (32,128) tile;
+#   * the 128 source-row fetches of a 4-batch quad become ONE bf16 matmul
+#     on the MXU: onehot(128, RLP) @ lit_bf16(RLP, 128), where onehot is
+#     built by a dense iota-compare (bytes 0..255 are exact in bf16, and
+#     each one-hot row has at most a single 1, so the f32 accumulation is
+#     exact);
+#   * the per-op variable rotate and mask run once on the whole (128,128)
+#     quad (`take_along_axis` along lanes lowers to tpu.dynamic_gather).
+#
+# TPU reformulation of the reference hot loop zxc_decompress.c:890-1034.
+# ---------------------------------------------------------------------------
+
+V10_ROWBITS = 11      # src_row field width -> lit_full <= 2048 rows (256 KiB)
+
+
+def pack_blocks_v10(pieces_list, lit_list, totals, block: int,
+                    per=None, MAXB=None, RL=None):
+    """Build the v10 dispatch batch.
+
+    Returns (nb, ts, pctrl, lit8) where
+      nb    (B,)          int32  batches per block          (host-side info)
+      ts    (B, NT+1)     int32  per-tile batch prefix      (scalar prefetch)
+      pctrl (B, G32, 128) int32  pre-transposed packed control: for batch
+                                 bat = 128*g + j, sublane k,
+                                 pctrl[b, 32*g + k, j] =
+                                     roll | s<<7 | (e-1)<<14 | src_row<<21
+                                 (empty ops packed as s=1, e-1=0)
+      lit8  (B, RLP, 128) uint8  lit_full bytes (device converts to bf16)
+    """
+    B = len(pieces_list)
+    if per is None:
+        per = lane_ops_blocks(pieces_list, totals)
+    if MAXB is None:
+        MAXB = max(max(len(r[0]), 1) for r in per)
+        MAXB = -(-MAXB // V9_GROUP) * V9_GROUP
+    if RL is None:
+        RL = max(-(-len(lit) // 128) for lit in lit_list) + 1
+    RLP = -(-RL // 16) * 16          # bf16 sublane tile
+    assert RLP <= (1 << V10_ROWBITS), \
+        f"lit_full too large for v10 row field ({RLP} rows)"
+    NT = block // 4096
+    NG = -(-MAXB // 128)
+    nb = np.array([len(r[0]) for r in per], np.int32)
+    ts = np.zeros((B, NT + 1), np.int32)
+    pctrl = np.full((B, NG * 32, 128), 1 << 7, np.int32)
+    lit8 = np.zeros((B, RLP, 128), np.uint8)
+    for j, ((rows, rl, s, e, tile_start), lit) in enumerate(
+            zip(per, lit_list)):
+        k = len(rows)
+        nts = len(tile_start) - 1
+        ts[j, :nts + 1] = tile_start
+        ts[j, nts + 1:] = tile_start[-1]
+        packed = np.where(e > 0,
+                          rl | (s << 7) | ((e - 1) << 14) | (rows << 21),
+                          1 << 7)
+        bat = np.arange(k)[:, None]
+        sub = np.arange(32)[None, :]
+        pctrl[j, 32 * (bat >> 7) + sub, bat & 127] = packed
+        flat = np.frombuffer(bytes(lit), np.uint8)
+        lit8[j].reshape(-1)[:len(flat)] = flat
+    return nb, ts, pctrl, lit8
+
+
+def _kernel_v10(ts_ref, pctrl_ref, litb_ref, out_ref):
+    b = pl.program_id(0)
+    NT = out_ref.shape[1] // 32
+    RLP = litb_ref.shape[1]
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, RLP), 1)
+    litb = litb_ref[0]               # (RLP, 128) bf16
+
+    def contrib4(bat):
+        bcs = []
+        for u in range(V9_UNROLL):
+            grp = pctrl_ref[0, pl.ds(((bat + u) >> 7) * 32, 32), :]
+            bcs.append(jnp.take_along_axis(
+                grp, jnp.full((32, 128), (bat + u) & 127, jnp.int32),
+                axis=1))
+        bc = jnp.concatenate(bcs, axis=0)          # (128,128)
+        rl = bc & 127
+        sv = (bc >> 7) & 127
+        e1 = (bc >> 14) & 127
+        row = jax.lax.shift_right_logical(bc, 21)
+        # select into f32 (the i32 compare's native 32-bit tiling), then a
+        # plain truncation to bf16 — Mosaic can't relayout the i1 mask
+        # straight into a 16-bit select
+        onehot = jnp.where(rowiota == row[:, :1],
+                           jnp.float32(1), jnp.float32(0))
+        gath = jax.lax.dot_general(
+            onehot.astype(jnp.bfloat16), litb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        sh = jnp.take_along_axis(gath, (lane128 + rl) & 127, axis=1)
+        m = (lane128 >= sv) & (lane128 <= e1)
+        return jnp.where(m, sh, 0)
+
+    for t in range(NT):
+        b0 = ts_ref[b, t]
+        b1 = ts_ref[b, t + 1]        # b1 - b0 is padded to a multiple of 4
+
+        def quad_body(g, acc):
+            c = contrib4(b0 + V9_UNROLL * g)
+            return acc + c[0:32] + c[32:64] + c[64:96] + c[96:128]
+
+        tile = jax.lax.fori_loop(0, (b1 - b0) // V9_UNROLL, quad_body,
+                                 jnp.zeros((32, 128), jnp.int32))
+        out_ref[0, t * 32:(t + 1) * 32, :] = tile
+
+
+def v10_kernel(block: int, MAXB: int, RLP: int, interpret: bool = False):
+    NR = block // 128
+    G32 = 32 * (-(-MAXB // 128))
+
+    def call(nb, ts, pctrl, lit8):
+        litb = lit8.astype(jnp.bfloat16)
+        B = pctrl.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,          # ts
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, G32, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RLP, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            _kernel_v10,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(ts, pctrl, litb)
+
+    return jax.jit(call)
+
+
+# ---------------------------------------------------------------------------
+# v11: v10's MXU one-hot row-gather with a FULLY STATIC control structure.
+#
+# v10 measured ~20x below its op-count roofline: the per-tile fori_loops
+# have data-dependent trip counts (ts[t+1]-ts[t]), which defeats Mosaic's
+# software pipelining, and every batch index is dynamic. v11 pads every
+# tile of a dispatch to one shape-static LAYERS count, so batch index
+# bat = t*LAYERS + j is an affine function of static/loop indices: the
+# kernel is two statically-bounded loops of straight-line vector/MXU code
+# with no scalar-prefetch operands at all. The padding factor (~1.4-1.8x)
+# is bought back many times over by pipelining.
+# ---------------------------------------------------------------------------
+
+
+def pack_blocks_v11(pieces_list, lit_list, totals, block: int,
+                    per=None, LAYERS=None, RL=None):
+    """Pack the v11 static-layers dispatch batch.
+
+    Returns (pctrl, lit8): pctrl (B, G32, 128) i32 as in v10 but with
+    batch index bat = tile*LAYERS + layer; lit8 (B, RLP, 128) uint8.
+    """
+    B = len(pieces_list)
+    if per is None:
+        per = lane_ops_blocks(pieces_list, totals)
+    if LAYERS is None:
+        LAYERS = max(int(np.diff(r[4]).max(initial=1)) for r in per)
+        LAYERS = -(-LAYERS // V9_UNROLL) * V9_UNROLL
+    if RL is None:
+        RL = max(-(-len(lit) // 128) for lit in lit_list) + 1
+    RLP = -(-RL // 16) * 16
+    assert RLP <= (1 << V10_ROWBITS), \
+        f"lit_full too large for v11 row field ({RLP} rows)"
+    NT = block // 4096
+    NB = NT * LAYERS
+    NG = -(-NB // 128)
+    pctrl = np.full((B, NG * 32, 128), 1 << 7, np.int32)
+    lit8 = np.zeros((B, RLP, 128), np.uint8)
+    for j, ((rows, rl, s, e, tile_start), lit) in enumerate(
+            zip(per, lit_list)):
+        k = len(rows)
+        if k:
+            # original batch index -> (tile, layer) -> static-stride index
+            tl = np.searchsorted(tile_start, np.arange(k), side='right') - 1
+            layer = np.arange(k) - tile_start[tl]
+            assert (layer < LAYERS).all(), "LAYERS below a tile's layer count"
+            bat = (tl * LAYERS + layer)[:, None]
+            packed = np.where(e > 0,
+                              rl | (s << 7) | ((e - 1) << 14) | (rows << 21),
+                              1 << 7)
+            sub = np.arange(32)[None, :]
+            pctrl[j, 32 * (bat >> 7) + sub, bat & 127] = packed
+        flat = np.frombuffer(bytes(lit), np.uint8)
+        lit8[j].reshape(-1)[:len(flat)] = flat
+    return pctrl, lit8
+
+
+def _kernel_v11(pctrl_ref, litb_ref, out_ref, *, LAYERS):
+    NT = out_ref.shape[1] // 32
+    RLP = litb_ref.shape[1]
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, RLP), 1)
+    litb = litb_ref[0]               # (RLP, 128) bf16
+
+    def contrib4(bat):
+        bcs = []
+        for u in range(V9_UNROLL):
+            grp = pctrl_ref[0, pl.ds(((bat + u) >> 7) * 32, 32), :]
+            bcs.append(jnp.take_along_axis(
+                grp, jnp.full((32, 128), (bat + u) & 127, jnp.int32),
+                axis=1))
+        bc = jnp.concatenate(bcs, axis=0)          # (128,128)
+        rl = bc & 127
+        sv = (bc >> 7) & 127
+        e1 = (bc >> 14) & 127
+        row = jax.lax.shift_right_logical(bc, 21)
+        onehot = jnp.where(rowiota == row[:, :1],
+                           jnp.float32(1), jnp.float32(0))
+        gath = jax.lax.dot_general(
+            onehot.astype(jnp.bfloat16), litb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        sh = jnp.take_along_axis(gath, (lane128 + rl) & 127, axis=1)
+        m = (lane128 >= sv) & (lane128 <= e1)
+        return jnp.where(m, sh, 0)
+
+    for t in range(NT):
+        def quad_body(g, acc):
+            c = contrib4(t * LAYERS + V9_UNROLL * g)
+            return acc + c[0:32] + c[32:64] + c[64:96] + c[96:128]
+
+        tile = jax.lax.fori_loop(0, LAYERS // V9_UNROLL, quad_body,
+                                 jnp.zeros((32, 128), jnp.int32))
+        out_ref[0, t * 32:(t + 1) * 32, :] = tile
+
+
+def v11_kernel(block: int, LAYERS: int, RLP: int, interpret: bool = False):
+    NR = block // 128
+    NT = block // 4096
+    NB = NT * LAYERS
+    G32 = 32 * (-(-NB // 128))
+
+    def call(pctrl, lit8):
+        litb = lit8.astype(jnp.bfloat16)
+        B = pctrl.shape[0]
+        return pl.pallas_call(
+            functools.partial(_kernel_v11, LAYERS=LAYERS),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, G32, 128), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RLP, 128), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(pctrl, litb)
+
+    return jax.jit(call)
+
+
+def decode_blocks_v11(pieces_list, lit_list, totals, block: int,
+                      interpret: bool = False, device=None):
+    per = lane_ops_blocks(pieces_list, totals)
+    LAYERS = max(int(np.diff(r[4]).max(initial=1)) for r in per)
+    LAYERS = -(-LAYERS // V9_UNROLL) * V9_UNROLL
+    pctrl, lit8 = pack_blocks_v11(pieces_list, lit_list, totals, block,
+                                  per=per, LAYERS=LAYERS)
+    kern = v11_kernel(block, LAYERS, lit8.shape[1], interpret)
+    args = (pctrl, lit8)
+    if device is not None:
+        args = tuple(jax.device_put(a, device) for a in args)
+    out = np.asarray(kern(*args))
+    return [out[j].reshape(-1)[:totals[j]].astype(np.uint8).tobytes()
+            for j in range(len(pieces_list))]
+
+
+def decode_blocks_v10(pieces_list, lit_list, totals, block: int,
+                      interpret: bool = False, device=None):
+    nb, ts, pctrl, lit8 = pack_blocks_v10(pieces_list, lit_list,
+                                          totals, block)
+    kern = v10_kernel(block, (pctrl.shape[1] // 32) * 128, lit8.shape[1],
+                      interpret)
+    args = (nb, ts, pctrl, lit8)
+    if device is not None:
+        args = tuple(jax.device_put(a, device) for a in args)
+    out = np.asarray(kern(*args))
+    return [out[j].reshape(-1)[:totals[j]].astype(np.uint8).tobytes()
+            for j in range(len(pieces_list))]
