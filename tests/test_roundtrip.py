@@ -99,3 +99,49 @@ def test_max_block_size_roundtrip():
     arc = _frame.compress(data, _EO(level=3, block_size=2 * 1024 * 1024,
                                     checksum=True))
     assert _frame.decompress(arc, _DO(checksum=True)) == data
+
+
+def test_entropy_fallback_ghi_levels():
+    """Low-entropy data at the GHI levels emits all-literal Huffman GLO
+    blocks (entropy fallback) that the reference C library decodes."""
+    rng = np.random.default_rng(5)
+    data = rng.choice(np.frombuffer(b"abcd", np.uint8), size=200_000,
+                      p=[.5, .3, .15, .05]).tobytes()
+    from zxc_tpu.format import headers
+    for level in (1, 2):
+        arc = compress(data, EncodeOpts(level=level, checksum=True))
+        assert decompress(arc, DecodeOpts(checksum=True)) == data
+        assert ref_decompress(arc, len(data)) == data
+        bh = headers.read_block_header(arc[16:24])
+        assert bh.block_type == C.BLOCK_GLO  # fallback engaged
+        # and it must actually be smaller than the GHI parse was
+        ref_arc = ref_compress(data, level=level)
+        assert len(arc) < len(ref_arc)
+    # native and pure-Python frame paths agree byte-for-byte on fallback
+    # blocks (the payload depends only on the data once both accept)
+    arc_nat = compress(data, EncodeOpts(level=1))
+    os.environ["ZXC_NO_NATIVE"] = "1"
+    try:
+        arc_pure = compress(data, EncodeOpts(level=1))
+    finally:
+        del os.environ["ZXC_NO_NATIVE"]
+    assert arc_nat[16:24] == arc_pure[16:24]
+    bh = headers.read_block_header(arc_nat[16:24])
+    assert arc_nat[24:24 + bh.comp_size] == arc_pure[24:24 + bh.comp_size]
+
+
+def test_dual_offset_mode_dp():
+    """Counter-structured data: a few far candidates must not flip the
+    whole block into 16-bit offset mode at the DP levels (the 8-bit-only
+    reparse must win and be decoded by the reference)."""
+    from zxc_tpu.format import headers
+    data = np.arange(130_000, 130_000 + 64 * 1024 // 8,
+                     dtype=np.uint64).tobytes()
+    for level in (6, 7):
+        arc = compress(data, EncodeOpts(level=level))
+        assert decompress(arc) == data
+        assert ref_decompress(arc, len(data)) == data
+        bh = headers.read_block_header(arc[16:24])
+        if bh.block_type == C.BLOCK_GLO:
+            gh, _ = headers.read_gnr_header(arc[24:24 + bh.comp_size], 4)
+            assert gh.enc_off == 1, "expected 8-bit offset mode to win"

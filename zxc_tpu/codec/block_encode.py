@@ -370,15 +370,17 @@ class DictState:
 
 def _build_sequences(data: np.ndarray, level: int,
                      dict_state: DictState | None, sequences=None):
-    """Shared front half: match find + parse. Returns (ll, ml, off, literals,
-    block) in block coordinates.
+    """Shared front half: match find + parse. Returns a non-empty list of
+    candidate (ll, ml, off, literals) stream tuples in block coordinates —
+    more than one when the parser proposes alternative encodings (e.g.
+    8-bit-only offset mode) for the caller to price exactly.
 
     ``sequences`` short-circuits the matcher with precomputed
     (m_pos, m_len, m_off) — the device-matcher entry (ops.encode)."""
     params = level_params(level)
     if sequences is not None:
         m_pos, m_len, m_off = (np.asarray(a, np.int64) for a in sequences)
-        return _sequences_to_streams(data, m_pos, m_len, m_off)
+        return [_sequences_to_streams(data, m_pos, m_len, m_off)]
     if dict_state is not None and len(dict_state.content):
         full = np.concatenate([dict_state.content, data])
         start = len(dict_state.content)
@@ -443,6 +445,18 @@ def _build_sequences(data: np.ndarray, level: int,
             r = runtime.optimal_parse(lens, offs, data, cost, tok_bits)
             if r is not None:
                 m_pos, m_len, m_off = (a.astype(np.int64) for a in r)
+                if len(m_off) and m_off.max() > 256:
+                    # The emitted parse flips the whole block to 16-bit
+                    # offsets. A/B an 8-bit-only DP (far candidates
+                    # invisible) — callers keep the smaller payload
+                    # (reference offset-mode choice, zxc_compress.c:1694).
+                    r8 = runtime.optimal_parse(lens, offs, data, cost,
+                                               tok_bits, only8=True)
+                    if r8 is not None:
+                        alt = tuple(a.astype(np.int64) for a in r8)
+                        return [_sequences_to_streams(data, m_pos, m_len,
+                                                      m_off),
+                                _sequences_to_streams(data, *alt)]
         except ImportError:
             pass
     if m_pos is None:
@@ -457,7 +471,7 @@ def _build_sequences(data: np.ndarray, level: int,
     if m_pos is None:
         m_pos, m_len, m_off = parse_sequences(lens, offs, params.lazy,
                                               params.min_emit)
-    return _sequences_to_streams(data, m_pos, m_len, m_off)
+    return [_sequences_to_streams(data, m_pos, m_len, m_off)]
 
 
 def _sequences_to_streams(data: np.ndarray, m_pos: np.ndarray,
@@ -495,13 +509,19 @@ def encode_block_glo(data: np.ndarray, level: int,
             out = runtime.encode_glo(data, 0, params.n_candidates,
                                      params.lazy, params.sufficient_len,
                                      params.step_base, params.step_shift,
-                                     params.cover_base)
+                                     params.cover_base, params.min_emit)
             if out is not None:
                 return out
         except ImportError:
             pass
-    ll, ml, off, literals = _build_sequences(data, level, dict_state,
-                                             sequences)
+    cands = _build_sequences(data, level, dict_state, sequences)
+    pays = [_glo_payload(data, level, dict_state, c) for c in cands]
+    return min(pays, key=len)
+
+
+def _glo_payload(data: np.ndarray, level: int,
+                 dict_state: DictState | None, streams) -> bytes:
+    ll, ml, off, literals = streams
     n_seq = len(ml)
     n_lit = len(literals)
     mlb = ml - C.MIN_MATCH  # token field basis
@@ -590,13 +610,13 @@ def encode_block_ghi(data: np.ndarray, level: int,
             out = runtime.encode_ghi(data, 0, params.n_candidates,
                                      params.lazy, params.sufficient_len,
                                      params.step_base, params.step_shift,
-                                     params.cover_base)
+                                     params.cover_base, params.min_emit)
             if out is not None:
                 return out
         except ImportError:
             pass
     ll, ml, off, literals = _build_sequences(data, level, dict_state,
-                                             sequences)
+                                             sequences)[0]
     n_seq = len(ml)
     n_lit = len(literals)
     mlb = ml - C.MIN_MATCH
@@ -615,6 +635,38 @@ def encode_block_ghi(data: np.ndarray, level: int,
     return headers.write_gnr_header(gh, descs) + lit_stream + seq_stream + extras
 
 
+def encode_block_hufflit(data: np.ndarray, budget: int) -> bytes | None:
+    """Sequence-free GLO payload with Huffman-coded literals, or None
+    unless strictly smaller than ``budget``.
+
+    Entropy fallback for the GHI levels: GHI literals are RAW by format,
+    so on short-match-dense/low-entropy data an all-literal PivCo block
+    can beat any GHI parse. Block types are self-describing, so mixing a
+    GLO block into a level-1 frame is wire-legal (the reference decoder
+    dispatches per block type: zxc_decompress.c:1495-1544). Byte-identical
+    with the native zxch_encode_hufflit (zxc_host.cpp)."""
+    P = len(data)
+    FIXED = C.GNR_HEADER_SIZE + 4 * C.SECTION_DESC_SIZE + 128
+    if FIXED + (P + 7) // 8 >= budget:
+        return None                       # 1 bit/symbol lower bound
+    freq = np.bincount(data, minlength=256)
+    if int((freq > 0).sum()) < 2:
+        return None                       # degenerate: GHI/RAW always wins
+    cl = huffman.build_code_lengths(freq, 8)
+    if cl is None:
+        return None
+    bits = int((freq.astype(np.int64) * cl).sum())
+    if FIXED + (bits + 7) // 8 >= budget:
+        return None
+    tree = huffman.build_tree(cl)
+    pay = huffman.pack_lengths(cl) + huffman.encode_payload(data, tree)
+    if C.GNR_HEADER_SIZE + 4 * C.SECTION_DESC_SIZE + len(pay) >= budget:
+        return None
+    gh = headers.GnrHeader(0, P, C.ENC_HUFFMAN, C.ENC_RAW, 0, 1)
+    descs = [(len(pay), P), (0, 0), (0, 0), (0, 0)]
+    return headers.write_gnr_header(gh, descs) + pay
+
+
 def encode_chunk(data: np.ndarray, level: int,
                  dict_state: DictState | None = None,
                  checksum: bool = False, sequences=None) -> bytes:
@@ -629,6 +681,12 @@ def encode_chunk(data: np.ndarray, level: int,
     if level <= 2:
         payload = encode_block_ghi(data, level, dict_state, sequences)
         btype = C.BLOCK_GHI
+        if dict_state is None or not len(dict_state.content):
+            budget = min(len(payload),
+                         max(len(data) - C.BLOCK_HEADER_SIZE, 0))
+            hl = encode_block_hufflit(data, budget)
+            if hl is not None:
+                payload, btype = hl, C.BLOCK_GLO
     else:
         payload = encode_block_glo(data, level, dict_state, sequences)
         btype = C.BLOCK_GLO

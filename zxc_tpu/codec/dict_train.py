@@ -121,7 +121,7 @@ def train_dict_huf(samples: list[bytes], content: bytes) -> bytes:
             chunk = a[pos:pos + C.BLOCK_SIZE_DEFAULT]
             if len(chunk) == 0:
                 continue
-            _, _, _, literals = block_encode._build_sequences(chunk, 6, dict_state)
+            _, _, _, literals = block_encode._build_sequences(chunk, 6, dict_state)[0]
             freq += np.bincount(literals, minlength=256)
     # every byte value needs a code (decode must never hit a hole): smooth
     freq = freq + 1

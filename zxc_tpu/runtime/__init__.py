@@ -103,6 +103,7 @@ def lib() -> ctypes.CDLL | None:
                                           ctypes.c_int]
         L.zxch_optimal_parse.restype = i64
         L.zxch_optimal_parse.argtypes = [vp, vp, u64, vp, vp, ctypes.c_int,
+                                         ctypes.c_int,
                                          vp, vp, vp, u64]
         L.zxch_find_matches.restype = ctypes.c_int
         L.zxch_find_matches.argtypes = [vp, u64, u64, ctypes.c_int, vp, vp]
@@ -401,7 +402,8 @@ def lazy_parse(lens: np.ndarray, offs: np.ndarray, lazy: bool,
 
 
 def optimal_parse(lens: np.ndarray, offs: np.ndarray, data: np.ndarray,
-                  lit_cost_bits: np.ndarray, token_bits: int = 8):
+                  lit_cost_bits: np.ndarray, token_bits: int = 8,
+                  only8: bool = False):
     """DP optimal parse (levels 6-7): returns (pos, len, off) int32 arrays
     or None when the native library is unavailable."""
     L = lib()
@@ -421,6 +423,7 @@ def optimal_parse(lens: np.ndarray, offs: np.ndarray, data: np.ndarray,
         offs32.ctypes.data_as(ctypes.c_void_p), P,
         d8.ctypes.data_as(ctypes.c_void_p),
         lc.ctypes.data_as(ctypes.c_void_p), token_bits,
+        1 if only8 else 0,
         op.ctypes.data_as(ctypes.c_void_p),
         ol.ctypes.data_as(ctypes.c_void_p),
         oo.ctypes.data_as(ctypes.c_void_p), max_seq)

@@ -615,7 +615,7 @@ extern "C" {
 int64_t zxch_optimal_parse(const int32_t *lens, const int32_t *offs,
                            uint64_t P, const uint8_t *data,
                            const uint16_t *lit_cost_bits, int token_bits,
-                           int32_t *out_pos, int32_t *out_len,
+                           int only8, int32_t *out_pos, int32_t *out_len,
                            int32_t *out_off, uint64_t max_seq) {
   if (token_bits <= 0) token_bits = 8;
   if (P == 0) return 0;
@@ -629,9 +629,13 @@ int64_t zxch_optimal_parse(const int32_t *lens, const int32_t *offs,
   // the offset-byte mode is per BLOCK: if any usable candidate exceeds
   // 256, every sequence pays 16 bits (pricing each at 8 would let the DP
   // accept matches that the block-wide mode makes unprofitable)
+  // only8: 8-bit-offset mode — candidates beyond 256 are invisible, the
+  // block stays in the cheap offset encoding (callers A/B the two modes
+  // and keep the smaller payload; reference zxc_compress.c:1694-1696)
   int off16 = 0;
-  for (uint64_t p = 0; p < P; p++)
-    if (lens[p] >= 5 && offs[p] > 256) { off16 = 1; break; }
+  if (!only8)
+    for (uint64_t p = 0; p < P; p++)
+      if (lens[p] >= 5 && offs[p] > 256) { off16 = 1; break; }
   const uint32_t off_bits = off16 ? 16 : 8;
 
   auto match_bits = [off_bits, token_bits](int64_t o, int64_t L) -> uint32_t {
@@ -653,6 +657,7 @@ int64_t zxch_optimal_parse(const int32_t *lens, const int32_t *offs,
     uint32_t lc = c + lit_cost_bits[data[p]];
     if (lc < cost[p + 1]) { cost[p + 1] = lc; fr_len[p + 1] = 0; }
     int64_t L = lens[p];
+    if (L >= 5 && only8 && offs[p] > 256) L = 0;
     if (L >= 5) {
       int64_t o = offs[p];
       if ((uint64_t)(p + L) > P) L = (int64_t)(P - p);
@@ -2003,7 +2008,7 @@ static int64_t zxch_encode_hufflit(const uint8_t *data, uint64_t P,
   uint64_t freq[256] = {0};
   for (uint64_t i = 0; i < P; i++) freq[data[i]]++;
   uint8_t cl[256];
-  if (zxch_build_code_lengths(freq, 8, cl) <= 0) return -1;
+  if (zxch_build_code_lengths(freq, 8, cl) < 2) return -1;
   uint64_t bits = 0;
   for (int s = 0; s < 256; s++) bits += freq[s] * cl[s];
   if (FIXED + (bits + 7) / 8 >= budget) return -1;  // lower bound: padding
@@ -2067,6 +2072,7 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
   uint64_t n_blocks = (n + block_size - 1) / block_size;
   uint32_t *seek_sizes = seekable && n_blocks
       ? new uint32_t[n_blocks] : nullptr;
+  std::vector<uint8_t> hlbuf;  // entropy-fallback scratch (levels 1-2)
   uint32_t global_hash = 0;
   uint64_t bi = 0;
   for (uint64_t pos = 0; pos < n; pos += block_size, bi++) {
@@ -2084,6 +2090,20 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
                             sufficient_len, step_base, step_shift,
                             cover_base, min_emit, payload, pcap);
       btype = 2;  // GHI
+      // entropy fallback: all-literal Huffman GLO when strictly smaller
+      // than both the GHI payload and the RAW threshold (scratch buffer:
+      // the candidate encode must not clobber the GHI payload it is
+      // competing against)
+      uint64_t budget = len > BH ? len - BH : 0;
+      if (psz >= 0 && (uint64_t)psz < budget) budget = (uint64_t)psz;
+      if (hlbuf.size() < len + 1024) hlbuf.resize(len + 1024);
+      int64_t hl = zxch_encode_hufflit(data + pos, len, hlbuf.data(),
+                                       hlbuf.size(), budget);
+      if (hl >= 0 && (uint64_t)hl <= pcap) {
+        memcpy(payload, hlbuf.data(), (size_t)hl);
+        psz = hl;
+        btype = 1;  // GLO
+      }
     } else {
       psz = zxch_encode_glo(data + pos, len, 0, max_probes, lazy,
                             sufficient_len, step_base, step_shift,
