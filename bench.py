@@ -104,7 +104,7 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
         totals_all = list(plan.totals) + [0] * pad
     else:
         totals_all = list(plan.totals)
-    variant = int(os.environ.get("ZXC_BENCH_VARIANT", "6"))
+    variant = int(os.environ.get("ZXC_BENCH_VARIANT", "10"))
     if variant == 10:
         # v10 MXU one-hot row-gather kernel: no scalar loads in the hot
         # loop (control rides one lane-gather per batch; source rows come
@@ -156,17 +156,57 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
         t0 = time.time()
         fp1, fp2 = map(int, megastep(dsets, tot_sets))
         print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
-        times = []
-        for _ in range(REPS):
-            t0 = time.time()
-            r = tuple(map(int, megastep(dsets, tot_sets)))
-            times.append(time.time() - t0)
-            assert r == (fp1, fp2)
-        t_dev = min(times)
-        gbps = len(data) / 1e9 / t_dev
         _verify_fp(data, plan, fp1 & 0xFFFFFFFF, fp2 & 0xFFFFFFFF)
-        print(f"# v10 kernel: {t_dev:.3f}s = {gbps:.3f} GB/s "
-              f"(one program, {nd10} calls of {B10} blocks)", file=sys.stderr)
+
+        # Honest-metrics timing (PERF.md): the axon tunnel adds a fixed
+        # ~20-40 ms dispatch+readback RTT to EVERY host-observed timing, a
+        # cost absent on a directly-attached TPU. Device time is measured
+        # as the SLOPE between K-decode programs (K=1 vs K=1+KD), with
+        # optimization_barrier between repeats so XLA cannot CSE identical
+        # decodes. Every decode does full work; the fingerprint re-verifies
+        # each repeat.
+        KD = int(os.environ.get("ZXC_BENCH_KREP", "4"))
+
+        def make_krep(k):
+            @jax.jit
+            def krep(sets_in, tots):
+                f1 = jnp.uint32(0)
+                f2 = jnp.uint32(0)
+                for _ in range(k):
+                    sets_in = jax.lax.optimization_barrier(sets_in)
+                    for s, t in zip(sets_in, tots):
+                        out = kern10(*s)
+                        flat = out.reshape(B10, NR * 128).astype(jnp.uint32)
+                        mask = flatpos[None, :] < t[:, None]
+                        f1 = f1 + jnp.sum(jnp.where(mask, flat, 0))
+                        f2 = f2 + jnp.sum(
+                            jnp.where(mask, flat * w10[None, :], 0))
+                return f1, f2
+            return krep
+
+        krep_hi = make_krep(1 + KD)
+        mask32 = (1 << 32) - 1
+        exp_hi = (((1 + KD) * fp1) & mask32, ((1 + KD) * fp2) & mask32)
+        t_lo = []
+        t_hi = []
+        with np.errstate(over="ignore"):
+            r = tuple(map(int, krep_hi(dsets, tot_sets)))
+            assert r == exp_hi, "K-rep fingerprint mismatch"
+            for _ in range(REPS):
+                t0 = time.time()
+                r = tuple(map(int, megastep(dsets, tot_sets)))
+                t_lo.append(time.time() - t0)
+                assert r == (fp1, fp2)
+                t0 = time.time()
+                r = tuple(map(int, krep_hi(dsets, tot_sets)))
+                t_hi.append(time.time() - t0)
+                assert r == exp_hi
+        t_dev = (min(t_hi) - min(t_lo)) / KD
+        gbps = len(data) / 1e9 / t_dev
+        print(f"# v10 kernel: single-shot {min(t_lo):.3f}s, "
+              f"{1 + KD}-rep {min(t_hi):.3f}s -> marginal {t_dev:.3f}s = "
+              f"{gbps:.3f} GB/s ({nd10} calls of {B10} blocks)",
+              file=sys.stderr)
         print(json.dumps({
             "metric": f"silesia_like_decode_level{LEVEL}_pallas_v10",
             "value": round(gbps, 3),

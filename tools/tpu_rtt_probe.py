@@ -103,22 +103,33 @@ def main():
           f"({MB/1024/tmin:.3f} GB/s)  med {tmed*1e3:.2f} ms  "
           f"[first+compile {time.time()-t0:.0f}s]", flush=True)
 
-    @jax.jit
-    def krep(ds):
-        # K full decodes of the corpus, chained by a fingerprint carry so
-        # XLA cannot elide any iteration; one readback at the end.
-        f = jnp.uint32(0)
-        for _ in range(K):
-            for s in ds:
-                f = f ^ jnp.sum(kern(*s).astype(jnp.uint32))
-        return f
+    def make_krep(K):
+        @jax.jit
+        def krep(ds):
+            # K full decodes; optimization_barrier between iterations so
+            # XLA cannot CSE identical decodes; one readback at the end.
+            f = jnp.uint32(0)
+            for _ in range(K):
+                ds = jax.lax.optimization_barrier(ds)
+                for s in ds:
+                    f = f ^ jnp.sum(kern(*s).astype(jnp.uint32))
+            return f
+        return krep
 
-    t0 = time.time()
-    tmin, tmed = timeit(krep, dsets)
-    per_rep = tmin / K
-    print(f"v10 K={K}-amortized: total min {tmin*1e3:.2f} ms -> "
-          f"{per_rep*1e3:.2f} ms/decode ({MB/1024/per_rep:.3f} GB/s)  "
-          f"[first+compile {time.time()-t0:.0f}s]", flush=True)
+    results = {}
+    for k in (4, K):
+        t0 = time.time()
+        tmin, tmed = timeit(make_krep(k), dsets)
+        results[k] = tmin
+        print(f"v10 K={k}-amortized: total min {tmin*1e3:.2f} ms -> "
+              f"{tmin/k*1e3:.2f} ms/decode ({MB/1024*k/tmin:.3f} GB/s)  "
+              f"[first+compile {time.time()-t0:.0f}s]", flush=True)
+    ks = sorted(results)
+    if len(ks) == 2:
+        dt = (results[ks[1]] - results[ks[0]]) / (ks[1] - ks[0])
+        print(f"marginal per-decode (slope): {dt*1e3:.2f} ms "
+              f"({MB/1024/dt:.3f} GB/s); implied fixed overhead "
+              f"{(results[ks[0]] - ks[0]*dt)*1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
