@@ -1175,3 +1175,208 @@ def decode_blocks_v10(pieces_list, lit_list, totals, block: int,
     out = np.asarray(kern(*args))
     return [out[j].reshape(-1)[:totals[j]].astype(np.uint8).tobytes()
             for j in range(len(pieces_list))]
+
+
+# ---------------------------------------------------------------------------
+# v12: row-sorted windowed gather.
+#
+# Honest (RTT-cancelling) ablation of v10 (tools/tpu_v12_ablate.py) puts
+# ~43% of kernel time in the one-hot matmul, whose cost scales with the
+# full literal height RLP (~528 rows at level 3). v12 shrinks the gather
+# window to 128 rows: per 4 KiB output tile, ops are sorted by source row
+# and chunked into 128-op quads whose rows fit a 128-row (8-aligned)
+# window of lit_full, so the gather matmul is (128,128)@(128,128) — 4x
+# fewer MACs — and the one-hot compare runs over 128 instead of RLP
+# columns. Because sorted ops lose the slot==target-row invariant, each
+# slot carries an explicit 5-bit target row, applied by a cheap
+# (32,128)@(128,128) permute matmul fed from a lane-major target plane.
+# Row-sorting also removes the per-row layer-skew padding of the v9/v10
+# packer (~25% fewer batches at level 3).
+#
+# TPU reformulation of the reference hot loop zxc_decompress.c:890-1034.
+# ---------------------------------------------------------------------------
+
+
+def pack_blocks_v12(pieces_list, lit_list, totals, block: int,
+                    per=None, MAXQ=None, RL=None):
+    """Pack the v12 dispatch batch.
+
+    Returns (qs, qbase, pctrl, tq, lit8):
+      qs    (B, NT+1)      int32  per-tile quad prefix      (scalar prefetch)
+      qbase (B, MAXQ)      int32  8-aligned lit row base per quad (prefetch)
+      pctrl (B, G32, 128)  int32  pre-transposed packed control for slot
+                                  i = 32*u + k of quad q (bat = 4q + u):
+                                  pctrl[b, 32*(bat>>7)+k, bat&127] =
+                                      roll | s<<7 | (e-1)<<14 | rowrel<<21
+                                  (empty slots: s=1, e-1=0)
+      tq    (B, MAXQ, 128) int32  lane-major target row per slot
+      lit8  (B, RLP, 128)  uint8  lit_full bytes, RLP >= max qbase + 128
+    """
+    B = len(pieces_list)
+    if per is None:
+        per = lane_ops_blocks(pieces_list, totals)
+    NT = block // 4096
+    # pass 1: recover raw ops per (block, tile) from the layered layout and
+    # chunk row-sorted ops into window-constrained quads
+    blocks = []
+    maxq = 1
+    maxrow = 0
+    for (rows, rl, s, e, tile_start) in per:
+        nb = len(rows)
+        quads = []          # per tile: list of (base, ops[(rowrel,rl,s,e1,tgt)])
+        qs_t = [0]
+        for t in range(len(tile_start) - 1):
+            b0, b1 = tile_start[t], tile_start[t + 1]
+            er = rows[b0:b1].reshape(-1)
+            es = s[b0:b1].reshape(-1)
+            ee = e[b0:b1].reshape(-1)
+            erl = rl[b0:b1].reshape(-1)
+            live = np.nonzero(ee > es)[0] if b1 > b0 else np.zeros(0, int)
+            tgt = live & 31
+            order = np.argsort(er[live], kind="stable")
+            lr = er[live][order]
+            lops = np.stack([lr, erl[live][order], es[live][order],
+                             ee[live][order] - 1, tgt[order]], axis=1) \
+                if len(live) else np.zeros((0, 5), np.int64)
+            i = 0
+            n = len(lops)
+            while i < n:
+                base = int(lops[i, 0]) & ~7
+                j = min(i + 128, n)
+                # shrink until the window fits (rows are sorted)
+                while lops[j - 1, 0] - base > 127:
+                    j -= 1
+                quads.append((base, lops[i:j]))
+                if len(quads[-1][1]):
+                    maxrow = max(maxrow, base + 128)
+                i = j
+            if n == 0:
+                quads.append((0, lops))
+                maxrow = max(maxrow, 128)
+            qs_t.append(len(quads))
+        blocks.append((qs_t, quads))
+        maxq = max(maxq, len(quads))
+    if MAXQ is None:
+        MAXQ = maxq
+    assert maxq <= MAXQ, "MAXQ below a block's quad count"
+    if RL is None:
+        RL = max(maxrow, max(-(-len(lit) // 128) for lit in lit_list) + 1)
+    RLP = max(-(-RL // 8) * 8, maxrow)
+    NB = MAXQ * 4
+    NG = -(-NB // 128)
+    qs = np.zeros((B, NT + 1), np.int32)
+    qbase = np.zeros((B, MAXQ), np.int32)
+    pctrl = np.full((B, NG * 32, 128), 1 << 7, np.int32)
+    tq = np.zeros((B, MAXQ, 128), np.int32)
+    lit8 = np.zeros((B, RLP, 128), np.uint8)
+    for j, ((qs_t, quads), lit) in enumerate(zip(blocks, lit_list)):
+        qs[j, :len(qs_t)] = qs_t
+        qs[j, len(qs_t):] = qs_t[-1]
+        for q, (base, lops) in enumerate(quads):
+            qbase[j, q] = base
+            if not len(lops):
+                continue
+            i = np.arange(len(lops))
+            bat = 4 * q + (i >> 5)
+            sub = i & 31
+            packed = (lops[:, 1] | (lops[:, 2] << 7) | (lops[:, 3] << 14)
+                      | ((lops[:, 0] - base) << 21))
+            pctrl[j, 32 * (bat >> 7) + sub, bat & 127] = packed
+            tq[j, q, i] = lops[:, 4]
+        flat = np.frombuffer(bytes(lit), np.uint8)
+        lit8[j].reshape(-1)[:len(flat)] = flat
+    return qs, qbase, pctrl, tq, lit8
+
+
+def _kernel_v12(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref, out_ref):
+    b = pl.program_id(0)
+    NT = out_ref.shape[1] // 32
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    row32 = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
+
+    def contrib_quad(q):
+        base = qbase_ref[b, q]
+        win = litb_ref[0, pl.ds(base, 128), :]       # (128,128) bf16
+        bcs = []
+        for u in range(4):
+            bat = 4 * q + u
+            grp = pctrl_ref[0, pl.ds((bat >> 7) * 32, 32), :]
+            bcs.append(jnp.take_along_axis(
+                grp, jnp.full((32, 128), bat & 127, jnp.int32), axis=1))
+        bc = jnp.concatenate(bcs, axis=0)            # (128,128) slot-major
+        rl = bc & 127
+        sv = (bc >> 7) & 127
+        e1 = (bc >> 14) & 127
+        rowrel = jax.lax.shift_right_logical(bc, 21)
+        onehot = jnp.where(rowiota == rowrel[:, :1],
+                           jnp.float32(1), jnp.float32(0))
+        gath = jax.lax.dot_general(
+            onehot.astype(jnp.bfloat16), win, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        sh = jnp.take_along_axis(gath, (lane128 + rl) & 127, axis=1)
+        m = (lane128 >= sv) & (lane128 <= e1)
+        c = jnp.where(m, sh, 0)
+        # slot -> target row permute: Pt[r, i] = (tq[q, i] == r)
+        tgt = tq_ref[0, q, :][None, :]               # (1,128) lane-major
+        pt = jnp.where(row32 == tgt, jnp.float32(1), jnp.float32(0))
+        return jax.lax.dot_general(
+            pt.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    for t in range(NT):
+        q0 = qs_ref[b, t]
+        q1 = qs_ref[b, t + 1]
+
+        def qbody(q, acc):
+            return acc + contrib_quad(q)
+
+        tile = jax.lax.fori_loop(q0, q1, qbody,
+                                 jnp.zeros((32, 128), jnp.int32))
+        out_ref[0, t * 32:(t + 1) * 32, :] = tile
+
+
+def v12_kernel(block: int, MAXQ: int, RLP: int, interpret: bool = False):
+    NR = block // 128
+    NB = MAXQ * 4
+    G32 = 32 * (-(-NB // 128))
+
+    def call(qs, qbase, pctrl, tq, lit8):
+        litb = lit8.astype(jnp.bfloat16)
+        B = pctrl.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,          # qs, qbase
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, G32, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, MAXQ, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RLP, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            _kernel_v12,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(qs, qbase, pctrl, tq, litb)
+
+    return jax.jit(call)
+
+
+def decode_blocks_v12(pieces_list, lit_list, totals, block: int,
+                      interpret: bool = False, device=None):
+    qs, qbase, pctrl, tq, lit8 = pack_blocks_v12(pieces_list, lit_list,
+                                                 totals, block)
+    kern = v12_kernel(block, qbase.shape[1], lit8.shape[1], interpret)
+    args = (qs, qbase, pctrl, tq, lit8)
+    if device is not None:
+        args = tuple(jax.device_put(a, device) for a in args)
+    out = np.asarray(kern(*args))
+    return [out[j].reshape(-1)[:totals[j]].astype(np.uint8).tobytes()
+            for j in range(len(pieces_list))]
