@@ -52,13 +52,14 @@ def level_params(level: int) -> LevelParams:
     5-byte-hash chain matcher to match or beat its per-level sizes)."""
     level = max(C.LEVEL_MIN, min(C.LEVEL_MAX, level))
     table = {
-        # GHI levels: a 4-byte sequence word per match makes length-5
-        # matches net losers (greedy myopia blocks longer ones); the
-        # reference's L1 parse also never emits below 6 (measured on its
-        # archives). min_emit stays 5 from L3 up, where GLO token+Huffman
-        # pricing makes short matches profitable again.
-        1: LevelParams(2, False, 8, 16, 1, 4, 4, min_emit=6),
-        2: LevelParams(6, True, 8, 24, 1, 6, 4, min_emit=6),
+        # min_emit=6 at the GHI levels was measured to buy ~3% size (a
+        # 4-byte sequence word makes length-5 matches marginal) but cost
+        # ~28% encode speed (rejected matches become miss-steps); with the
+        # all-literal Huffman fallback (encode_block_hufflit) covering the
+        # low-entropy corpora that motivated it, min_emit=5 passes every
+        # size gate with margin, so speed wins.
+        1: LevelParams(2, False, 8, 16, 1, 4, 4),
+        2: LevelParams(6, True, 8, 24, 1, 6, 4),
         3: LevelParams(6, True, 8, 32, 1, 6, 4),
         4: LevelParams(8, True, 8, 64, cover_base=2),
         5: LevelParams(64, True, 8, 256, cover_base=2),

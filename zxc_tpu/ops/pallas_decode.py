@@ -1241,7 +1241,9 @@ def pack_blocks_v12(pieces_list, lit_list, totals, block: int,
             i = 0
             n = len(lops)
             while i < n:
-                base = int(lops[i, 0]) & ~7
+                # 16-aligned base: bf16 sublane tiling requires the dynamic
+                # window start be a provable multiple of 16 (pl.multiple_of)
+                base = int(lops[i, 0]) & ~15
                 j = min(i + 128, n)
                 # shrink until the window fits (rows are sorted)
                 while lops[j - 1, 0] - base > 127:
@@ -1261,7 +1263,7 @@ def pack_blocks_v12(pieces_list, lit_list, totals, block: int,
     assert maxq <= MAXQ, "MAXQ below a block's quad count"
     if RL is None:
         RL = max(maxrow, max(-(-len(lit) // 128) for lit in lit_list) + 1)
-    RLP = max(-(-RL // 8) * 8, maxrow)
+    RLP = max(-(-RL // 16) * 16, -(-maxrow // 16) * 16)
     NB = MAXQ * 4
     NG = -(-NB // 128)
     qs = np.zeros((B, NT + 1), np.int32)
@@ -1296,7 +1298,7 @@ def _kernel_v12(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref, out_ref):
     row32 = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
 
     def contrib_quad(q):
-        base = qbase_ref[b, q]
+        base = pl.multiple_of(qbase_ref[b, q], 16)
         win = litb_ref[0, pl.ds(base, 128), :]       # (128,128) bf16
         bcs = []
         for u in range(4):

@@ -2094,11 +2094,13 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
       // than both the GHI payload and the RAW threshold (scratch buffer:
       // the candidate encode must not clobber the GHI payload it is
       // competing against)
+      static const int no_hl = getenv("ZXCH_NO_HUFLIT") != nullptr;
       uint64_t budget = len > BH ? len - BH : 0;
       if (psz >= 0 && (uint64_t)psz < budget) budget = (uint64_t)psz;
       if (hlbuf.size() < len + 1024) hlbuf.resize(len + 1024);
-      int64_t hl = zxch_encode_hufflit(data + pos, len, hlbuf.data(),
-                                       hlbuf.size(), budget);
+      int64_t hl = no_hl ? -1
+          : zxch_encode_hufflit(data + pos, len, hlbuf.data(),
+                                hlbuf.size(), budget);
       if (hl >= 0 && (uint64_t)hl <= pcap) {
         memcpy(payload, hlbuf.data(), (size_t)hl);
         psz = hl;
