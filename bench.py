@@ -78,11 +78,15 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
     from zxc_tpu.ops import pallas_decode as PD
 
     t0 = time.time()
+    # max_frag=1 for the device path: the v13 kernel is issue-bound per
+    # quad, and materializing every multi-piece source trades cheap host
+    # memcpy for 30% fewer quads (2.23 -> 2.52 GB/s measured)
+    mf = int(os.environ.get("ZXC_BENCH_MAXFRAG", "1"))
     pieces, lits = [], []
     for i in range(plan.n_blocks):
         r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
                                    plan.lit[i], plan.dict_buf,
-                                   device_pure=True)
+                                   device_pure=True, max_frag=mf)
         assert r is not None, "piece budget exceeded"
         pieces.append(r[:4])
         lits.append(r[4])
@@ -104,37 +108,55 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
         totals_all = list(plan.totals) + [0] * pad
     else:
         totals_all = list(plan.totals)
-    variant = int(os.environ.get("ZXC_BENCH_VARIANT", "10"))
-    if variant == 10:
-        # v10 MXU one-hot row-gather kernel: no scalar loads in the hot
+    variant = int(os.environ.get("ZXC_BENCH_VARIANT", "13"))
+    if variant in (10, 13):
+        # v10: MXU one-hot row-gather kernel — no scalar loads in the hot
         # loop (control rides one lane-gather per batch; source rows come
         # from a bf16 one-hot matmul). One jitted program for the corpus.
+        # v13: row-sorted 128-row windowed gather (4x fewer gather MACs
+        # than v10) with a pair-unrolled quad loop; measured 1.73 GB/s
+        # marginal vs v10's 1.08 on the 8 MiB probe (tools/tpu_v12_hw.py).
         nb10 = plan.n_blocks
-        per10 = PD.lane_ops_blocks(pieces[:nb10], list(plan.totals))
-        MAXB = max(max(len(r[0]), 1) for r in per10)
-        MAXB = -(-MAXB // 8) * 8
-        RL10 = max(-(-len(lit) // 128) for lit in lits[:nb10]) + 1
         B10 = int(os.environ.get("ZXC_BENCH_DISPATCH", "16"))
         nd10 = -(-nb10 // B10)
         pad10 = nd10 * B10 - nb10
         p10 = pieces[:nb10] + [pieces[nb10 - 1]] * pad10
         l10 = lits[:nb10] + [lits[nb10 - 1]] * pad10
         t10 = list(plan.totals) + [0] * pad10
-        per10 = per10 + [per10[-1]] * pad10
         t0 = time.time()
-        sets = []
-        for d in range(nd10):
-            sl = slice(d * B10, (d + 1) * B10)
-            sets.append(PD.pack_blocks_v10(p10[sl], l10[sl], t10[sl],
-                                           plan.block_size, per=per10[sl],
-                                           MAXB=MAXB, RL=RL10))
-        RLP = sets[0][3].shape[1]
-        print(f"# v10 pack: {time.time()-t0:.3f}s, MAXB={MAXB} RLP={RLP} "
-              f"B10={B10} ({nd10} kernel calls)", file=sys.stderr)
-        dsets = [tuple(jax.device_put(a, dev) for a in s) for s in sets]
-        jax.block_until_ready(dsets)
-        kern10 = PD.v10_kernel(plan.block_size,
-                               (sets[0][2].shape[1] // 32) * 128, RLP)
+        if variant == 13:
+            raw = [PD.pack_blocks_v12(p10[d * B10:(d + 1) * B10],
+                                      l10[d * B10:(d + 1) * B10],
+                                      t10[d * B10:(d + 1) * B10],
+                                      plan.block_size, quad_align=2)
+                   for d in range(nd10)]
+            MAXQ = max(s[1].shape[1] for s in raw)
+            RLP = max(s[4].shape[1] for s in raw)
+            sets = [PD.pad_v12_set(s, MAXQ, RLP) for s in raw]
+            print(f"# v13 pack: {time.time()-t0:.3f}s, MAXQ={MAXQ} RLP={RLP} "
+                  f"B={B10} ({nd10} kernel calls)", file=sys.stderr)
+            dsets = [tuple(jax.device_put(a, dev) for a in s) for s in sets]
+            jax.block_until_ready(dsets)
+            kern10 = PD.v13_kernel(plan.block_size, MAXQ, RLP)
+        else:
+            per10 = PD.lane_ops_blocks(pieces[:nb10], list(plan.totals))
+            MAXB = max(max(len(r[0]), 1) for r in per10)
+            MAXB = -(-MAXB // 8) * 8
+            RL10 = max(-(-len(lit) // 128) for lit in lits[:nb10]) + 1
+            per10 = per10 + [per10[-1]] * pad10
+            sets = []
+            for d in range(nd10):
+                sl = slice(d * B10, (d + 1) * B10)
+                sets.append(PD.pack_blocks_v10(p10[sl], l10[sl], t10[sl],
+                                               plan.block_size, per=per10[sl],
+                                               MAXB=MAXB, RL=RL10))
+            RLP = sets[0][3].shape[1]
+            print(f"# v10 pack: {time.time()-t0:.3f}s, MAXB={MAXB} RLP={RLP} "
+                  f"B10={B10} ({nd10} kernel calls)", file=sys.stderr)
+            dsets = [tuple(jax.device_put(a, dev) for a in s) for s in sets]
+            jax.block_until_ready(dsets)
+            kern10 = PD.v10_kernel(plan.block_size,
+                                   (sets[0][2].shape[1] // 32) * 128, RLP)
         NR = plan.block_size // 128
         flatpos = jnp.arange(NR * 128, dtype=jnp.uint32)
         w10 = (flatpos % 8191).astype(jnp.uint32)
@@ -203,12 +225,12 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
                 assert r == exp_hi
         t_dev = (min(t_hi) - min(t_lo)) / KD
         gbps = len(data) / 1e9 / t_dev
-        print(f"# v10 kernel: single-shot {min(t_lo):.3f}s, "
+        print(f"# v{variant} kernel: single-shot {min(t_lo):.3f}s, "
               f"{1 + KD}-rep {min(t_hi):.3f}s -> marginal {t_dev:.3f}s = "
               f"{gbps:.3f} GB/s ({nd10} calls of {B10} blocks)",
               file=sys.stderr)
         print(json.dumps({
-            "metric": f"silesia_like_decode_level{LEVEL}_pallas_v10",
+            "metric": f"silesia_like_decode_level{LEVEL}_pallas_v{variant}",
             "value": round(gbps, 3),
             "unit": "GB/s",
             "vs_baseline": round(gbps / BASELINE_GBPS, 3),

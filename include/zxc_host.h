@@ -61,7 +61,8 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
                             uint64_t lit_cap, uint64_t dict_len,
                             int32_t *po, int32_t *pc, int32_t *ps,
                             int32_t *pk, uint64_t max_pieces,
-                            uint64_t *lit_len_out, int device_pure);
+                            uint64_t *lit_len_out, int device_pure,
+                            int max_frag);
 int64_t zxch_window_ops(const int32_t *po, const int32_t *pc,
                         const int32_t *ps, const int32_t *pk, uint64_t n,
                         int64_t total, int32_t *ops, int32_t *wstart,

@@ -165,3 +165,32 @@ def test_v9_lane_kernel_interpret():
     outs = PD.decode_blocks_v9(pieces, lits, list(plan.totals), BLOCK,
                                interpret=True)
     assert b"".join(outs) == data
+
+
+@pytest.mark.parametrize("variant", [12, 13])
+def test_v12_v13_windowed_gather_interpret(variant):
+    """v12/v13 row-sorted windowed-gather kernels: bit-exact vs plaintext
+    in interpret mode (the hardware path is validated by bench.py and
+    tools/tpu_v12_hw.py; v13 measured 1.73 GB/s marginal on v5e)."""
+    from zxc_tpu.ops import plan_frame
+    rng = np.random.default_rng(variant)
+    seg = rng.integers(0, 256, 997, dtype=np.uint8).tobytes()
+    data = (b"hello zxc world " * 800 + seg * 40 + b"A" * 5000
+            + b"ab" * 3000
+            + rng.integers(0, 256, 20000, dtype=np.uint8).tobytes())
+    BLOCK = 8192
+    data = (data * ((BLOCK * 5) // len(data) + 1))[:BLOCK * 5 - 77]
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=BLOCK))
+    plan = plan_frame(arc)
+    pieces, lits = [], []
+    for i in range(plan.n_blocks):
+        r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
+                                   plan.lit[i], plan.dict_buf,
+                                   device_pure=True)
+        assert r is not None
+        pieces.append(r[:4])
+        lits.append(r[4])
+    fn = (pallas_decode.decode_blocks_v13 if variant == 13
+          else pallas_decode.decode_blocks_v12)
+    outs = fn(pieces, lits, list(plan.totals), BLOCK, interpret=True)
+    assert b"".join(outs) == data

@@ -23,6 +23,8 @@ BLOCK = 64 * 1024
 B12 = int(os.environ.get("PROBE_B", "16"))
 REPS = 5
 K = int(os.environ.get("PROBE_K", "8"))
+VARIANT = os.environ.get("PROBE_VARIANT", "12")
+QA = 2 if VARIANT == "13" else 1
 
 
 def main():
@@ -50,7 +52,7 @@ def main():
     RL = 1
     for d in range(nd):
         sl = slice(d * B12, (d + 1) * B12)
-        s = PD.pack_blocks_v12(p[sl], l[sl], t[sl], BLOCK)
+        s = PD.pack_blocks_v12(p[sl], l[sl], t[sl], BLOCK, quad_align=QA)
         raw.append(s)
         MAXQ = max(MAXQ, s[1].shape[1])
         RL = max(RL, s[4].shape[1])
@@ -59,7 +61,7 @@ def main():
     for d in range(nd):
         sl = slice(d * B12, (d + 1) * B12)
         sets.append(PD.pack_blocks_v12(p[sl], l[sl], t[sl], BLOCK,
-                                       MAXQ=MAXQ, RL=RL))
+                                       MAXQ=MAXQ, RL=RL, quad_align=QA))
     n_quads = sum(int(s[0][:, -1].sum()) for s in sets)
     print(f"# pack {time.time()-t0:.2f}s MAXQ={MAXQ} RLP={sets[0][4].shape[1]} "
           f"quads={n_quads} ({len(data)/max(n_quads,1):.0f} B/quad)",
@@ -67,7 +69,7 @@ def main():
     dev = jax.devices()[0]
     dsets = [tuple(jax.device_put(a, dev) for a in s) for s in sets]
     jax.block_until_ready(dsets)
-    kern = PD.v12_kernel(BLOCK, MAXQ, sets[0][4].shape[1])
+    kern = (PD.v13_kernel if VARIANT == "13" else PD.v12_kernel)(BLOCK, MAXQ, sets[0][4].shape[1])
     NR = BLOCK // 128
     flatpos = jnp.arange(NR * 128, dtype=jnp.uint32)
     w = (flatpos % 8191).astype(jnp.uint32)
@@ -127,7 +129,7 @@ def main():
         assert tuple(map(int, hi(dsets, tot_sets))) == exp_hi
         t_hi.append(time.time() - t0)
     dt = (min(t_hi) - min(t_lo)) / K
-    print(f"v12: single {min(t_lo)*1e3:.1f} ms, marginal {dt*1e3:.2f} ms = "
+    print(f"v{VARIANT}: single {min(t_lo)*1e3:.1f} ms, marginal {dt*1e3:.2f} ms = "
           f"{len(data)/1e9/dt:.3f} GB/s", flush=True)
 
 

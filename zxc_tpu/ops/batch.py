@@ -344,18 +344,29 @@ def decompress(archive: bytes, opts: DecodeOpts | None = None,
         pieces, lits = [], []
         with _phase("resolve"):
             for i in range(plan.n_blocks):
+                # max_frag=1: the device kernels are issue-bound per piece,
+                # so materialize every multi-piece source (see PERF.md)
                 r = runtime.resolve_pieces(plan.ll[i], plan.ml[i],
                                            plan.off[i], plan.lit[i],
-                                           plan.dict_buf, device_pure=True)
+                                           plan.dict_buf, device_pure=True,
+                                           max_frag=1)
                 if r is None:
                     break
                 pieces.append(r[:4])
                 lits.append(r[4])
         ok = len(pieces) == plan.n_blocks
         if ok and plan.n_blocks:
+            import os as _os
+            variant = int(_os.environ.get("ZXC_SERIAL_VARIANT", "13"))
             with _phase("device"):
-                res = pallas_decode.decode_blocks(
-                    pieces, lits, plan.totals, plan.block_size, device=device)
+                if variant == 13:
+                    res = pallas_decode.decode_blocks_v13(
+                        pieces, lits, plan.totals, plan.block_size,
+                        device=device)
+                else:
+                    res = pallas_decode.decode_blocks(
+                        pieces, lits, plan.totals, plan.block_size,
+                        device=device, variant=variant)
             return b"".join(res)
     if use_pieces:
         with _phase("resolve"):

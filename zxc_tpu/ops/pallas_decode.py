@@ -1198,7 +1198,7 @@ def decode_blocks_v10(pieces_list, lit_list, totals, block: int,
 
 
 def pack_blocks_v12(pieces_list, lit_list, totals, block: int,
-                    per=None, MAXQ=None, RL=None):
+                    per=None, MAXQ=None, RL=None, quad_align: int = 1):
     """Pack the v12 dispatch batch.
 
     Returns (qs, qbase, pctrl, tq, lit8):
@@ -1254,6 +1254,9 @@ def pack_blocks_v12(pieces_list, lit_list, totals, block: int,
                 i = j
             if n == 0:
                 quads.append((0, lops))
+                maxrow = max(maxrow, 128)
+            while (len(quads) - qs_t[-1]) % quad_align:
+                quads.append((0, np.zeros((0, 5), np.int64)))
                 maxrow = max(maxrow, 128)
             qs_t.append(len(quads))
         blocks.append((qs_t, quads))
@@ -1382,3 +1385,152 @@ def decode_blocks_v12(pieces_list, lit_list, totals, block: int,
     out = np.asarray(kern(*args))
     return [out[j].reshape(-1)[:totals[j]].astype(np.uint8).tobytes()
             for j in range(len(pieces_list))]
+
+
+# ---------------------------------------------------------------------------
+# v13: v12 with a pair-unrolled quad loop.
+#
+# Honest ablation of v12 (tools/tpu_v12_ablate2.py): the windowed gather
+# matmul costs almost the same at K=128 as v10's at K=528 — per-call MXU
+# issue/drain latency dominates, not MACs. The loop body processes TWO
+# quads with independent data flows, so the scheduler can overlap one
+# quad's VPU glue with the other's MXU matmuls (quads per tile are padded
+# to even by the packer). NOTE a shifted-iota compare formulation (no
+# field extracts) was bit-exact in interpret mode but MISCOMPILED on
+# hardware (tools/tpu_v13_bisect.py) — plain extracts are kept.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v13(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref, out_ref):
+    b = pl.program_id(0)
+    NT = out_ref.shape[1] // 32
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    row32 = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
+
+    def contrib_quad(q):
+        base = pl.multiple_of(qbase_ref[b, q], 16)
+        win = litb_ref[0, pl.ds(base, 128), :]   # (128,128) bf16
+        bcs = []
+        for u in range(4):
+            bat = 4 * q + u
+            grp = pctrl_ref[0, pl.ds((bat >> 7) * 32, 32), :]
+            bcs.append(jnp.take_along_axis(
+                grp, jnp.full((32, 128), bat & 127, jnp.int32), axis=1))
+        bc = jnp.concatenate(bcs, axis=0)        # (128,128) slot-major
+        rl = bc & 127
+        sv = (bc >> 7) & 127
+        e1 = (bc >> 14) & 127
+        rowrel = jax.lax.shift_right_logical(bc, 21)
+        onehot = jnp.where(rowiota == rowrel[:, :1],
+                           jnp.float32(1), jnp.float32(0))
+        gath = jax.lax.dot_general(
+            onehot.astype(jnp.bfloat16), win, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        sh = jnp.take_along_axis(gath, (lane128 + rl) & 127, axis=1)
+        m = (lane128 >= sv) & (lane128 <= e1)
+        c = jnp.where(m, sh, 0)
+        tgt = tq_ref[0, q, :][None, :]           # (1,128) lane-major
+        pt = jnp.where(row32 == tgt, jnp.float32(1), jnp.float32(0))
+        return jax.lax.dot_general(
+            pt.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    for t in range(NT):
+        q0 = qs_ref[b, t]
+        q1 = qs_ref[b, t + 1]
+
+        def qbody(g, acc):
+            q = q0 + 2 * g
+            return acc + contrib_quad(q) + contrib_quad(q + 1)
+
+        tile = jax.lax.fori_loop(0, (q1 - q0) >> 1, qbody,
+                                 jnp.zeros((32, 128), jnp.int32))
+        out_ref[0, t * 32:(t + 1) * 32, :] = tile
+
+
+@functools.lru_cache(maxsize=32)
+def v13_kernel(block: int, MAXQ: int, RLP: int, interpret: bool = False):
+    NR = block // 128
+    NB = MAXQ * 4
+    G32 = 32 * (-(-NB // 128))
+
+    def call(qs, qbase, pctrl, tq, lit8):
+        litb = lit8.astype(jnp.bfloat16)
+        B = pctrl.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, G32, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, MAXQ, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RLP, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            _kernel_v13,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(qs, qbase, pctrl, tq, litb)
+
+    return jax.jit(call)
+
+
+def pad_v12_set(s, MAXQ: int, RLP: int):
+    """Pad one pack_blocks_v12 result to a common (MAXQ, RLP) shape.
+
+    Padded quads never execute (the qs tile prefix never reaches them)
+    and pctrl's filler value 1<<7 encodes an empty slot (s=1 > e-1=0),
+    so padding is equivalent to repacking with explicit MAXQ/RL.
+    """
+    qs, qb, pc, tq, l8 = s
+    NG32 = 32 * (-(-(MAXQ * 4) // 128))
+    qb = np.pad(qb, ((0, 0), (0, MAXQ - qb.shape[1])))
+    tq = np.pad(tq, ((0, 0), (0, MAXQ - tq.shape[1]), (0, 0)))
+    pc = np.pad(pc, ((0, 0), (0, NG32 - pc.shape[1]), (0, 0)),
+                constant_values=1 << 7)
+    l8 = np.pad(l8, ((0, 0), (0, RLP - l8.shape[1]), (0, 0)))
+    return (qs, qb, pc, tq, l8)
+
+
+def decode_blocks_v13(pieces_list, lit_list, totals, block: int,
+                      interpret: bool = False, device=None,
+                      dispatch: int = 16):
+    """Production v13 decode: fixed-width dispatch groups + bucketed
+    shapes so repeated calls reuse compiled kernels (Mosaic remote
+    compiles are minutes; lru-cached `v13_kernel` keys on the bucket)."""
+    nb = len(pieces_list)
+    if nb == 0:
+        return []
+    B = min(dispatch, nb)
+    nd = -(-nb // B)
+    pad = nd * B - nb
+    p = list(pieces_list) + [pieces_list[-1]] * pad
+    l = list(lit_list) + [lit_list[-1]] * pad
+    t = list(totals) + [0] * pad
+    raw = [pack_blocks_v12(p[d * B:(d + 1) * B], l[d * B:(d + 1) * B],
+                           t[d * B:(d + 1) * B], block, quad_align=2)
+           for d in range(nd)]
+    # bucket to multiples of (32 quads, 128 lit rows) to bound the number
+    # of distinct compiled shapes across archives
+    MAXQ = -(-max(s[1].shape[1] for s in raw) // 32) * 32
+    RLP = -(-max(s[4].shape[1] for s in raw) // 128) * 128
+    kern = v13_kernel(block, MAXQ, RLP, interpret)
+    outs = []
+    for s in raw:
+        args = pad_v12_set(s, MAXQ, RLP)
+        if device is not None:
+            args = tuple(jax.device_put(a, device) for a in args)
+        outs.append(np.asarray(kern(*args)))
+    res = []
+    for j in range(nb):
+        out = outs[j // B][j % B]
+        res.append(out.reshape(-1)[:totals[j]].astype(np.uint8).tobytes())
+    return res

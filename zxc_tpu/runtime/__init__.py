@@ -25,6 +25,7 @@ _SO = os.path.join(_DIR, "libzxchost.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_resolve_tl = threading.local()  # resolve_pieces per-thread scratch
 
 
 def _build() -> bool:
@@ -100,7 +101,7 @@ def lib() -> ctypes.CDLL | None:
         L.zxch_resolve_pieces.restype = i64
         L.zxch_resolve_pieces.argtypes = [vp, vp, vp, u64, vp, u64, u64,
                                           u64, vp, vp, vp, vp, u64, vp,
-                                          ctypes.c_int]
+                                          ctypes.c_int, ctypes.c_int]
         L.zxch_optimal_parse.restype = i64
         L.zxch_optimal_parse.argtypes = [vp, vp, u64, vp, vp, ctypes.c_int,
                                          ctypes.c_int,
@@ -202,7 +203,7 @@ KBIG = 1 << 30
 def resolve_pieces(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
                    literals: np.ndarray, dict_buf: np.ndarray | None = None,
                    max_pieces: int | None = None, synth_cap: int | None = None,
-                   device_pure: bool = False):
+                   device_pure: bool = False, max_frag: int = 0):
     """Resolve LZ chains into the flat piecewise-literal mapping
     ``out[p] = lit_full[c + (p - s) % k]``.
 
@@ -229,17 +230,24 @@ def resolve_pieces(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
         if device_pure:
             synth_cap += total_out + (1 << 20)  # pattern buffers (2KB each)
     lit_len = dict_len + len(base)
-    lit_full = np.empty(lit_len + synth_cap, np.uint8)
+    # reused per-thread scratch: fresh np.empty per call costs more in
+    # first-touch page faults than the resolver's own compute (measured
+    # 14x: 0.09 GB/s wrapped vs 1.4 GB/s standalone)
+    tl = _resolve_tl
+    if getattr(tl, "lit", None) is None or len(tl.lit) < lit_len + synth_cap:
+        tl.lit = np.empty(max(lit_len + synth_cap, 4 << 20), np.uint8)
+    if getattr(tl, "po", None) is None or len(tl.po) < max_pieces:
+        cap = max(max_pieces, 1 << 18)
+        tl.po, tl.pc = np.empty(cap, np.int32), np.empty(cap, np.int32)
+        tl.ps, tl.pk = np.empty(cap, np.int32), np.empty(cap, np.int32)
+    lit_full = tl.lit
     if dict_len:
         lit_full[:dict_len] = dict_buf
     lit_full[dict_len:lit_len] = base
     ll32 = np.ascontiguousarray(ll, np.int32)
     ml32 = np.ascontiguousarray(ml, np.int32)
     off32 = np.ascontiguousarray(off, np.int32)
-    po = np.empty(max_pieces, np.int32)
-    pc = np.empty(max_pieces, np.int32)
-    ps = np.empty(max_pieces, np.int32)
-    pk = np.empty(max_pieces, np.int32)
+    po, pc, ps, pk = tl.po, tl.pc, tl.ps, tl.pk
     lit_out = ctypes.c_uint64(0)
     n = L.zxch_resolve_pieces(
         ll32.ctypes.data_as(ctypes.c_void_p),
@@ -249,13 +257,16 @@ def resolve_pieces(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
         dict_len,
         po.ctypes.data_as(ctypes.c_void_p), pc.ctypes.data_as(ctypes.c_void_p),
         ps.ctypes.data_as(ctypes.c_void_p), pk.ctypes.data_as(ctypes.c_void_p),
-        max_pieces, ctypes.byref(lit_out), 1 if device_pure else 0)
+        max_pieces, ctypes.byref(lit_out), 1 if device_pure else 0,
+        max_frag)
     if n == -9:
         from ..errors import ZxcError, ERROR_BAD_OFFSET
         raise ZxcError(ERROR_BAD_OFFSET, "piece resolution")
     if n < 0:
         return None  # budget exceeded: fall back
-    return po[:n], pc[:n], ps[:n], pk[:n], lit_full[:lit_out.value]
+    # copies, not views: the scratch is reused by the next call
+    return (po[:n].copy(), pc[:n].copy(), ps[:n].copy(), pk[:n].copy(),
+            lit_full[:lit_out.value].copy())
 
 
 def _as_dict_args(dict_buf, dict_cl):

@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <cstdlib>
 #include <vector>
 #include <algorithm>
 
@@ -360,7 +361,7 @@ static const int32_t ZXCH_KBIG = 1 << 30;
 
 // paged position->piece index: page[q >> PAGE_LOG] = a piece at or before
 // that page's start; lookups walk forward over a few tiny pieces.
-#define ZXCH_PAGE_LOG 5
+#define ZXCH_PAGE_LOG 4
 #define ZXCH_MAX_PAGES ((2 * 1024 * 1024) >> ZXCH_PAGE_LOG)
 
 // lit_full: caller-allocated buffer holding dict++literals in
@@ -379,7 +380,8 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
                             uint64_t lit_cap, uint64_t dict_len,
                             int32_t *po, int32_t *pc, int32_t *ps,
                             int32_t *pk, uint64_t max_pieces,
-                            uint64_t *lit_len_out, int device_pure) {
+                            uint64_t *lit_len_out, int device_pure,
+                            int max_frag) {
   const int64_t D = (int64_t)dict_len;
   uint64_t np = 0;
   int64_t W = 0;        // output cursor
@@ -387,7 +389,10 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
   int64_t lend = (int64_t)lit_len;  // current end of lit_full
   static thread_local int32_t page[ZXCH_MAX_PAGES];
   int64_t pages_filled = 0;
-  const int MAX_FRAG = 3;  // materialize sources spanning more pieces
+  // materialize sources spanning more pieces; max_frag tunes the
+  // piece-count/extra-copy tradeoff (device kernels are issue-bound per
+  // piece, so low values favor the TPU path; see PERF.md). 0 = default.
+  const int MAX_FRAG = (max_frag >= 1 && max_frag <= 64) ? max_frag : 3;
   int64_t fill_cache[256];
   if (device_pure)
     for (int v = 0; v < 256; v++) fill_cache[v] = -1;
@@ -418,21 +423,6 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
     return (j + 1 < (int64_t)np) ? (int64_t)po[j + 1] : W;
   };
 
-  // number of pieces the out-range [sa, sa+len) spans (clipped at cap+1)
-  auto span_count = [&](int64_t sa, int64_t len, int cap) -> int {
-    int cnt = 0;
-    int64_t q = sa;
-    if (q < 0) { cnt++; if (q + len <= 0) return cnt; len += q; q = 0; }
-    int64_t j = find_piece(q);
-    while (len > 0 && cnt <= cap) {
-      int64_t pe = piece_end(j);
-      int64_t take = (pe - q) < len ? (pe - q) : len;
-      if (take <= 0) break;
-      cnt++; q += take; len -= take; j++;
-    }
-    return cnt;
-  };
-
   // materialize the bytes of out-range [sa, sa+len) into lit_full's tail;
   // returns the lit_full offset of the materialized range, or -1 on error.
   auto materialize = [&](int64_t sa, int64_t len) -> int64_t {
@@ -453,7 +443,19 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
       int64_t kk = pk[j];
       if (kk >= ZXCH_KBIG) {  // pure: one memcpy
         memcpy(lit_full + w, lit_full + pc[j] + (q - ps[j]), take);
-      } else {                // periodic / fill: byte loop
+      } else if (kk == 1) {
+        memset(lit_full + w, lit_full[pc[j]], take);
+      } else if (device_pure) {
+        // periodic pieces point into 2048-byte replicated patterns
+        // (kk <= 1024), so chunks of <= 1024 bytes are contiguous reads
+        int64_t t = 0;
+        while (t < take) {
+          int64_t ph = (q + t - ps[j]) % kk;
+          int64_t c = (take - t) < 1024 ? (take - t) : 1024;
+          memcpy(lit_full + w + t, lit_full + pc[j] + ph, c);
+          t += c;
+        }
+      } else {                // periodic: byte loop
         for (int64_t t = 0; t < take; t++)
           lit_full[w + t] = lit_full[pc[j] + ((q + t - ps[j]) % kk)];
       }
@@ -465,9 +467,18 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
 
   // copy the resolved mapping of source out-range [sa, sa+len) to output
   // starting at dst (assumes span <= MAX_FRAG or caller materialized).
-  auto emit_from = [&](int64_t sa, int64_t len, int64_t dst) -> int {
+  // single-walk capped emit: emits the mapping of [sa, sa+len) unless it
+  // would take more than `cap` pieces, in which case every side effect is
+  // rolled back and 1 is returned (caller materializes instead). Fuses
+  // the old span_count pre-walk with emit_from — one piece-table walk.
+  auto emit_capped = [&](int64_t sa, int64_t len, int64_t dst,
+                         int cap) -> int {
+    uint64_t np0 = np;
+    int64_t pf0 = pages_filled;
+    int cnt = 0;
     int64_t q = sa, d = dst;
     while (len > 0) {
+      if (++cnt > cap) { np = np0; pages_filled = pf0; return 1; }
       if (q < 0) {  // dict region: lit_idx(p) = (D + q) + (p - d)
         int64_t take = (-q) < len ? (-q) : len;
         EMIT(d, D + q, d, ZXCH_KBIG);
@@ -500,13 +511,12 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
     if (o >= m) {
       // no self-overlap
       int64_t sa = a - o;
-      if (span_count(sa, m, MAX_FRAG) > MAX_FRAG) {
+      int rc = emit_capped(sa, m, a, MAX_FRAG);
+      if (rc < 0) return rc;
+      if (rc) {  // > MAX_FRAG pieces: rolled back, materialize instead
         int64_t base = materialize(sa, m);
         if (base < 0) return -10;
         EMIT(a, base, a, ZXCH_KBIG);
-      } else {
-        int rc = emit_from(sa, m, a);
-        if (rc) return rc;
       }
       W = a + m;
     } else if (!device_pure) {
@@ -566,22 +576,20 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
       } else {
         // big period: unroll repetitions as pure/compound pieces; the
         // source window [sa, a) is fully resolved and identical per rep
-        int frag = span_count(sa, o, MAX_FRAG);
         int64_t base = -1;
-        if (frag > MAX_FRAG) {
-          base = materialize(sa, o);
-          if (base < 0) return -10;
-        }
         int64_t done = 0;
         while (done < m) {
           int64_t chunk = (m - done) < o ? (m - done) : o;
           int64_t dst = a + done;
-          if (base >= 0) {
-            EMIT(dst, base, dst, ZXCH_KBIG);
-          } else {
-            int rc = emit_from(sa, chunk, dst);
-            if (rc) return rc;
+          if (base < 0) {
+            int rc = emit_capped(sa, chunk, dst, MAX_FRAG);
+            if (rc < 0) return rc;
+            if (rc) {
+              base = materialize(sa, o);
+              if (base < 0) return -10;
+            }
           }
+          if (base >= 0) EMIT(dst, base, dst, ZXCH_KBIG);
           done += chunk;
         }
       }
