@@ -46,6 +46,8 @@ def build_corpora(quick: bool) -> dict[str, bytes]:
         return b"".join(bufs)[:n]
 
     def elfbin(n):
+        from zxc_tpu import runtime
+        runtime.lib()  # build the .so when absent (it IS the corpus)
         base = open("/root/repo/zxc_tpu/runtime/libzxchost.so", "rb").read()
         ctr = np.arange(n // 8, dtype=np.uint64).tobytes()
         return (base + ctr)[:n]

@@ -982,8 +982,10 @@ done:
     *best_off = 1;
     if (p >= hend) return;
     // repeat-offset candidate first: free, and structured data repeats
+#ifndef ZXCH_NO_REP
     if (rep_off > 0 && p >= (uint64_t)rep_off)
       try_cand(p, p - (uint64_t)rep_off, best_len, best_off);
+#endif
     uint32_t ht = cur_ht = hash5t(data + p);
     if (*best_len >= sufficient_len) return;  // good enough: stop searching
     uint32_t mytag = ht & 0xFF;
@@ -1032,7 +1034,7 @@ done:
     if (l < min_emit) {
       // accelerating miss step (reference zxc_compress.c:1231): skip
       // ahead through incompressible runs, skipped positions not inserted
-      if (p < hend) insert_ht(p, cur_ht);  // search already hashed p
+      if (p < hend) insert_ht(p, cur_ht);
       p += (uint64_t)step_base + ((p - anchor) >> step_shift);
       continue;
     }
@@ -1465,21 +1467,28 @@ extern "C" {
 // extras) for data[start..n) into out. Byte-identical to the Python
 // emitter (block_encode.encode_block_ghi). Returns payload size or -10
 // when cap is too small.
-int64_t zxch_encode_ghi(const uint8_t *data, uint64_t n, uint64_t start,
-                        int max_probes, int lazy, int sufficient_len,
-                        int step_base, int step_shift, int cover_base,
-                        int min_emit, uint8_t *out, uint64_t cap) {
-  uint64_t P = n - start;
-  uint64_t max_seq = P / 5 + 8;
-  int32_t *mp = new int32_t[max_seq];
-  int32_t *ml = new int32_t[max_seq];
-  int32_t *mo = new int32_t[max_seq];
-  int64_t nseq = zxch_find_parse(data, n, start, max_probes, lazy,
-                                 sufficient_len, step_base, step_shift,
-                                 cover_base, min_emit, mp, ml, mo, max_seq);
-  if (nseq < 0) { delete[] mp; delete[] ml; delete[] mo; return -10; }
+// per-thread parse scratch: fresh new[] per block costs more in
+// first-touch page faults than it saves (same finding as resolve_pieces)
+static thread_local int32_t *g_mp = nullptr, *g_ml = nullptr,
+    *g_mo = nullptr;
+static thread_local uint64_t g_mcap = 0;
 
-  // sizes: literals = P - sum(ml); extras per saturated field
+static void zxch_parse_scratch(uint64_t max_seq) {
+  if (max_seq > g_mcap) {
+    delete[] g_mp; delete[] g_ml; delete[] g_mo;
+    g_mcap = max_seq * 2;
+    g_mp = new int32_t[g_mcap];
+    g_ml = new int32_t[g_mcap];
+    g_mo = new int32_t[g_mcap];
+  }
+}
+
+// exact GHI payload size for a finished parse (the GHI emit is raw
+// literals + fixed-width sequence words, so size needs no emission)
+static uint64_t zxch_ghi_size(const int32_t *mp, const int32_t *ml,
+                              int64_t nseq, uint64_t P,
+                              uint64_t *lit_total_out,
+                              uint64_t *n_ext_out) {
   uint64_t lit_total = P;
   uint64_t n_ext_bytes = 0;
   for (int64_t i = 0; i < nseq; i++) {
@@ -1496,8 +1505,18 @@ int64_t zxch_encode_ghi(const uint8_t *data, uint64_t n, uint64_t start,
       n_ext_bytes += v < 0x80 ? 1 : (v < 0x4000 ? 2 : 3);
     }
   }
+  *lit_total_out = lit_total;
+  *n_ext_out = n_ext_bytes;
+  return 16 + 3 * 8 + lit_total + 4 * (uint64_t)nseq + n_ext_bytes;
+}
+
+// emit a parsed GHI block (size precomputed by zxch_ghi_size)
+static int64_t zxch_emit_ghi(const uint8_t *data, uint64_t start,
+                             uint64_t P, const int32_t *mp,
+                             const int32_t *ml, const int32_t *mo,
+                             int64_t nseq, uint64_t lit_total,
+                             uint64_t n_ext_bytes, uint8_t *out) {
   uint64_t need = 16 + 3 * 8 + lit_total + 4 * (uint64_t)nseq + n_ext_bytes;
-  if (need > cap) { delete[] mp; delete[] ml; delete[] mo; return -10; }
 
   // GNR header (write_gnr_header layout): n_seq, n_lit u32; enc bytes; pad
   uint8_t *w = out;
@@ -1559,8 +1578,26 @@ int64_t zxch_encode_ghi(const uint8_t *data, uint64_t n, uint64_t start,
              *ext_w++ = (uint8_t)((v >> 13) & 0xFF); }
     }
   }
-  delete[] mp; delete[] ml; delete[] mo;
   return (int64_t)need;
+}
+
+int64_t zxch_encode_ghi(const uint8_t *data, uint64_t n, uint64_t start,
+                        int max_probes, int lazy, int sufficient_len,
+                        int step_base, int step_shift, int cover_base,
+                        int min_emit, uint8_t *out, uint64_t cap) {
+  uint64_t P = n - start;
+  uint64_t max_seq = P / 5 + 8;
+  zxch_parse_scratch(max_seq);
+  int32_t *mp = g_mp, *ml = g_ml, *mo = g_mo;
+  int64_t nseq = zxch_find_parse(data, n, start, max_probes, lazy,
+                                 sufficient_len, step_base, step_shift,
+                                 cover_base, min_emit, mp, ml, mo, max_seq);
+  if (nseq < 0) return -10;
+  uint64_t lit_total, n_ext_bytes;
+  uint64_t need = zxch_ghi_size(mp, ml, nseq, P, &lit_total, &n_ext_bytes);
+  if (need > cap) return -10;
+  return zxch_emit_ghi(data, start, P, mp, ml, mo, nseq, lit_total,
+                       n_ext_bytes, out);
 }
 
 }  // extern "C"
@@ -1887,13 +1924,26 @@ int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
     }
   }
 
-  // pass 1: bits per node
+  // pass 1: bits per node = sum over symbols of freq * per-item bits —
+  // a 256-entry loop over the histogram instead of a full data pass
   static thread_local uint64_t nbits_node[MAXNODES];
   for (int i = 0; i < n_nodes; i++) nbits_node[i] = 0;
-  for (uint64_t i = 0; i < n; i++) {
-    int s = data[i];
-    for (int k = 0; k < it_cnt[s]; k++)
-      nbits_node[it_node[s][k]] += it_nbits[s][k];
+  {
+    // 4-way partial counters: avoids serial dependence on one counter
+    static thread_local uint32_t f4[4][256];
+    memset(f4, 0, sizeof(f4));
+    uint64_t i = 0;
+    for (; i + 4 <= n; i += 4) {
+      f4[0][data[i]]++; f4[1][data[i + 1]]++;
+      f4[2][data[i + 2]]++; f4[3][data[i + 3]]++;
+    }
+    for (; i < n; i++) f4[0][data[i]]++;
+    for (int sy = 0; sy < 256; sy++) {
+      uint64_t fr = (uint64_t)f4[0][sy] + f4[1][sy] + f4[2][sy] + f4[3][sy];
+      if (!fr) continue;
+      for (int k = 0; k < it_cnt[sy]; k++)
+        nbits_node[it_node[sy][k]] += fr * it_nbits[sy][k];
+    }
   }
   // byte offsets per node in BFS order (runs byte-aligned)
   static thread_local uint64_t byte_off[MAXNODES];
@@ -1904,28 +1954,47 @@ int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
     byte_off[nid] = w;
     w += (nbits_node[nid] + 7) / 8;
   }
-  if (w > cap) return -10;
-  memset(out, 0, w);
+  // +8: the packing loop flushes with unaligned u64 |= whose tail bytes
+  // carry only zero bits but must be addressable
+  if (w + 8 > cap) return -10;
+  memset(out, 0, w + 8);
 
-  // pass 2: pack bits (LSB-first within each node run)
+  // pass 2: pack bits (LSB-first within each node run) through per-node
+  // u64 accumulators — one shift/or per item, a 32-bit flush every few
+  // items, instead of 1-3 byte RMWs per item
   static thread_local uint64_t bitpos[MAXNODES];
-  for (int i = 0; i < n_nodes; i++) bitpos[i] = 0;
+  static thread_local uint64_t pend[MAXNODES];
+  static thread_local uint8_t pcnt[MAXNODES];
+  for (int i = 0; i < n_nodes; i++) { bitpos[i] = 0; pend[i] = 0;
+                                      pcnt[i] = 0; }
   for (uint64_t i = 0; i < n; i++) {
-    int s = data[i];
-    for (int k = 0; k < it_cnt[s]; k++) {
-      int nid = it_node[s][k];
-      uint64_t bp = bitpos[nid];
-      uint64_t base = byte_off[nid] * 8 + bp;
-      uint16_t v = it_val[s][k];
-      int nb = it_nbits[s][k];
-      // nb <= 11: at most spans 3 bytes
-      out[base >> 3] |= (uint8_t)(v << (base & 7));
-      if ((int)(base & 7) + nb > 8)
-        out[(base >> 3) + 1] |= (uint8_t)(v >> (8 - (base & 7)));
-      if ((int)(base & 7) + nb > 16)
-        out[(base >> 3) + 2] |= (uint8_t)(v >> (16 - (base & 7)));
-      bitpos[nid] = bp + (uint64_t)nb;
+    int sy = data[i];
+    for (int k = 0; k < it_cnt[sy]; k++) {
+      int nid = it_node[sy][k];
+      pend[nid] |= (uint64_t)it_val[sy][k] << pcnt[nid];
+      pcnt[nid] = (uint8_t)(pcnt[nid] + it_nbits[sy][k]);
+      if (pcnt[nid] >= 32) {
+        uint64_t base = byte_off[nid] * 8 + bitpos[nid];
+        uint64_t chunk = (pend[nid] & 0xFFFFFFFFull) << (base & 7);
+        uint64_t tmp;
+        memcpy(&tmp, out + (base >> 3), 8);
+        tmp |= chunk;
+        memcpy(out + (base >> 3), &tmp, 8);
+        bitpos[nid] += 32;
+        pend[nid] >>= 32;
+        pcnt[nid] = (uint8_t)(pcnt[nid] - 32);
+      }
     }
+  }
+  // drain accumulators (bits land inside each node's ceil-byte run)
+  for (int i = 0; i < n_nodes; i++) {
+    if (!pcnt[i]) continue;
+    uint64_t base = byte_off[i] * 8 + bitpos[i];
+    uint64_t chunk = pend[i] << (base & 7);
+    uint64_t tmp;
+    memcpy(&tmp, out + (base >> 3), 8);
+    tmp |= chunk;
+    memcpy(out + (base >> 3), &tmp, 8);
   }
   return (int64_t)w;
 }
@@ -2080,7 +2149,6 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
   uint64_t n_blocks = (n + block_size - 1) / block_size;
   uint32_t *seek_sizes = seekable && n_blocks
       ? new uint32_t[n_blocks] : nullptr;
-  std::vector<uint8_t> hlbuf;  // entropy-fallback scratch (levels 1-2)
   uint32_t global_hash = 0;
   uint64_t bi = 0;
   for (uint64_t pos = 0; pos < n; pos += block_size, bi++) {
@@ -2094,25 +2162,37 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
     int64_t psz;
     int btype;
     if (level <= 2) {
-      psz = zxch_encode_ghi(data + pos, len, 0, max_probes, lazy,
-                            sufficient_len, step_base, step_shift,
-                            cover_base, min_emit, payload, pcap);
-      btype = 2;  // GHI
-      // entropy fallback: all-literal Huffman GLO when strictly smaller
-      // than both the GHI payload and the RAW threshold (scratch buffer:
-      // the candidate encode must not clobber the GHI payload it is
-      // competing against)
+      // parse once; the GHI payload size is exact BEFORE emission (raw
+      // literals + fixed-width words), so the entropy-fallback decision
+      // runs first and only the winning encode is emitted — byte-
+      // identical to emit-then-compare, without the double encode
+      uint64_t max_seq = len / 5 + 8;
+      zxch_parse_scratch(max_seq);
+      int64_t nseq = zxch_find_parse(data + pos, len, 0, max_probes, lazy,
+                                     sufficient_len, step_base, step_shift,
+                                     cover_base, min_emit, g_mp, g_ml,
+                                     g_mo, max_seq);
+      uint64_t lit_total = 0, n_ext = 0;
+      int64_t ghi_need = nseq >= 0
+          ? (int64_t)zxch_ghi_size(g_mp, g_ml, nseq, len, &lit_total,
+                                   &n_ext)
+          : -10;
       static const int no_hl = getenv("ZXCH_NO_HUFLIT") != nullptr;
       uint64_t budget = len > BH ? len - BH : 0;
-      if (psz >= 0 && (uint64_t)psz < budget) budget = (uint64_t)psz;
-      if (hlbuf.size() < len + 1024) hlbuf.resize(len + 1024);
+      if (ghi_need >= 0 && (uint64_t)ghi_need < budget)
+        budget = (uint64_t)ghi_need;
       int64_t hl = no_hl ? -1
-          : zxch_encode_hufflit(data + pos, len, hlbuf.data(),
-                                hlbuf.size(), budget);
-      if (hl >= 0 && (uint64_t)hl <= pcap) {
-        memcpy(payload, hlbuf.data(), (size_t)hl);
+          : zxch_encode_hufflit(data + pos, len, payload, pcap, budget);
+      if (hl >= 0) {
         psz = hl;
-        btype = 1;  // GLO
+        btype = 1;  // GLO (all-literal Huffman)
+      } else if (ghi_need >= 0 && (uint64_t)ghi_need <= pcap) {
+        psz = zxch_emit_ghi(data + pos, 0, len, g_mp, g_ml, g_mo, nseq,
+                            lit_total, n_ext, payload);
+        btype = 2;  // GHI
+      } else {
+        psz = -10;
+        btype = 2;
       }
     } else {
       psz = zxch_encode_glo(data + pos, len, 0, max_probes, lazy,
