@@ -981,10 +981,19 @@ done:
     *best_len = 0;
     *best_off = 1;
     if (p >= hend) return;
-    // repeat-offset candidate first: free, and structured data repeats
+    // repeat-offset candidate first: free, and structured data repeats.
+    // Gated on 4-byte equality: a >= MIN_MATCH match always passes, and
+    // sub-MIN_MATCH bests never reach the output (miss path discards l),
+    // so skipping the full extend on first-4 mismatch is byte-identical
+    // while saving ~1M speculative extends on this corpus class.
 #ifndef ZXCH_NO_REP
-    if (rep_off > 0 && p >= (uint64_t)rep_off)
-      try_cand(p, p - (uint64_t)rep_off, best_len, best_off);
+    if (rep_off > 0 && p >= (uint64_t)rep_off && p < hend) {
+      uint32_t a4, b4;
+      memcpy(&a4, data + p, 4);
+      memcpy(&b4, data + p - (uint64_t)rep_off, 4);
+      if (a4 == b4)
+        try_cand(p, p - (uint64_t)rep_off, best_len, best_off);
+    }
 #endif
     uint32_t ht = cur_ht = hash5t(data + p);
     if (*best_len >= sufficient_len) return;  // good enough: stop searching
