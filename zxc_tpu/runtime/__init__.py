@@ -27,6 +27,38 @@ _lib = None
 _tried = False
 _resolve_tl = threading.local()  # resolve_pieces per-thread scratch
 
+# result-buffer fast path: the old np.empty-scratch + tobytes pattern
+# paid first-touch page faults on a FRESH scratch every call plus a full
+# copy (~45% of one-shot decode wall at 2 GB/s). Instead: per-thread
+# REUSED scratch (no faults when warm) + one exact-size
+# PyBytes_FromStringAndSize copy. (A _PyBytes_Resize zero-copy variant
+# was tried and reverted: ctypes' py_object keepalive retains the
+# pre-realloc pointer and corrupts the heap on collection.)
+_pyapi = ctypes.pythonapi
+_pyapi.PyBytes_FromStringAndSize.restype = ctypes.py_object
+_pyapi.PyBytes_FromStringAndSize.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_ssize_t]
+
+
+def _frame_scratch(tl_name: str, cap: int) -> np.ndarray:
+    tl = _resolve_tl
+    buf = getattr(tl, tl_name, None)
+    if buf is None or len(buf) < cap:
+        buf = np.empty(max(cap, 1 << 20), np.uint8)
+        setattr(tl, tl_name, buf)
+    return buf
+
+
+def _native_into_bytes(tl_name: str, cap: int, call):
+    """Run ``call(ptr)`` writing up to cap bytes into the per-thread
+    scratch; return (exact-size bytes, rc)."""
+    buf = _frame_scratch(tl_name, cap)
+    ptr = buf.ctypes.data_as(ctypes.c_void_p)
+    w = call(ptr)
+    if w < 0:
+        return None, w
+    return _pyapi.PyBytes_FromStringAndSize(ptr, w), w
+
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
@@ -332,17 +364,15 @@ def decompress_frame(archive, block_size: int, has_checksum: bool,
         from ..errors import ZxcError
         raise ZxcError(int(nb), "frame walk")
     d8, cl8, cl_ptr = _as_dict_args(dict_buf, dict_cl)
-    dst = np.empty(int(nb) * block_size + 64, np.uint8)
-    w = L.zxch_decompress_frame(src.ctypes.data_as(ctypes.c_void_p), n,
-                                block_size, 1 if has_checksum else 0,
-                                1 if verify else 0,
-                                d8.ctypes.data_as(ctypes.c_void_p), len(d8),
-                                cl_ptr, dst.ctypes.data_as(ctypes.c_void_p),
-                                len(dst))
+    cap = int(nb) * block_size + 64
+    dst, w = _native_into_bytes("decbuf", cap, lambda ptr: L.zxch_decompress_frame(
+        src.ctypes.data_as(ctypes.c_void_p), n, block_size,
+        1 if has_checksum else 0, 1 if verify else 0,
+        d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr, ptr, cap))
     if w < 0:
         from ..errors import ZxcError
         raise ZxcError(int(w), "native frame decode")
-    return dst[:w].tobytes()
+    return dst
 
 
 def decompress_frame_into(buffer: bytearray, comp_size: int,
@@ -570,17 +600,15 @@ def compress_frame(data: np.ndarray, level: int, max_probes: int,
     n = len(d8)
     n_blocks = (n + block_size - 1) // block_size
     cap = 16 + 12 + n + n_blocks * (8 + 4 + 64) + n // 4 + 4 * n_blocks + 8 + 4096
-    out = np.empty(cap, np.uint8)
-    w = L.zxch_compress_frame(d8.ctypes.data_as(ctypes.c_void_p), n, level,
-                              max_probes, 1 if lazy else 0, sufficient_len,
-                              step_base, step_shift, cover_base, min_emit,
-                              block_size,
-                              block_size_code, 1 if checksum else 0,
-                              1 if seekable else 0,
-                              out.ctypes.data_as(ctypes.c_void_p), cap)
+    out, w = _native_into_bytes("encbuf", cap, lambda ptr: L.zxch_compress_frame(
+        d8.ctypes.data_as(ctypes.c_void_p), n, level,
+        max_probes, 1 if lazy else 0, sufficient_len,
+        step_base, step_shift, cover_base, min_emit, block_size,
+        block_size_code, 1 if checksum else 0, 1 if seekable else 0,
+        ptr, cap))
     if w < 0:
         return None
-    return out[:w].tobytes()
+    return out
 
 
 def pivco_encode(data: np.ndarray, code_len: np.ndarray) -> bytes | None:

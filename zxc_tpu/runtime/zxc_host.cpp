@@ -2482,8 +2482,57 @@ int64_t decode_gnr_block(int is_glo, const uint8_t *pl, uint64_t plen,
   }
 
   // ---- fused expand ----
+  // SAFE/FAST split (reference zxc_decompress.c SAFE->FAST ladder): once
+  // w >= 64KB the window guarantees o <= w, and away from the literal /
+  // output ends the capacity checks cannot fire, so the burst loops run
+  // with no per-sequence bounds checks — only the varint-escape test.
   uint64_t w = 0, r = 0, e = 0;
-  for (uint64_t i = 0; i < n_seq; i++) {
+  uint64_t i = 0;
+  const uint64_t WIN64 = 64 * 1024;
+  const uint64_t wlim = block_size > 640 ? block_size - 640 : 0;
+  const uint64_t rlim = n_lit > 300 ? n_lit - 300 : 0;
+  while (i < n_seq) {
+    if (w >= WIN64) {
+      if (is_glo) {
+        if (enc_off == 1) {
+          for (; i < n_seq && w < wlim && r < rlim; i++) {
+            uint32_t t = tok[i];
+            uint64_t l = t >> 4, m = t & 15;
+            if (l == 15 || m == 15) break;
+            uint64_t o = (uint64_t)sec_c[i] + 1;
+            copy_literals(out + w, lit + r, l, lit_wild);
+            w += l; r += l;
+            copy_match(out + w, o, m + 5);
+            w += m + 5;
+          }
+        } else {
+          for (; i < n_seq && w < wlim && r < rlim; i++) {
+            uint32_t t = tok[i];
+            uint64_t l = t >> 4, m = t & 15;
+            if (l == 15 || m == 15) break;
+            uint64_t o = rd16le(sec_c + 2 * i) + 1;
+            copy_literals(out + w, lit + r, l, lit_wild);
+            w += l; r += l;
+            copy_match(out + w, o, m + 5);
+            w += m + 5;
+          }
+        }
+      } else {
+        for (; i < n_seq && w < wlim && r < rlim; i++) {
+          uint32_t wd;
+          memcpy(&wd, sec_b + 4 * i, 4);
+          uint64_t l = wd >> 24, m = (wd >> 16) & 0xFF;
+          if (l == 255 || m == 255) break;
+          uint64_t o = (wd & 0xFFFF) + 1;
+          copy_literals(out + w, lit + r, l, lit_wild);
+          w += l; r += l;
+          copy_match(out + w, o, m + 5);
+          w += m + 5;
+        }
+      }
+      if (i >= n_seq) break;
+    }
+    // checked path: one sequence (buffer edges, varint escapes, dict)
     uint64_t l, m, o;
     if (is_glo) {
       uint32_t t = tok[i];
@@ -2544,6 +2593,7 @@ int64_t decode_gnr_block(int is_glo, const uint8_t *pl, uint64_t plen,
       copy_match(out + w, o, mlen);
       w += mlen;
     }
+    i++;
   }
   uint64_t trailing = n_lit - r;
   if (w + trailing > block_size) return -10;
