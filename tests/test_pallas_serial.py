@@ -167,7 +167,7 @@ def test_v9_lane_kernel_interpret():
     assert b"".join(outs) == data
 
 
-@pytest.mark.parametrize("variant", [12, 13])
+@pytest.mark.parametrize("variant", [12, 13, 14])
 def test_v12_v13_windowed_gather_interpret(variant):
     """v12/v13 row-sorted windowed-gather kernels: bit-exact vs plaintext
     in interpret mode (the hardware path is validated by bench.py and
@@ -190,7 +190,8 @@ def test_v12_v13_windowed_gather_interpret(variant):
         assert r is not None
         pieces.append(r[:4])
         lits.append(r[4])
-    fn = (pallas_decode.decode_blocks_v13 if variant == 13
-          else pallas_decode.decode_blocks_v12)
+    fn = {13: pallas_decode.decode_blocks_v13,
+          14: pallas_decode.decode_blocks_v14}.get(
+              variant, pallas_decode.decode_blocks_v12)
     outs = fn(pieces, lits, list(plan.totals), BLOCK, interpret=True)
     assert b"".join(outs) == data

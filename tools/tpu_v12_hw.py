@@ -25,6 +25,7 @@ REPS = 5
 K = int(os.environ.get("PROBE_K", "8"))
 VARIANT = os.environ.get("PROBE_VARIANT", "12")
 QA = 2 if VARIANT == "13" else 1
+KFN = {"12": None, "13": None, "14": None}
 
 
 def main():
@@ -37,7 +38,9 @@ def main():
     for i in range(plan.n_blocks):
         r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
                                    plan.lit[i], plan.dict_buf,
-                                   device_pure=True)
+                                   device_pure=True,
+                                   max_frag=int(os.environ.get(
+                                       "PROBE_MF", "1")))
         pieces.append(r[:4])
         lits.append(r[4])
     nb = plan.n_blocks
@@ -69,7 +72,8 @@ def main():
     dev = jax.devices()[0]
     dsets = [tuple(jax.device_put(a, dev) for a in s) for s in sets]
     jax.block_until_ready(dsets)
-    kern = (PD.v13_kernel if VARIANT == "13" else PD.v12_kernel)(BLOCK, MAXQ, sets[0][4].shape[1])
+    kfn = {"13": PD.v13_kernel, "14": PD.v14_kernel}.get(VARIANT, PD.v12_kernel)
+    kern = kfn(BLOCK, MAXQ, sets[0][4].shape[1])
     NR = BLOCK // 128
     flatpos = jnp.arange(NR * 128, dtype=jnp.uint32)
     w = (flatpos % 8191).astype(jnp.uint32)

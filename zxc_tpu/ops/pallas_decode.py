@@ -1534,3 +1534,136 @@ def decode_blocks_v13(pieces_list, lit_list, totals, block: int,
         out = outs[j // B][j % B]
         res.append(out.reshape(-1)[:totals[j]].astype(np.uint8).tobytes())
     return res
+
+
+# ---------------------------------------------------------------------------
+# v14: v13 with a FOUR-way unrolled quad loop + in-kernel remainder.
+#
+# The v5e TensorCore has four MXUs; the v13 pair-unroll (1.08 -> 1.73
+# GB/s) showed per-quad cost is MXU issue-bound with independent quads
+# overlapping, so a 4-deep unroll exposes more matmul-level parallelism.
+# Remainder quads (n % 4) run through a single-quad epilogue loop with
+# dynamic bounds instead of packer padding (quad_align stays 1 — the
+# v13 packer padding would cost ~30% extra quads at avg 4.6 quads/tile).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v14(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref, out_ref):
+    b = pl.program_id(0)
+    NT = out_ref.shape[1] // 32
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    row32 = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
+
+    def contrib_quad(q):
+        base = pl.multiple_of(qbase_ref[b, q], 16)
+        win = litb_ref[0, pl.ds(base, 128), :]   # (128,128) bf16
+        bcs = []
+        for u in range(4):
+            bat = 4 * q + u
+            grp = pctrl_ref[0, pl.ds((bat >> 7) * 32, 32), :]
+            bcs.append(jnp.take_along_axis(
+                grp, jnp.full((32, 128), bat & 127, jnp.int32), axis=1))
+        bc = jnp.concatenate(bcs, axis=0)        # (128,128) slot-major
+        rl = bc & 127
+        sv = (bc >> 7) & 127
+        e1 = (bc >> 14) & 127
+        rowrel = jax.lax.shift_right_logical(bc, 21)
+        onehot = jnp.where(rowiota == rowrel[:, :1],
+                           jnp.float32(1), jnp.float32(0))
+        gath = jax.lax.dot_general(
+            onehot.astype(jnp.bfloat16), win, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        sh = jnp.take_along_axis(gath, (lane128 + rl) & 127, axis=1)
+        m = (lane128 >= sv) & (lane128 <= e1)
+        c = jnp.where(m, sh, 0)
+        tgt = tq_ref[0, q, :][None, :]           # (1,128) lane-major
+        pt = jnp.where(row32 == tgt, jnp.float32(1), jnp.float32(0))
+        return jax.lax.dot_general(
+            pt.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    for t in range(NT):
+        q0 = qs_ref[b, t]
+        q1 = qs_ref[b, t + 1]
+        n4 = (q1 - q0) >> 2
+
+        def qbody4(g, acc):
+            q = q0 + 4 * g
+            return (acc + contrib_quad(q) + contrib_quad(q + 1)
+                    + contrib_quad(q + 2) + contrib_quad(q + 3))
+
+        tile = jax.lax.fori_loop(0, n4, qbody4,
+                                 jnp.zeros((32, 128), jnp.int32))
+
+        def qbody1(q, acc):
+            return acc + contrib_quad(q)
+
+        tile = jax.lax.fori_loop(q0 + 4 * n4, q1, qbody1, tile)
+        out_ref[0, t * 32:(t + 1) * 32, :] = tile
+
+
+@functools.lru_cache(maxsize=32)
+def v14_kernel(block: int, MAXQ: int, RLP: int, interpret: bool = False):
+    NR = block // 128
+    NB = MAXQ * 4
+    G32 = 32 * (-(-NB // 128))
+
+    def call(qs, qbase, pctrl, tq, lit8):
+        litb = lit8.astype(jnp.bfloat16)
+        B = pctrl.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, G32, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, MAXQ, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RLP, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            _kernel_v14,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(qs, qbase, pctrl, tq, litb)
+
+    return jax.jit(call)
+
+
+def decode_blocks_v14(pieces_list, lit_list, totals, block: int,
+                      interpret: bool = False, device=None,
+                      dispatch: int = 16):
+    """v14 decode: 4-way unrolled quads, no packer padding."""
+    nb = len(pieces_list)
+    if nb == 0:
+        return []
+    B = min(dispatch, nb)
+    nd = -(-nb // B)
+    pad = nd * B - nb
+    p = list(pieces_list) + [pieces_list[-1]] * pad
+    l = list(lit_list) + [lit_list[-1]] * pad
+    t = list(totals) + [0] * pad
+    raw = [pack_blocks_v12(p[d * B:(d + 1) * B], l[d * B:(d + 1) * B],
+                           t[d * B:(d + 1) * B], block)
+           for d in range(nd)]
+    MAXQ = -(-max(s[1].shape[1] for s in raw) // 32) * 32
+    RLP = -(-max(s[4].shape[1] for s in raw) // 128) * 128
+    kern = v14_kernel(block, MAXQ, RLP, interpret)
+    outs = []
+    for s in raw:
+        args = pad_v12_set(s, MAXQ, RLP)
+        if device is not None:
+            args = tuple(jax.device_put(a, device) for a in args)
+        outs.append(np.asarray(kern(*args)))
+    res = []
+    for j in range(nb):
+        out = outs[j // B][j % B]
+        res.append(out.reshape(-1)[:totals[j]].astype(np.uint8).tobytes())
+    return res
