@@ -167,7 +167,7 @@ def test_v9_lane_kernel_interpret():
     assert b"".join(outs) == data
 
 
-@pytest.mark.parametrize("variant", [12, 13, 14])
+@pytest.mark.parametrize("variant", [12, 13, 14, 15, 16])
 def test_v12_v13_windowed_gather_interpret(variant):
     """v12/v13 row-sorted windowed-gather kernels: bit-exact vs plaintext
     in interpret mode (the hardware path is validated by bench.py and
@@ -178,7 +178,9 @@ def test_v12_v13_windowed_gather_interpret(variant):
     data = (b"hello zxc world " * 800 + seg * 40 + b"A" * 5000
             + b"ab" * 3000
             + rng.integers(0, 256, 20000, dtype=np.uint8).tobytes())
-    BLOCK = 8192
+    # 16 KiB for v15 (its supertile minimum; smaller blocks delegate to
+    # v13), 8 KiB for the rest
+    BLOCK = 16384 if variant >= 15 else 8192
     data = (data * ((BLOCK * 5) // len(data) + 1))[:BLOCK * 5 - 77]
     arc = frame.compress(data, EncodeOpts(level=3, block_size=BLOCK))
     plan = plan_frame(arc)
@@ -191,7 +193,9 @@ def test_v12_v13_windowed_gather_interpret(variant):
         pieces.append(r[:4])
         lits.append(r[4])
     fn = {13: pallas_decode.decode_blocks_v13,
-          14: pallas_decode.decode_blocks_v14}.get(
+          14: pallas_decode.decode_blocks_v14,
+          15: pallas_decode.decode_blocks_v15,
+          16: pallas_decode.decode_blocks_v16}.get(
               variant, pallas_decode.decode_blocks_v12)
     outs = fn(pieces, lits, list(plan.totals), BLOCK, interpret=True)
     assert b"".join(outs) == data

@@ -24,8 +24,7 @@ B12 = int(os.environ.get("PROBE_B", "16"))
 REPS = 5
 K = int(os.environ.get("PROBE_K", "8"))
 VARIANT = os.environ.get("PROBE_VARIANT", "12")
-QA = 2 if VARIANT == "13" else 1
-KFN = {"12": None, "13": None, "14": None}
+QA = {"13": 2, "15": 2, "16": 4}.get(VARIANT, 1)
 
 
 def main():
@@ -50,12 +49,13 @@ def main():
     l = lits + [lits[-1]] * pad
     t = list(plan.totals) + [0] * pad
     t0 = time.time()
+    pack = PD.pack_blocks_v15 if VARIANT in ("15", "16") else PD.pack_blocks_v12
     raw = []
     MAXQ = 1
     RL = 1
     for d in range(nd):
         sl = slice(d * B12, (d + 1) * B12)
-        s = PD.pack_blocks_v12(p[sl], l[sl], t[sl], BLOCK, quad_align=QA)
+        s = pack(p[sl], l[sl], t[sl], BLOCK, quad_align=QA)
         raw.append(s)
         MAXQ = max(MAXQ, s[1].shape[1])
         RL = max(RL, s[4].shape[1])
@@ -63,8 +63,8 @@ def main():
     sets = []
     for d in range(nd):
         sl = slice(d * B12, (d + 1) * B12)
-        sets.append(PD.pack_blocks_v12(p[sl], l[sl], t[sl], BLOCK,
-                                       MAXQ=MAXQ, RL=RL, quad_align=QA))
+        sets.append(pack(p[sl], l[sl], t[sl], BLOCK,
+                         MAXQ=MAXQ, RL=RL, quad_align=QA))
     n_quads = sum(int(s[0][:, -1].sum()) for s in sets)
     print(f"# pack {time.time()-t0:.2f}s MAXQ={MAXQ} RLP={sets[0][4].shape[1]} "
           f"quads={n_quads} ({len(data)/max(n_quads,1):.0f} B/quad)",
@@ -72,7 +72,8 @@ def main():
     dev = jax.devices()[0]
     dsets = [tuple(jax.device_put(a, dev) for a in s) for s in sets]
     jax.block_until_ready(dsets)
-    kfn = {"13": PD.v13_kernel, "14": PD.v14_kernel}.get(VARIANT, PD.v12_kernel)
+    kfn = {"13": PD.v13_kernel, "14": PD.v14_kernel,
+           "15": PD.v15_kernel, "16": PD.v16_kernel}.get(VARIANT, PD.v12_kernel)
     kern = kfn(BLOCK, MAXQ, sets[0][4].shape[1])
     NR = BLOCK // 128
     flatpos = jnp.arange(NR * 128, dtype=jnp.uint32)

@@ -1667,3 +1667,364 @@ def decode_blocks_v14(pieces_list, lit_list, totals, block: int,
         out = outs[j // B][j % B]
         res.append(out.reshape(-1)[:totals[j]].astype(np.uint8).tobytes())
     return res
+
+
+# ---------------------------------------------------------------------------
+# v15: 128-row target supertiles (4 subtiles fused per accumulator).
+#
+# The v13 ablation chain showed per-quad cost is MXU issue/drain latency,
+# and its target-permute matmul is (32,128)@(128,128) — a quarter of the
+# systolic array's rows do useful work. Widening the target tile to 128
+# rows makes that matmul full-size at the SAME issue cost, and (the real
+# win) amortizes tile-boundary quad fragmentation 4x: the packer emits
+# one partial quad per 16 KiB of output instead of per 4 KiB, and the
+# quad_align=2 padding drops from ~+11% to ~+3% of quads. Window
+# constraint is unchanged (all of a quad's sources within one 128-row
+# span of lit_full); at L3 ratios a 16 KiB output slab consumes ~7 KiB
+# of lit rows, so supertile grouping rarely forces window splits.
+# TPU reformulation of the reference hot loop zxc_decompress.c:890-1034.
+# ---------------------------------------------------------------------------
+
+
+def pack_blocks_v15(pieces_list, lit_list, totals, block: int,
+                    per=None, MAXQ=None, RL=None, quad_align: int = 2):
+    """Pack the v15 dispatch batch: same arrays as pack_blocks_v12 but
+    quads grouped per 128-row supertile (qs has block//16384 + 1 cols)
+    and tq carries 7-bit target rows."""
+    B = len(pieces_list)
+    if per is None:
+        per = lane_ops_blocks(pieces_list, totals)
+    NR = block // 128
+    assert NR % 128 == 0, "v15 needs block >= 16384"
+    GRP = 4                      # 32-row subtiles per supertile
+    NST = NR // 128
+    blocks = []
+    maxq = 1
+    maxrow = 0
+    for (rows, rl, s, e, tile_start) in per:
+        quads = []
+        qs_t = [0]
+        nts = len(tile_start) - 1
+        for st in range(NST):
+            parts = []
+            for g in range(GRP):
+                t = st * GRP + g
+                if t >= nts:
+                    break
+                b0, b1 = tile_start[t], tile_start[t + 1]
+                if b1 <= b0:
+                    continue
+                er = rows[b0:b1].reshape(-1)
+                es = s[b0:b1].reshape(-1)
+                ee = e[b0:b1].reshape(-1)
+                erl = rl[b0:b1].reshape(-1)
+                live = np.nonzero(ee > es)[0]
+                if not len(live):
+                    continue
+                tgt = (live & 31) + 32 * g
+                parts.append(np.stack(
+                    [er[live], erl[live], es[live], ee[live] - 1, tgt],
+                    axis=1))
+            lops = (np.concatenate(parts, axis=0) if parts
+                    else np.zeros((0, 5), np.int64))
+            lops = lops[np.argsort(lops[:, 0], kind="stable")]
+            i = 0
+            n = len(lops)
+            while i < n:
+                base = int(lops[i, 0]) & ~15
+                j = min(i + 128, n)
+                while lops[j - 1, 0] - base > 127:
+                    j -= 1
+                quads.append((base, lops[i:j]))
+                maxrow = max(maxrow, base + 128)
+                i = j
+            if n == 0:
+                quads.append((0, lops))
+                maxrow = max(maxrow, 128)
+            while (len(quads) - qs_t[-1]) % quad_align:
+                quads.append((0, np.zeros((0, 5), np.int64)))
+                maxrow = max(maxrow, 128)
+            qs_t.append(len(quads))
+        blocks.append((qs_t, quads))
+        maxq = max(maxq, len(quads))
+    if MAXQ is None:
+        MAXQ = maxq
+    assert maxq <= MAXQ, "MAXQ below a block's quad count"
+    if RL is None:
+        RL = max(maxrow, max(-(-len(lit) // 128) for lit in lit_list) + 1)
+    RLP = max(-(-RL // 16) * 16, -(-maxrow // 16) * 16)
+    NB = MAXQ * 4
+    NG = -(-NB // 128)
+    qs = np.zeros((B, NST + 1), np.int32)
+    qbase = np.zeros((B, MAXQ), np.int32)
+    pctrl = np.full((B, NG * 32, 128), 1 << 7, np.int32)
+    tq = np.zeros((B, MAXQ, 128), np.int32)
+    lit8 = np.zeros((B, RLP, 128), np.uint8)
+    for j, ((qs_t, quads), lit) in enumerate(zip(blocks, lit_list)):
+        qs[j, :len(qs_t)] = qs_t
+        qs[j, len(qs_t):] = qs_t[-1]
+        for q, (base, lops) in enumerate(quads):
+            qbase[j, q] = base
+            if not len(lops):
+                continue
+            i = np.arange(len(lops))
+            bat = 4 * q + (i >> 5)
+            sub = i & 31
+            packed = (lops[:, 1] | (lops[:, 2] << 7) | (lops[:, 3] << 14)
+                      | ((lops[:, 0] - base) << 21))
+            pctrl[j, 32 * (bat >> 7) + sub, bat & 127] = packed
+            tq[j, q, i] = lops[:, 4]
+        flat = np.frombuffer(bytes(lit), np.uint8)
+        lit8[j].reshape(-1)[:len(flat)] = flat
+    return qs, qbase, pctrl, tq, lit8
+
+
+def _kernel_v15(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref, out_ref):
+    b = pl.program_id(0)
+    NST = out_ref.shape[1] // 128
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    row128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+    def contrib_quad(q):
+        base = pl.multiple_of(qbase_ref[b, q], 16)
+        win = litb_ref[0, pl.ds(base, 128), :]   # (128,128) bf16
+        bcs = []
+        for u in range(4):
+            bat = 4 * q + u
+            grp = pctrl_ref[0, pl.ds((bat >> 7) * 32, 32), :]
+            bcs.append(jnp.take_along_axis(
+                grp, jnp.full((32, 128), bat & 127, jnp.int32), axis=1))
+        bc = jnp.concatenate(bcs, axis=0)        # (128,128) slot-major
+        rl = bc & 127
+        sv = (bc >> 7) & 127
+        e1 = (bc >> 14) & 127
+        rowrel = jax.lax.shift_right_logical(bc, 21)
+        onehot = jnp.where(rowiota == rowrel[:, :1],
+                           jnp.float32(1), jnp.float32(0))
+        gath = jax.lax.dot_general(
+            onehot.astype(jnp.bfloat16), win, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        sh = jnp.take_along_axis(gath, (lane128 + rl) & 127, axis=1)
+        m = (lane128 >= sv) & (lane128 <= e1)
+        c = jnp.where(m, sh, 0)
+        tgt = tq_ref[0, q, :][None, :]           # (1,128) lane-major
+        pt = jnp.where(row128 == tgt, jnp.float32(1), jnp.float32(0))
+        return jax.lax.dot_general(
+            pt.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    for t in range(NST):
+        q0 = qs_ref[b, t]
+        q1 = qs_ref[b, t + 1]
+
+        def qbody(g, acc):
+            q = q0 + 2 * g
+            return acc + contrib_quad(q) + contrib_quad(q + 1)
+
+        tile = jax.lax.fori_loop(0, (q1 - q0) >> 1, qbody,
+                                 jnp.zeros((128, 128), jnp.int32))
+        out_ref[0, t * 128:(t + 1) * 128, :] = tile
+
+
+@functools.lru_cache(maxsize=32)
+def v15_kernel(block: int, MAXQ: int, RLP: int, interpret: bool = False):
+    NR = block // 128
+    NB = MAXQ * 4
+    G32 = 32 * (-(-NB // 128))
+
+    def call(qs, qbase, pctrl, tq, lit8):
+        litb = lit8.astype(jnp.bfloat16)
+        B = pctrl.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, G32, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, MAXQ, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RLP, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            _kernel_v15,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(qs, qbase, pctrl, tq, litb)
+
+    return jax.jit(call)
+
+
+def decode_blocks_v15(pieces_list, lit_list, totals, block: int,
+                      interpret: bool = False, device=None,
+                      dispatch: int = 16):
+    """v15 decode: 128-row supertiles, pair-unrolled quads, bucketed
+    shapes (same dispatch scheme as decode_blocks_v13)."""
+    nb = len(pieces_list)
+    if nb == 0:
+        return []
+    if block < 16384:            # too small for a 128-row supertile
+        return decode_blocks_v13(pieces_list, lit_list, totals, block,
+                                 interpret=interpret, device=device,
+                                 dispatch=dispatch)
+    B = min(dispatch, nb)
+    nd = -(-nb // B)
+    pad = nd * B - nb
+    p = list(pieces_list) + [pieces_list[-1]] * pad
+    l = list(lit_list) + [lit_list[-1]] * pad
+    t = list(totals) + [0] * pad
+    raw = [pack_blocks_v15(p[d * B:(d + 1) * B], l[d * B:(d + 1) * B],
+                           t[d * B:(d + 1) * B], block)
+           for d in range(nd)]
+    MAXQ = -(-max(s[1].shape[1] for s in raw) // 32) * 32
+    RLP = -(-max(s[4].shape[1] for s in raw) // 128) * 128
+    kern = v15_kernel(block, MAXQ, RLP, interpret)
+    outs = []
+    for s in raw:
+        args = pad_v12_set(s, MAXQ, RLP)
+        if device is not None:
+            args = tuple(jax.device_put(a, device) for a in args)
+        outs.append(np.asarray(kern(*args)))
+    res = []
+    for j in range(nb):
+        out = outs[j // B][j % B]
+        res.append(out.reshape(-1)[:totals[j]].astype(np.uint8).tobytes())
+    return res
+
+
+# ---------------------------------------------------------------------------
+# v16: v15 with a FOUR-way unrolled quad loop (quad_align=4, NO epilogue).
+#
+# v15's marginal rate puts each 128^3 bf16 matmul at ~146 ns — the
+# single-MXU issue floor — but the v5e TensorCore has four MXUs and a
+# pair-unroll only exposes two independent chains (the two matmuls
+# within a quad are dependent). v14 showed a dynamic epilogue poisons a
+# deeper unroll at 4.6 quads/tile; with 128-row supertiles (~17
+# quads/tile) quad_align=4 padding costs ~6%, so the unroll can be
+# epilogue-free.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v16(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref, out_ref):
+    b = pl.program_id(0)
+    NST = out_ref.shape[1] // 128
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    row128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+    def contrib_quad(q):
+        base = pl.multiple_of(qbase_ref[b, q], 16)
+        win = litb_ref[0, pl.ds(base, 128), :]   # (128,128) bf16
+        bcs = []
+        for u in range(4):
+            bat = 4 * q + u
+            grp = pctrl_ref[0, pl.ds((bat >> 7) * 32, 32), :]
+            bcs.append(jnp.take_along_axis(
+                grp, jnp.full((32, 128), bat & 127, jnp.int32), axis=1))
+        bc = jnp.concatenate(bcs, axis=0)        # (128,128) slot-major
+        rl = bc & 127
+        sv = (bc >> 7) & 127
+        e1 = (bc >> 14) & 127
+        rowrel = jax.lax.shift_right_logical(bc, 21)
+        onehot = jnp.where(rowiota == rowrel[:, :1],
+                           jnp.float32(1), jnp.float32(0))
+        gath = jax.lax.dot_general(
+            onehot.astype(jnp.bfloat16), win, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        sh = jnp.take_along_axis(gath, (lane128 + rl) & 127, axis=1)
+        m = (lane128 >= sv) & (lane128 <= e1)
+        c = jnp.where(m, sh, 0)
+        tgt = tq_ref[0, q, :][None, :]           # (1,128) lane-major
+        pt = jnp.where(row128 == tgt, jnp.float32(1), jnp.float32(0))
+        return jax.lax.dot_general(
+            pt.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    for t in range(NST):
+        q0 = qs_ref[b, t]
+        q1 = qs_ref[b, t + 1]
+
+        def qbody(g, acc):
+            q = q0 + 4 * g
+            return (acc + contrib_quad(q) + contrib_quad(q + 1)
+                    + contrib_quad(q + 2) + contrib_quad(q + 3))
+
+        tile = jax.lax.fori_loop(0, (q1 - q0) >> 2, qbody,
+                                 jnp.zeros((128, 128), jnp.int32))
+        out_ref[0, t * 128:(t + 1) * 128, :] = tile
+
+
+@functools.lru_cache(maxsize=32)
+def v16_kernel(block: int, MAXQ: int, RLP: int, interpret: bool = False):
+    NR = block // 128
+    NB = MAXQ * 4
+    G32 = 32 * (-(-NB // 128))
+
+    def call(qs, qbase, pctrl, tq, lit8):
+        litb = lit8.astype(jnp.bfloat16)
+        B = pctrl.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, G32, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, MAXQ, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RLP, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            _kernel_v16,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(qs, qbase, pctrl, tq, litb)
+
+    return jax.jit(call)
+
+
+def decode_blocks_v16(pieces_list, lit_list, totals, block: int,
+                      interpret: bool = False, device=None,
+                      dispatch: int = 16):
+    """v16 decode: 128-row supertiles, 4-way unrolled quads (align=4)."""
+    nb = len(pieces_list)
+    if nb == 0:
+        return []
+    if block < 16384:
+        return decode_blocks_v13(pieces_list, lit_list, totals, block,
+                                 interpret=interpret, device=device,
+                                 dispatch=dispatch)
+    B = min(dispatch, nb)
+    nd = -(-nb // B)
+    pad = nd * B - nb
+    p = list(pieces_list) + [pieces_list[-1]] * pad
+    l = list(lit_list) + [lit_list[-1]] * pad
+    t = list(totals) + [0] * pad
+    raw = [pack_blocks_v15(p[d * B:(d + 1) * B], l[d * B:(d + 1) * B],
+                           t[d * B:(d + 1) * B], block, quad_align=4)
+           for d in range(nd)]
+    MAXQ = -(-max(s[1].shape[1] for s in raw) // 32) * 32
+    RLP = -(-max(s[4].shape[1] for s in raw) // 128) * 128
+    kern = v16_kernel(block, MAXQ, RLP, interpret)
+    outs = []
+    for s in raw:
+        args = pad_v12_set(s, MAXQ, RLP)
+        if device is not None:
+            args = tuple(jax.device_put(a, device) for a in args)
+        outs.append(np.asarray(kern(*args)))
+    res = []
+    for j in range(nb):
+        out = outs[j // B][j % B]
+        res.append(out.reshape(-1)[:totals[j]].astype(np.uint8).tobytes())
+    return res
