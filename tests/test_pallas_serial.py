@@ -167,7 +167,7 @@ def test_v9_lane_kernel_interpret():
     assert b"".join(outs) == data
 
 
-@pytest.mark.parametrize("variant", [12, 13, 14, 15, 16])
+@pytest.mark.parametrize("variant", [12, 13, 14, 15, 16, 17])
 def test_v12_v13_windowed_gather_interpret(variant):
     """v12/v13 row-sorted windowed-gather kernels: bit-exact vs plaintext
     in interpret mode (the hardware path is validated by bench.py and
@@ -195,7 +195,8 @@ def test_v12_v13_windowed_gather_interpret(variant):
     fn = {13: pallas_decode.decode_blocks_v13,
           14: pallas_decode.decode_blocks_v14,
           15: pallas_decode.decode_blocks_v15,
-          16: pallas_decode.decode_blocks_v16}.get(
+          16: pallas_decode.decode_blocks_v16,
+          17: pallas_decode.decode_blocks_v17}.get(
               variant, pallas_decode.decode_blocks_v12)
     outs = fn(pieces, lits, list(plan.totals), BLOCK, interpret=True)
     assert b"".join(outs) == data

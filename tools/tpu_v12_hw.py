@@ -24,7 +24,7 @@ B12 = int(os.environ.get("PROBE_B", "16"))
 REPS = 5
 K = int(os.environ.get("PROBE_K", "8"))
 VARIANT = os.environ.get("PROBE_VARIANT", "12")
-QA = {"13": 2, "15": 2, "16": 4}.get(VARIANT, 1)
+QA = {"13": 2, "15": 2, "16": 4, "17": 2}.get(VARIANT, 1)
 
 
 def main():
@@ -49,7 +49,11 @@ def main():
     l = lits + [lits[-1]] * pad
     t = list(plan.totals) + [0] * pad
     t0 = time.time()
-    pack = PD.pack_blocks_v15 if VARIANT in ("15", "16") else PD.pack_blocks_v12
+    pack = (PD.pack_blocks_v15 if VARIANT in ("15", "16", "17")
+            else PD.pack_blocks_v12)
+    if VARIANT == "17":
+        import functools
+        pack = functools.partial(pack, base_align=32)
     raw = []
     MAXQ = 1
     RL = 1
@@ -73,7 +77,8 @@ def main():
     dsets = [tuple(jax.device_put(a, dev) for a in s) for s in sets]
     jax.block_until_ready(dsets)
     kfn = {"13": PD.v13_kernel, "14": PD.v14_kernel,
-           "15": PD.v15_kernel, "16": PD.v16_kernel}.get(VARIANT, PD.v12_kernel)
+           "15": PD.v15_kernel, "16": PD.v16_kernel,
+           "17": PD.v17_kernel}.get(VARIANT, PD.v12_kernel)
     kern = kfn(BLOCK, MAXQ, sets[0][4].shape[1])
     NR = BLOCK // 128
     flatpos = jnp.arange(NR * 128, dtype=jnp.uint32)

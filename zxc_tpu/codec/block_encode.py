@@ -58,9 +58,13 @@ def level_params(level: int) -> LevelParams:
         # all-literal Huffman fallback (encode_block_hufflit) covering the
         # low-entropy corpora that motivated it, min_emit=5 passes every
         # size gate with margin, so speed wins.
+        # retuned round 2c (tools/retune_fast.py): the fast levels sat
+        # 6-9 pp INSIDE the per-level size gate at 0.3-0.6x reference
+        # speed; these points keep >=1.8 pp margin on every held-out
+        # corpus and run 1.2-1.7x faster than the previous ladder
         1: LevelParams(2, False, 8, 16, 1, 4, 4),
-        2: LevelParams(6, True, 8, 24, 1, 6, 4),
-        3: LevelParams(6, True, 8, 32, 1, 6, 4),
+        2: LevelParams(3, False, 8, 24, 1, 4, 4),
+        3: LevelParams(5, True, 8, 32, 1, 5, 4),
         4: LevelParams(8, True, 8, 64, cover_base=2),
         5: LevelParams(64, True, 8, 256, cover_base=2),
         6: LevelParams(64, True, 8),
@@ -679,7 +683,7 @@ def encode_chunk(data: np.ndarray, level: int,
     match finder."""
     from ..format.hashes import rapidhash32
 
-    if level <= 2:
+    if level <= 1:
         payload = encode_block_ghi(data, level, dict_state, sequences)
         btype = C.BLOCK_GHI
         if dict_state is None or not len(dict_state.content):
@@ -688,6 +692,21 @@ def encode_chunk(data: np.ndarray, level: int,
             hl = encode_block_hufflit(data, budget)
             if hl is not None:
                 payload, btype = hl, C.BLOCK_GLO
+    elif level == 2:
+        # L2 rides GLO (greedy shallow parse): on every gate corpus the
+        # GLO sections beat the GHI packing at the same parse AND the
+        # emit is faster (round-2c interleaved A/B: 155 vs 118 MB/s,
+        # 45.2% vs 46.3%); block types are self-describing so a GLO
+        # block at level 2 is wire-legal. The all-literal Huffman
+        # fallback still competes (low-entropy corpora, cf. L1).
+        payload = encode_block_glo(data, level, dict_state, sequences)
+        btype = C.BLOCK_GLO
+        if dict_state is None or not len(dict_state.content):
+            budget = min(len(payload),
+                         max(len(data) - C.BLOCK_HEADER_SIZE, 0))
+            hl = encode_block_hufflit(data, budget)
+            if hl is not None:
+                payload = hl
     else:
         payload = encode_block_glo(data, level, dict_state, sequences)
         btype = C.BLOCK_GLO

@@ -1687,7 +1687,8 @@ def decode_blocks_v14(pieces_list, lit_list, totals, block: int,
 
 
 def pack_blocks_v15(pieces_list, lit_list, totals, block: int,
-                    per=None, MAXQ=None, RL=None, quad_align: int = 2):
+                    per=None, MAXQ=None, RL=None, quad_align: int = 2,
+                    base_align: int = 16):
     """Pack the v15 dispatch batch: same arrays as pack_blocks_v12 but
     quads grouped per 128-row supertile (qs has block//16384 + 1 cols)
     and tq carries 7-bit target rows."""
@@ -1731,7 +1732,7 @@ def pack_blocks_v15(pieces_list, lit_list, totals, block: int,
             i = 0
             n = len(lops)
             while i < n:
-                base = int(lops[i, 0]) & ~15
+                base = int(lops[i, 0]) & ~(base_align - 1)
                 j = min(i + 128, n)
                 while lops[j - 1, 0] - base > 127:
                     j -= 1
@@ -2017,6 +2018,139 @@ def decode_blocks_v16(pieces_list, lit_list, totals, block: int,
     MAXQ = -(-max(s[1].shape[1] for s in raw) // 32) * 32
     RLP = -(-max(s[4].shape[1] for s in raw) // 128) * 128
     kern = v16_kernel(block, MAXQ, RLP, interpret)
+    outs = []
+    for s in raw:
+        args = pad_v12_set(s, MAXQ, RLP)
+        if device is not None:
+            args = tuple(jax.device_put(a, device) for a in args)
+        outs.append(np.asarray(kern(*args)))
+    res = []
+    for j in range(nb):
+        out = outs[j // B][j % B]
+        res.append(out.reshape(-1)[:totals[j]].astype(np.uint8).tobytes())
+    return res
+
+
+# ---------------------------------------------------------------------------
+# v17: v15 with int8 MXU matmuls.
+#
+# v15 sits at the bf16 matmul issue floor (~146 ns per 128^3). The v5e
+# MXU's int8 path is rated at 2x the bf16 MACs; both of the kernel's
+# matmuls are exact in int8: the one-hot operands are 0/1 and each
+# output byte receives exactly ONE contribution (pieces are disjoint),
+# so window bytes ride as signed int8 (wrapping) through int32
+# accumulation, and a final `& 255` restores byte values.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v17(qs_ref, qbase_ref, pctrl_ref, tq_ref, lit8_ref, out_ref):
+    b = pl.program_id(0)
+    NST = out_ref.shape[1] // 128
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    row128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+    def contrib_quad(q):
+        base = pl.multiple_of(qbase_ref[b, q], 32)
+        win = lit8_ref[0, pl.ds(base, 128), :]   # (128,128) int8
+        bcs = []
+        for u in range(4):
+            bat = 4 * q + u
+            grp = pctrl_ref[0, pl.ds((bat >> 7) * 32, 32), :]
+            bcs.append(jnp.take_along_axis(
+                grp, jnp.full((32, 128), bat & 127, jnp.int32), axis=1))
+        bc = jnp.concatenate(bcs, axis=0)        # (128,128) slot-major
+        rl = bc & 127
+        sv = (bc >> 7) & 127
+        e1 = (bc >> 14) & 127
+        rowrel = jax.lax.shift_right_logical(bc, 21)
+        onehot = jnp.where(rowiota == rowrel[:, :1], 1, 0).astype(jnp.int8)
+        gath = jax.lax.dot_general(
+            onehot, win, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        sh = jnp.take_along_axis(gath, (lane128 + rl) & 127, axis=1)
+        m = (lane128 >= sv) & (lane128 <= e1)
+        c = jnp.where(m, sh, 0).astype(jnp.int8)  # signed bytes, exact
+        tgt = tq_ref[0, q, :][None, :]           # (1,128) lane-major
+        pt = jnp.where(row128 == tgt, 1, 0).astype(jnp.int8)
+        return jax.lax.dot_general(
+            pt, c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    for t in range(NST):
+        q0 = qs_ref[b, t]
+        q1 = qs_ref[b, t + 1]
+
+        def qbody(g, acc):
+            q = q0 + 2 * g
+            return acc + contrib_quad(q) + contrib_quad(q + 1)
+
+        tile = jax.lax.fori_loop(0, (q1 - q0) >> 1, qbody,
+                                 jnp.zeros((128, 128), jnp.int32))
+        out_ref[0, t * 128:(t + 1) * 128, :] = tile & 255
+
+
+@functools.lru_cache(maxsize=32)
+def v17_kernel(block: int, MAXQ: int, RLP: int, interpret: bool = False):
+    NR = block // 128
+    NB = MAXQ * 4
+    G32 = 32 * (-(-NB // 128))
+
+    def call(qs, qbase, pctrl, tq, lit8):
+        lit_i8 = lit8.astype(jnp.int8)           # reinterpret bytes signed
+        B = pctrl.shape[0]
+        # int8 sublane tile is 32: qbase is 16-aligned by the packer, so
+        # round window starts down to 32 and fold the parity into rowrel?
+        # No — keep 16-alignment by widening the guarantee at pack time.
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, G32, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, MAXQ, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RLP, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            _kernel_v17,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(qs, qbase, pctrl, tq, lit_i8)
+
+    return jax.jit(call)
+
+
+def decode_blocks_v17(pieces_list, lit_list, totals, block: int,
+                      interpret: bool = False, device=None,
+                      dispatch: int = 16):
+    """v17 decode: v15 supertiles with int8 MXU matmuls (32-aligned
+    window bases)."""
+    nb = len(pieces_list)
+    if nb == 0:
+        return []
+    if block < 16384:
+        return decode_blocks_v13(pieces_list, lit_list, totals, block,
+                                 interpret=interpret, device=device,
+                                 dispatch=dispatch)
+    B = min(dispatch, nb)
+    nd = -(-nb // B)
+    pad = nd * B - nb
+    p = list(pieces_list) + [pieces_list[-1]] * pad
+    l = list(lit_list) + [lit_list[-1]] * pad
+    t = list(totals) + [0] * pad
+    raw = [pack_blocks_v15(p[d * B:(d + 1) * B], l[d * B:(d + 1) * B],
+                           t[d * B:(d + 1) * B], block, quad_align=2,
+                           base_align=32)
+           for d in range(nd)]
+    MAXQ = -(-max(s[1].shape[1] for s in raw) // 32) * 32
+    RLP = -(-max(s[4].shape[1] for s in raw) // 128) * 128
+    kern = v17_kernel(block, MAXQ, RLP, interpret)
     outs = []
     for s in raw:
         args = pad_v12_set(s, MAXQ, RLP)

@@ -2170,7 +2170,30 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
     uint64_t pcap = cap - w - BH - 8;
     int64_t psz;
     int btype;
-    if (level <= 2) {
+    if (level == 2) {
+      // L2 rides GLO (round-2c): the GLO sections beat GHI packing at
+      // the same greedy parse on every gate corpus AND emit faster; a
+      // GLO block in a level-2 frame is wire-legal (block types are
+      // self-describing). The all-literal Huffman candidate still
+      // competes, into a scratch so the GLO payload survives a loss.
+      psz = zxch_encode_glo(data + pos, len, 0, max_probes, lazy,
+                            sufficient_len, step_base, step_shift,
+                            cover_base, min_emit, payload, pcap);
+      btype = 1;  // GLO
+      static const int no_hl2 = getenv("ZXCH_NO_HUFLIT") != nullptr;
+      if (!no_hl2) {
+        uint64_t budget = len > BH ? len - BH : 0;
+        if (psz >= 0 && (uint64_t)psz < budget) budget = (uint64_t)psz;
+        static thread_local std::vector<uint8_t> hlbuf2;
+        if (hlbuf2.size() < len + 1024) hlbuf2.resize(len + 1024);
+        int64_t hl = zxch_encode_hufflit(data + pos, len, hlbuf2.data(),
+                                         hlbuf2.size(), budget);
+        if (hl >= 0 && (uint64_t)hl <= pcap) {
+          memcpy(payload, hlbuf2.data(), (size_t)hl);
+          psz = hl;
+        }
+      }
+    } else if (level <= 1) {
       // parse once; the GHI payload size is exact BEFORE emission (raw
       // literals + fixed-width words), so the entropy-fallback decision
       // runs first and only the winning encode is emitted — byte-
@@ -2847,8 +2870,8 @@ int64_t zxch_simple_compress(const uint8_t *data, uint64_t n, int level,
   if (code < 12 || code > 21) return -14;
   // level-param table mirror (codec/block_encode.py level_params)
   struct Par { int probes, lazy, suff, sb, ss, cover, min_emit; };
-  static const Par tab[5] = {{2, 0, 16, 1, 4, 4, 6},  {6, 1, 24, 1, 6, 4, 6},
-                             {6, 1, 32, 1, 6, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
+  static const Par tab[5] = {{2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
+                             {5, 1, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
                              {64, 1, 256, 1, 0, 2, 5}};
   Par p = tab[level - 1];
   return zxch_compress_frame(data, n, level, p.probes, p.lazy, p.suff,
