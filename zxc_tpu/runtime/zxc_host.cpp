@@ -20,6 +20,10 @@
 #include <immintrin.h>
 #define ZXCH_HAVE_VBMI2 1
 #endif
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#define ZXCH_HAVE_VBMI 1
+#endif
 
 extern "C" {
 
@@ -1408,6 +1412,40 @@ int zxch_pivco_decode_s(const uint8_t *payload, uint64_t plen,
         const uint64_t dmask = (1u << D) - 1;
         uint64_t bitpos = 0;
         int64_t t = 0;
+#ifdef ZXCH_HAVE_VBMI
+        // 64 symbols per step for D<=6 (the reference's SIMD flat
+        // unpackers, zxc_huffman.c:1666-2057, via VBMI instead of
+        // pshufb): one unaligned 64B load; permutexvar places the 8
+        // bytes holding lane j's symbols (byte offset j*D) into qword
+        // lane j; multishift extracts the 8 D-bit fields per lane
+        // (bit offset k*D, identical across lanes since 64*D = 8D
+        // bytes keeps steps byte-aligned); a 64-entry permutexvar LUT
+        // maps field -> symbol. Overread stays inside the payload.
+        if (D <= 6 && c >= 64) {
+          alignas(64) uint8_t tmp[64];
+          for (int j = 0; j < 64; j++)
+            tmp[j] = (uint8_t)((j >> 3) * D + (j & 7));
+          const __m512i vpidx = _mm512_load_si512(tmp);
+          for (int j = 0; j < 64; j++) tmp[j] = (uint8_t)((j & 7) * D);
+          const __m512i vctl = _mm512_load_si512(tmp);
+          memset(tmp, 0, 64);
+          for (uint32_t v = 0; v <= dmask; v++) tmp[v] = c2s[v];
+          const __m512i vlut = _mm512_load_si512(tmp);
+          const __m512i vmask = _mm512_set1_epi8((char)dmask);
+          const uint8_t *pay_end = payload + plen;
+          for (; t + 64 <= c; t += 64) {
+            const uint8_t *src = rp + (((uint64_t)t * D) >> 3);
+            if (src + 64 > pay_end) break;
+            __m512i lanes = _mm512_permutexvar_epi8(
+                vpidx, _mm512_loadu_si512(src));
+            __m512i fields = _mm512_and_si512(
+                _mm512_multishift_epi64_epi8(vctl, lanes), vmask);
+            _mm512_storeu_si512(bd + o + t,
+                                _mm512_permutexvar_epi8(fields, vlut));
+          }
+          bitpos = (uint64_t)t * D;
+        }
+#endif
         // 64-bit bit-buffer fast path: one load+shift per symbol while a
         // full 8-byte window fits inside the run
         for (; t < c && (bitpos >> 3) + 8 <= nbytes; t++) {
