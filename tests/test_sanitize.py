@@ -28,7 +28,7 @@ def driver():
                         _REPO, "zxc_tpu", "runtime", "zxc_host.cpp")))
     if not os.path.exists(_BIN) or os.path.getmtime(_BIN) < src_mtime:
         r = subprocess.run(
-            ["g++", "-O1", "-g", "-fsanitize=address,undefined",
+            ["g++", "-O1", "-g", "-march=native", "-fsanitize=address,undefined",
              "-fno-sanitize-recover=all", "-o", _BIN + ".tmp", _SRC],
             capture_output=True, text=True, timeout=300)
         if r.returncode != 0:

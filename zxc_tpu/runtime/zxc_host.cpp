@@ -2556,39 +2556,133 @@ int64_t decode_gnr_block(int is_glo, const uint8_t *pl, uint64_t plen,
     if (w >= WIN64) {
       if (is_glo) {
         if (enc_off == 1) {
-          for (; i < n_seq && w < wlim && r < rlim; i++) {
-            uint32_t t = tok[i];
-            uint64_t l = t >> 4, m = t & 15;
-            if (l == 15 || m == 15) break;
-            uint64_t o = (uint64_t)sec_c[i] + 1;
-            copy_literals(out + w, lit + r, l, lit_wild);
-            w += l; r += l;
-            copy_match(out + w, o, m + 5);
-            w += m + 5;
+          // bound the iterations that cannot hit the w/r capacity
+          // limits (max advance per sequence: 14 lit + 19 match), so
+          // the burst loop tests ONLY the varint escape, two
+          // sequences per iteration
+          while (i < n_seq && w < wlim && r < rlim) {
+            uint64_t cap_w = (wlim - w) / 33;
+            uint64_t cap_r = (rlim - r) / 14;
+            uint64_t nb = n_seq - i;
+            if (cap_w < nb) nb = cap_w;
+            if (cap_r < nb) nb = cap_r;
+            if (!nb) {
+              // capacity-checked stragglers, one at a time
+              uint32_t t = tok[i];
+              uint64_t l = t >> 4, m = t & 15;
+              if (l == 15 || m == 15) break;
+              uint64_t o = (uint64_t)sec_c[i] + 1;
+              copy_literals(out + w, lit + r, l, lit_wild);
+              w += l; r += l;
+              copy_match(out + w, o, m + 5);
+              w += m + 5;
+              i++;
+              continue;
+            }
+            uint64_t end = i + nb;
+            int esc = 0;
+            for (; i + 2 <= end; i += 2) {
+              uint32_t t0 = tok[i], t1 = tok[i + 1];
+              uint64_t l0 = t0 >> 4, m0 = t0 & 15;
+              uint64_t l1 = t1 >> 4, m1 = t1 & 15;
+              if (l0 == 15 || m0 == 15) { esc = 1; break; }
+              uint64_t o0 = (uint64_t)sec_c[i] + 1;
+              copy_literals(out + w, lit + r, l0, lit_wild);
+              w += l0; r += l0;
+              copy_match(out + w, o0, m0 + 5);
+              w += m0 + 5;
+              if (l1 == 15 || m1 == 15) { esc = 1; i++; break; }
+              uint64_t o1 = (uint64_t)sec_c[i + 1] + 1;
+              copy_literals(out + w, lit + r, l1, lit_wild);
+              w += l1; r += l1;
+              copy_match(out + w, o1, m1 + 5);
+              w += m1 + 5;
+            }
+            if (!esc)
+              for (; i < end; i++) {
+                uint32_t t = tok[i];
+                uint64_t l = t >> 4, m = t & 15;
+                if (l == 15 || m == 15) { esc = 1; break; }
+                uint64_t o = (uint64_t)sec_c[i] + 1;
+                copy_literals(out + w, lit + r, l, lit_wild);
+                w += l; r += l;
+                copy_match(out + w, o, m + 5);
+                w += m + 5;
+              }
+            if (esc) break;
           }
         } else {
-          for (; i < n_seq && w < wlim && r < rlim; i++) {
-            uint32_t t = tok[i];
-            uint64_t l = t >> 4, m = t & 15;
-            if (l == 15 || m == 15) break;
-            uint64_t o = rd16le(sec_c + 2 * i) + 1;
-            copy_literals(out + w, lit + r, l, lit_wild);
-            w += l; r += l;
-            copy_match(out + w, o, m + 5);
-            w += m + 5;
+          while (i < n_seq && w < wlim && r < rlim) {
+            uint64_t cap_w = (wlim - w) / 33;
+            uint64_t cap_r = (rlim - r) / 14;
+            uint64_t nb = n_seq - i;
+            if (cap_w < nb) nb = cap_w;
+            if (cap_r < nb) nb = cap_r;
+            if (!nb) {
+              uint32_t t = tok[i];
+              uint64_t l = t >> 4, m = t & 15;
+              if (l == 15 || m == 15) break;
+              uint64_t o = rd16le(sec_c + 2 * i) + 1;
+              copy_literals(out + w, lit + r, l, lit_wild);
+              w += l; r += l;
+              copy_match(out + w, o, m + 5);
+              w += m + 5;
+              i++;
+              continue;
+            }
+            uint64_t end = i + nb;
+            int esc = 0;
+            for (; i < end; i++) {
+              uint32_t t = tok[i];
+              uint64_t l = t >> 4, m = t & 15;
+              if (l == 15 || m == 15) { esc = 1; break; }
+              uint64_t o = rd16le(sec_c + 2 * i) + 1;
+              copy_literals(out + w, lit + r, l, lit_wild);
+              w += l; r += l;
+              copy_match(out + w, o, m + 5);
+              w += m + 5;
+            }
+            if (esc) break;
           }
         }
       } else {
-        for (; i < n_seq && w < wlim && r < rlim; i++) {
-          uint32_t wd;
-          memcpy(&wd, sec_b + 4 * i, 4);
-          uint64_t l = wd >> 24, m = (wd >> 16) & 0xFF;
-          if (l == 255 || m == 255) break;
-          uint64_t o = (wd & 0xFFFF) + 1;
-          copy_literals(out + w, lit + r, l, lit_wild);
-          w += l; r += l;
-          copy_match(out + w, o, m + 5);
-          w += m + 5;
+        // GHI words: max advance per sequence inside the burst is
+        // 254 lit + 258 match, so bound with those
+        const uint64_t wlimg = block_size > 1300 ? block_size - 1300 : 0;
+        const uint64_t rlimg = n_lit > 560 ? n_lit - 560 : 0;
+        while (i < n_seq && w < wlimg && r < rlimg) {
+          uint64_t cap_w = (wlimg - w) / 512;
+          uint64_t cap_r = (rlimg - r) / 254;
+          uint64_t nb = n_seq - i;
+          if (cap_w < nb) nb = cap_w;
+          if (cap_r < nb) nb = cap_r;
+          if (!nb) {
+            uint32_t wd;
+            memcpy(&wd, sec_b + 4 * i, 4);
+            uint64_t l = wd >> 24, m = (wd >> 16) & 0xFF;
+            if (l == 255 || m == 255) break;
+            uint64_t o = (wd & 0xFFFF) + 1;
+            copy_literals(out + w, lit + r, l, lit_wild);
+            w += l; r += l;
+            copy_match(out + w, o, m + 5);
+            w += m + 5;
+            i++;
+            continue;
+          }
+          uint64_t end = i + nb;
+          int esc = 0;
+          for (; i < end; i++) {
+            uint32_t wd;
+            memcpy(&wd, sec_b + 4 * i, 4);
+            uint64_t l = wd >> 24, m = (wd >> 16) & 0xFF;
+            if (l == 255 || m == 255) { esc = 1; break; }
+            uint64_t o = (wd & 0xFFFF) + 1;
+            copy_literals(out + w, lit + r, l, lit_wild);
+            w += l; r += l;
+            copy_match(out + w, o, m + 5);
+            w += m + 5;
+          }
+          if (esc) break;
         }
       }
       if (i >= n_seq) break;
