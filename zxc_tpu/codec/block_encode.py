@@ -295,6 +295,14 @@ def encode_rle_literals(lit: np.ndarray) -> bytes:
     n = len(lit)
     if n == 0:
         return b""
+    try:  # native fast path (byte-exact; the L6/L7 pricing loop calls
+        # this for every candidate section)
+        from .. import runtime
+        out_n = runtime.rle_encode_lit(lit)
+        if out_n is not None:
+            return out_n
+    except ImportError:
+        pass
     run = _run_lengths(lit)
     idx4 = np.nonzero(run >= C.RLE_RUN_MIN)[0]
     out = bytearray()

@@ -167,6 +167,8 @@ def lib() -> ctypes.CDLL | None:
                                       ci, vp, u64]
         L.zxch_pivco_encode.restype = i64
         L.zxch_pivco_encode.argtypes = [vp, u64, vp, vp, u64]
+        L.zxch_rle_encode_lit.restype = i64
+        L.zxch_rle_encode_lit.argtypes = [vp, u64, vp, u64]
         L.zxch_compress_frame.restype = i64
         L.zxch_compress_frame.argtypes = [vp, u64, ci, ci, ci, ci, ci, ci,
                                           ci, ci, u64, ci, ci, ci, vp, u64]
@@ -624,6 +626,22 @@ def pivco_encode(data: np.ndarray, code_len: np.ndarray) -> bytes | None:
     n = L.zxch_pivco_encode(d8.ctypes.data_as(ctypes.c_void_p), len(d8),
                             cl.ctypes.data_as(ctypes.c_void_p),
                             out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def rle_encode_lit(lit: np.ndarray) -> bytes | None:
+    """Native RLE literal-section emitter; byte-exact with
+    block_encode.encode_rle_literals. None when unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    d8 = np.ascontiguousarray(lit, np.uint8)
+    cap = 2 * len(d8) + 8
+    out = np.empty(max(cap, 1), np.uint8)
+    n = L.zxch_rle_encode_lit(d8.ctypes.data_as(ctypes.c_void_p), len(d8),
+                              out.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         return None
     return out[:n].tobytes()

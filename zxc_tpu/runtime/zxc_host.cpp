@@ -1708,6 +1708,13 @@ static int64_t ghi_rle_encode(const uint8_t *lit, uint64_t n, uint8_t *out,
 // emitter for levels < 6 (RAW/RLE literal candidates only; Huffman
 // pricing starts at level 6 and stays on the Python path).
 // prem_rle = 8 below level 6. Returns payload size or -10.
+// Exported RLE literal emitter (Python fast path for the L6/L7 GLO
+// section pricing, which runs outside zxch_encode_glo).
+int64_t zxch_rle_encode_lit(const uint8_t *lit, uint64_t n, uint8_t *out,
+                            uint64_t cap) {
+  return ghi_rle_encode(lit, n, out, cap);
+}
+
 int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
                         int max_probes, int lazy, int sufficient_len,
                         int step_base, int step_shift, int cover_base,
