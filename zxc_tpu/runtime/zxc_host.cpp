@@ -785,11 +785,17 @@ int zxch_find_matches(const uint8_t *data, uint64_t n, uint64_t start,
     while (cand != 0xFFFFFFFFu && probes-- > 0) {
       uint64_t c = cand & 0xFFFFFF;
       if (p - c > WINDOW) break;
+      // hoist the next link (needed on every path) so its load overlaps
+      // the tag check / extension, and prefetch the link after it —
+      // the chain walk is otherwise a serial load-latency chain
+      uint32_t nxt = chain[c];
+      __builtin_prefetch(&chain[nxt & 0xFFFFFF]);
+      __builtin_prefetch(data + (nxt & 0xFFFFFF));
       // tag prefilter, then fast reject on the byte after the current best
       if ((cand >> 24) != mytag ||
           (best_len > 0 &&
            (c + best_len >= lim || data[c + best_len] != data[p + best_len]))) {
-        cand = chain[c];
+        cand = nxt;
         continue;
       }
       // word-at-a-time extension
@@ -812,7 +818,7 @@ done:
         // enough for the DP; stop burning probes
         if (m >= max_len || best_len >= 256) break;
       }
-      cand = chain[c];
+      cand = nxt;
     }
     if (best_len >= (int)MIN_MATCH) {
       lens[i] = best_len;
@@ -1008,11 +1014,17 @@ done:
     while (cand != 0xFFFFFFFFu && probes-- > 0) {
       uint64_t c = cand & 0xFFFFFF;
       if (p - c > WINDOW) break;
+      // hoist the next link + prefetch one ahead: the chain walk is a
+      // serial load-latency chain otherwise (same treatment as
+      // zxch_find_matches; byte-identical output)
+      uint32_t nxt = chain[c];
+      __builtin_prefetch(&chain[nxt & 0xFFFFFF]);
+      __builtin_prefetch(data + (nxt & 0xFFFFFF));
       if ((cand >> 24) != mytag ||
           (*best_len > 0 &&
            (c + (uint64_t)*best_len >= n ||
             data[c + *best_len] != data[p + *best_len]))) {
-        cand = chain[c];
+        cand = nxt;
         continue;
       }
       uint64_t m = 0;
@@ -1031,7 +1043,7 @@ done:
         *best_off = (int64_t)(p - c);
         if (m >= max_len || *best_len >= sufficient_len) break;
       }
-      cand = chain[c];
+      cand = nxt;
     }
   };
 
