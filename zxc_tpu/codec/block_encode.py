@@ -68,7 +68,7 @@ def level_params(level: int) -> LevelParams:
         4: LevelParams(8, True, 8, 64, cover_base=2),
         5: LevelParams(64, True, 8, 256, cover_base=2),
         6: LevelParams(64, True, 8),
-        7: LevelParams(128, True, 11),
+        7: LevelParams(192, True, 11),
     }
     return table[level]
 
@@ -457,8 +457,50 @@ def _build_sequences(data: np.ndarray, level: int,
             tok_bits = 5 if level >= 7 else 8
             r = runtime.optimal_parse(lens, offs, data, cost, tok_bits)
             if r is not None:
-                m_pos, m_len, m_off = (a.astype(np.int64) for a in r)
-                if len(m_off) and m_off.max() > 256:
+                parses = [r]
+                if level >= 7 and len(r[0]) >= 64:
+                    # second DP priced with the ACTUAL candidate token
+                    # tree (reference prices DP tokens with the real
+                    # tree, zxc_compress.c:1665-1688): histogram
+                    # pass-1's tokens, build the 8-bit-capped lengths
+                    # the token section will use, marginalize over the
+                    # LL nibble so each match edge pays
+                    # E[len(tok) | ml_nibble]. The re-priced parse can
+                    # LOSE on corpora where it shifts its own token
+                    # distribution (csrc/md measured +0.8/+0.1%), so it
+                    # enters the payload auction as a CANDIDATE next to
+                    # pass 1 instead of replacing it.
+                    p1_pos = r[0].astype(np.int64)
+                    p1_len = r[1].astype(np.int64)
+                    p1_ll = p1_pos - np.concatenate(
+                        [[0], (p1_pos + p1_len)[:-1]])
+                    nib_ll = np.minimum(p1_ll, C.TOKEN_LL_MASK)
+                    nib_ml = np.minimum(p1_len - C.MIN_MATCH,
+                                        C.TOKEN_ML_MASK)
+                    toks = (nib_ll << C.TOKEN_LIT_BITS) | nib_ml
+                    tcl = huffman.build_code_lengths(
+                        np.bincount(toks, minlength=256), 8)
+                    if tcl is not None:
+                        tcost = np.where(tcl > 0, tcl, 10).astype(
+                            np.float64)
+                        pll = np.bincount(nib_ll, minlength=16).astype(
+                            np.float64)
+                        pll /= max(pll.sum(), 1.0)
+                        tok16 = np.rint(
+                            pll @ tcost.reshape(16, 16)).astype(np.uint16)
+                        r2 = runtime.optimal_parse(lens, offs, data, cost,
+                                                   tok_bits,
+                                                   tok_cost16=tok16)
+                        if r2 is not None and not all(
+                                np.array_equal(a, b)
+                                for a, b in zip(r2, r)):
+                            parses.append(r2)
+                out = []
+                for pr in parses:
+                    m_pos, m_len, m_off = (a.astype(np.int64) for a in pr)
+                    out.append(_sequences_to_streams(data, m_pos, m_len,
+                                                     m_off))
+                if any(len(pr[2]) and pr[2].max() > 256 for pr in parses):
                     # The emitted parse flips the whole block to 16-bit
                     # offsets. A/B an 8-bit-only DP (far candidates
                     # invisible) — callers keep the smaller payload
@@ -467,9 +509,11 @@ def _build_sequences(data: np.ndarray, level: int,
                                                tok_bits, only8=True)
                     if r8 is not None:
                         alt = tuple(a.astype(np.int64) for a in r8)
-                        return [_sequences_to_streams(data, m_pos, m_len,
-                                                      m_off),
-                                _sequences_to_streams(data, *alt)]
+                        out.append(_sequences_to_streams(data, *alt))
+                if len(out) > 1:
+                    return out
+                m_pos, m_len, m_off = (a.astype(np.int64)
+                                       for a in parses[0])
         except ImportError:
             pass
     if m_pos is None:

@@ -136,7 +136,7 @@ def lib() -> ctypes.CDLL | None:
                                           ctypes.c_int, ctypes.c_int]
         L.zxch_optimal_parse.restype = i64
         L.zxch_optimal_parse.argtypes = [vp, vp, u64, vp, vp, ctypes.c_int,
-                                         ctypes.c_int,
+                                         ctypes.c_int, vp,
                                          vp, vp, vp, u64]
         L.zxch_find_matches.restype = ctypes.c_int
         L.zxch_find_matches.argtypes = [vp, u64, u64, ctypes.c_int, vp, vp]
@@ -446,7 +446,7 @@ def lazy_parse(lens: np.ndarray, offs: np.ndarray, lazy: bool,
 
 def optimal_parse(lens: np.ndarray, offs: np.ndarray, data: np.ndarray,
                   lit_cost_bits: np.ndarray, token_bits: int = 8,
-                  only8: bool = False):
+                  only8: bool = False, tok_cost16=None):
     """DP optimal parse (levels 6-7): returns (pos, len, off) int32 arrays
     or None when the native library is unavailable."""
     L = lib()
@@ -467,6 +467,9 @@ def optimal_parse(lens: np.ndarray, offs: np.ndarray, data: np.ndarray,
         d8.ctypes.data_as(ctypes.c_void_p),
         lc.ctypes.data_as(ctypes.c_void_p), token_bits,
         1 if only8 else 0,
+        (np.ascontiguousarray(tok_cost16, np.uint16)
+         .ctypes.data_as(ctypes.c_void_p)
+         if tok_cost16 is not None else None),
         op.ctypes.data_as(ctypes.c_void_p),
         ol.ctypes.data_as(ctypes.c_void_p),
         oo.ctypes.data_as(ctypes.c_void_p), max_seq)

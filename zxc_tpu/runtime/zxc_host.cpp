@@ -627,7 +627,8 @@ extern "C" {
 int64_t zxch_optimal_parse(const int32_t *lens, const int32_t *offs,
                            uint64_t P, const uint8_t *data,
                            const uint16_t *lit_cost_bits, int token_bits,
-                           int only8, int32_t *out_pos, int32_t *out_len,
+                           int only8, const uint16_t *tok_cost16,
+                           int32_t *out_pos, int32_t *out_len,
                            int32_t *out_off, uint64_t max_seq) {
   if (token_bits <= 0) token_bits = 8;
   if (P == 0) return 0;
@@ -650,10 +651,18 @@ int64_t zxch_optimal_parse(const int32_t *lens, const int32_t *offs,
       if (lens[p] >= 5 && offs[p] > 256) { off16 = 1; break; }
   const uint32_t off_bits = off16 ? 16 : 8;
 
-  auto match_bits = [off_bits, token_bits](int64_t o, int64_t L) -> uint32_t {
+  auto match_bits = [off_bits, token_bits, tok_cost16](int64_t o,
+                                                       int64_t L) -> uint32_t {
     (void)o;
-    // token_bits < 8 models the ULTRA token-stream Huffman section
-    uint32_t bits = (uint32_t)token_bits + off_bits;  // token + offset
+    // token pricing: flat token_bits (pass 1), or the LL-marginalized
+    // expected code length of tokens with this ML nibble from the
+    // ACTUAL candidate token tree (pass 2; reference prices DP tokens
+    // with the candidate tree, zxc_compress.c:1665-1688)
+    int64_t mf0 = L - 5;
+    uint32_t tb = tok_cost16
+        ? tok_cost16[mf0 < 15 ? mf0 : 15]
+        : (uint32_t)token_bits;
+    uint32_t bits = tb + off_bits;           // token + offset
     bits += 2;                               // amortized ll-extras/structure
     int64_t mf = L - 5;
     if (mf >= 15) {
