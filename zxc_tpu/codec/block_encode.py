@@ -744,13 +744,16 @@ def encode_chunk(data: np.ndarray, level: int,
             hl = encode_block_hufflit(data, budget)
             if hl is not None:
                 payload, btype = hl, C.BLOCK_GLO
-    elif level == 2:
+    elif level <= 5:
         # L2 rides GLO (greedy shallow parse): on every gate corpus the
         # GLO sections beat the GHI packing at the same parse AND the
         # emit is faster (round-2c interleaved A/B: 155 vs 118 MB/s,
         # 45.2% vs 46.3%); block types are self-describing so a GLO
         # block at level 2 is wire-legal. The all-literal Huffman
-        # fallback still competes (low-entropy corpora, cf. L1).
+        # candidate competes at ALL the fast GLO levels (2-5): below
+        # ULTRA the GLO literal section prices only RAW/RLE, so on
+        # low-entropy or match-poor data a 0-sequence Huffman block
+        # wins outright (L5 elf -0.4 -> -6.5%, tinyalpha -3.6 -> -41%)
         payload = encode_block_glo(data, level, dict_state, sequences)
         btype = C.BLOCK_GLO
         if dict_state is None or not len(dict_state.content):

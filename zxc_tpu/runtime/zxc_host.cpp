@@ -2236,12 +2236,16 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
     uint64_t pcap = cap - w - BH - 8;
     int64_t psz;
     int btype;
-    if (level == 2) {
-      // L2 rides GLO (round-2c): the GLO sections beat GHI packing at
-      // the same greedy parse on every gate corpus AND emit faster; a
-      // GLO block in a level-2 frame is wire-legal (block types are
-      // self-describing). The all-literal Huffman candidate still
-      // competes, into a scratch so the GLO payload survives a loss.
+    if (level >= 2) {
+      // Levels 2-5 ride GLO (round-2c): the GLO sections beat GHI
+      // packing at the same greedy parse on every gate corpus AND emit
+      // faster; a GLO block at any level is wire-legal (block types
+      // are self-describing). The all-literal Huffman candidate
+      // competes at every fast GLO level — below ULTRA the literal
+      // section prices only RAW/RLE, so on low-entropy or match-poor
+      // data the 0-sequence Huffman block wins outright (L5 elf
+      // -0.4 -> -6.5%, tinyalpha -3.6 -> -41%). It encodes into a
+      // scratch so the GLO payload survives a loss.
       psz = zxch_encode_glo(data + pos, len, 0, max_probes, lazy,
                             sufficient_len, step_base, step_shift,
                             cover_base, min_emit, payload, pcap);
