@@ -108,8 +108,9 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
         totals_all = list(plan.totals) + [0] * pad
     else:
         totals_all = list(plan.totals)
-    variant = int(os.environ.get("ZXC_BENCH_VARIANT", "15"))
-    if variant in (10, 13, 15):
+    variant = int(os.environ.get("ZXC_BENCH_VARIANT", "19"))
+    ksub = int(os.environ.get("ZXC_BENCH_KSUB", "2"))
+    if variant in (10, 13, 15, 19):
         # v10: MXU one-hot row-gather kernel — no scalar loads in the hot
         # loop (control rides one lane-gather per batch; source rows come
         # from a bf16 one-hot matmul). One jitted program for the corpus.
@@ -124,12 +125,17 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
         l10 = lits[:nb10] + [lits[nb10 - 1]] * pad10
         t10 = list(plan.totals) + [0] * pad10
         t0 = time.time()
-        if variant in (13, 15):
+        if variant in (13, 15, 19):
             # v15: 128-row target supertiles (full-size target-permute
             # matmul, 4x less tile fragmentation) — 3.30 vs v13's 2.66
-            # GB/s marginal on the 8 MiB probe (tools/tpu_v12_hw.py)
-            packfn = (PD.pack_blocks_v15 if variant == 15
-                      else PD.pack_blocks_v12)
+            # GB/s marginal on the 8 MiB probe (tools/tpu_v12_hw.py).
+            # v19: multi-op slots — ops sharing (src row, tgt row) share
+            # a slot via a per-lane roll select, 30% fewer quads at L3
+            # (1.30x v15 interleaved, tools/tpu_ab_probe.py)
+            import functools
+            packfn = {19: functools.partial(PD.pack_blocks_v19, K=ksub),
+                      15: PD.pack_blocks_v15}.get(variant,
+                                                  PD.pack_blocks_v12)
             raw = [packfn(p10[d * B10:(d + 1) * B10],
                           l10[d * B10:(d + 1) * B10],
                           t10[d * B10:(d + 1) * B10],
@@ -137,13 +143,16 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
                    for d in range(nd10)]
             MAXQ = max(s[1].shape[1] for s in raw)
             RLP = max(s[4].shape[1] for s in raw)
-            sets = [PD.pad_v12_set(s, MAXQ, RLP) for s in raw]
+            padfn = (functools.partial(PD.pad_v19_set, K=ksub)
+                     if variant == 19 else PD.pad_v12_set)
+            sets = [padfn(s, MAXQ, RLP) for s in raw]
             print(f"# v{variant} pack: {time.time()-t0:.3f}s, MAXQ={MAXQ} "
                   f"RLP={RLP} B={B10} ({nd10} kernel calls)", file=sys.stderr)
             dsets = [tuple(jax.device_put(a, dev) for a in s) for s in sets]
             jax.block_until_ready(dsets)
-            kern10 = (PD.v15_kernel if variant == 15
-                      else PD.v13_kernel)(plan.block_size, MAXQ, RLP)
+            kern10 = {19: lambda b, q, r: PD.v19_kernel(b, q, r, ksub),
+                      15: PD.v15_kernel}.get(
+                          variant, PD.v13_kernel)(plan.block_size, MAXQ, RLP)
         else:
             per10 = PD.lane_ops_blocks(pieces[:nb10], list(plan.totals))
             MAXB = max(max(len(r[0]), 1) for r in per10)

@@ -167,7 +167,7 @@ def test_v9_lane_kernel_interpret():
     assert b"".join(outs) == data
 
 
-@pytest.mark.parametrize("variant", [12, 13, 14, 15, 16, 17])
+@pytest.mark.parametrize("variant", [12, 13, 14, 15, 16, 17, 19])
 def test_v12_v13_windowed_gather_interpret(variant):
     """v12/v13 row-sorted windowed-gather kernels: bit-exact vs plaintext
     in interpret mode (the hardware path is validated by bench.py and
@@ -196,7 +196,33 @@ def test_v12_v13_windowed_gather_interpret(variant):
           14: pallas_decode.decode_blocks_v14,
           15: pallas_decode.decode_blocks_v15,
           16: pallas_decode.decode_blocks_v16,
-          17: pallas_decode.decode_blocks_v17}.get(
+          17: pallas_decode.decode_blocks_v17,
+          19: pallas_decode.decode_blocks_v19}.get(
               variant, pallas_decode.decode_blocks_v12)
     outs = fn(pieces, lits, list(plan.totals), BLOCK, interpret=True)
+    assert b"".join(outs) == data
+
+
+@pytest.mark.parametrize("ksub", [1, 2, 3])
+def test_v19_multiop_slots_interpret(ksub):
+    """v19 multi-op-slot kernel: bit-exact for each sub-op count K
+    (K=2 is the production point: 1.30x v15 interleaved on v5e)."""
+    from zxc_tpu.ops import plan_frame
+    rng = np.random.default_rng(190 + ksub)
+    data = (b"multi-op slot kernel " * 700 + b"Z" * 4000 + b"xy" * 2500
+            + rng.integers(0, 256, 30000, dtype=np.uint8).tobytes())
+    BLOCK = 16384
+    data = (data * ((BLOCK * 4) // len(data) + 1))[:BLOCK * 4 - 33]
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=BLOCK))
+    plan = plan_frame(arc)
+    pieces, lits = [], []
+    for i in range(plan.n_blocks):
+        r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
+                                   plan.lit[i], plan.dict_buf,
+                                   device_pure=True)
+        assert r is not None
+        pieces.append(r[:4])
+        lits.append(r[4])
+    outs = pallas_decode.decode_blocks_v19(
+        pieces, lits, list(plan.totals), BLOCK, interpret=True, K=ksub)
     assert b"".join(outs) == data

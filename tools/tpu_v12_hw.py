@@ -24,7 +24,8 @@ B12 = int(os.environ.get("PROBE_B", "16"))
 REPS = 5
 K = int(os.environ.get("PROBE_K", "8"))
 VARIANT = os.environ.get("PROBE_VARIANT", "12")
-QA = {"13": 2, "15": 2, "16": 4, "17": 2}.get(VARIANT, 1)
+QA = {"13": 2, "15": 2, "16": 4, "17": 2, "19": 2}.get(VARIANT, 1)
+KSUB = int(os.environ.get("PROBE_KSUB", "2"))   # v19 sub-ops per slot
 
 
 def main():
@@ -51,9 +52,11 @@ def main():
     t0 = time.time()
     pack = (PD.pack_blocks_v15 if VARIANT in ("15", "16", "17")
             else PD.pack_blocks_v12)
+    import functools
     if VARIANT == "17":
-        import functools
         pack = functools.partial(pack, base_align=32)
+    if VARIANT == "19":
+        pack = functools.partial(PD.pack_blocks_v19, K=KSUB)
     raw = []
     MAXQ = 1
     RL = 1
@@ -78,7 +81,9 @@ def main():
     jax.block_until_ready(dsets)
     kfn = {"13": PD.v13_kernel, "14": PD.v14_kernel,
            "15": PD.v15_kernel, "16": PD.v16_kernel,
-           "17": PD.v17_kernel}.get(VARIANT, PD.v12_kernel)
+           "17": PD.v17_kernel,
+           "19": lambda b, q, r: PD.v19_kernel(b, q, r, KSUB)}.get(
+               VARIANT, PD.v12_kernel)
     kern = kfn(BLOCK, MAXQ, sets[0][4].shape[1])
     NR = BLOCK // 128
     flatpos = jnp.arange(NR * 128, dtype=jnp.uint32)

@@ -357,9 +357,13 @@ def decompress(archive: bytes, opts: DecodeOpts | None = None,
         ok = len(pieces) == plan.n_blocks
         if ok and plan.n_blocks:
             import os as _os
-            variant = int(_os.environ.get("ZXC_SERIAL_VARIANT", "13"))
+            variant = int(_os.environ.get("ZXC_SERIAL_VARIANT", "19"))
             with _phase("device"):
-                if variant == 13:
+                if variant == 19:
+                    res = pallas_decode.decode_blocks_v19(
+                        pieces, lits, plan.totals, plan.block_size,
+                        device=device)
+                elif variant == 13:
                     res = pallas_decode.decode_blocks_v13(
                         pieces, lits, plan.totals, plan.block_size,
                         device=device)
