@@ -38,6 +38,8 @@ _pyapi = ctypes.pythonapi
 _pyapi.PyBytes_FromStringAndSize.restype = ctypes.py_object
 _pyapi.PyBytes_FromStringAndSize.argtypes = [ctypes.c_void_p,
                                              ctypes.c_ssize_t]
+_pyapi.PyBytes_AsString.restype = ctypes.c_void_p
+_pyapi.PyBytes_AsString.argtypes = [ctypes.py_object]
 
 
 def _frame_scratch(tl_name: str, cap: int) -> np.ndarray:
@@ -366,15 +368,30 @@ def decompress_frame(archive, block_size: int, has_checksum: bool,
         from ..errors import ZxcError
         raise ZxcError(int(nb), "frame walk")
     d8, cl8, cl_ptr = _as_dict_args(dict_buf, dict_cl)
-    cap = int(nb) * block_size + 64
-    dst, w = _native_into_bytes("decbuf", cap, lambda ptr: L.zxch_decompress_frame(
+    # decode straight into the result bytes object: the footer-declared
+    # size bounds the allocation (clamped by the block count so a lying
+    # footer cannot force a huge alloc), and the C loop bounces tail
+    # blocks without wild-copy headroom through a scratch block, so the
+    # exactly-sized buffer is never overrun. The old scratch + full-copy
+    # path cost ~13% of one-shot decode wall (PyBytes_FromStringAndSize
+    # in the L1 profile).
+    dsize = int(np.frombuffer(archive[-12:-4] if isinstance(
+        archive, (bytes, bytearray)) else src[-12:-4].tobytes(),
+        "<u8")[0]) if n >= 12 else 0
+    cap = min(dsize, int(nb) * block_size)
+    out = _pyapi.PyBytes_FromStringAndSize(None, cap)
+    ptr = _pyapi.PyBytes_AsString(out)
+    w = L.zxch_decompress_frame(
         src.ctypes.data_as(ctypes.c_void_p), n, block_size,
         1 if has_checksum else 0, 1 if verify else 0,
-        d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr, ptr, cap))
+        d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr, ptr, cap)
     if w < 0:
         from ..errors import ZxcError
         raise ZxcError(int(w), "native frame decode")
-    return dst
+    if int(w) != cap:  # footer lied large; native checks stored_size too
+        from ..errors import ZxcError
+        raise ZxcError(-8, "footer size mismatch")
+    return out
 
 
 def decompress_frame_into(buffer: bytearray, comp_size: int,

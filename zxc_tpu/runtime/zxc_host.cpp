@@ -2703,6 +2703,29 @@ int64_t decode_gnr_block(int is_glo, const uint8_t *pl, uint64_t plen,
           }
           uint64_t end = i + nb;
           int esc = 0;
+          // 2x unroll: one 8-byte load carries two sequence words, and
+          // the escape test for the pair is a single mask compare (the
+          // same treatment the GLO-8bit burst got); the literal-stream
+          // prefetch mirrors the reference's FAST-loop PREFETCH
+          for (; i + 2 <= end; i += 2) {
+            uint64_t wd2;
+            memcpy(&wd2, sec_b + 4 * i, 8);
+            uint32_t w0 = (uint32_t)wd2, w1 = (uint32_t)(wd2 >> 32);
+            uint64_t l0 = w0 >> 24, m0 = (w0 >> 16) & 0xFF;
+            uint64_t l1 = w1 >> 24, m1 = (w1 >> 16) & 0xFF;
+            if (l0 == 255 || m0 == 255 || l1 == 255 || m1 == 255) break;
+            __builtin_prefetch(lit + r + 384);
+            uint64_t o0 = (w0 & 0xFFFF) + 1;
+            copy_literals(out + w, lit + r, l0, lit_wild);
+            w += l0; r += l0;
+            copy_match(out + w, o0, m0 + 5);
+            w += m0 + 5;
+            uint64_t o1 = (w1 & 0xFFFF) + 1;
+            copy_literals(out + w, lit + r, l1, lit_wild);
+            w += l1; r += l1;
+            copy_match(out + w, o1, m1 + 5);
+            w += m1 + 5;
+          }
           for (; i < end; i++) {
             uint32_t wd;
             memcpy(&wd, sec_b + 4 * i, 4);
@@ -2826,8 +2849,19 @@ int64_t zxch_decompress_frame(const uint8_t *src, uint64_t n,
   uint32_t ghash = 0;
   const uint64_t tail = has_checksum ? 4 : 0;
   const uint64_t bound = 8 + block_size + 4;  // compress_block_bound
-  uint8_t *mem = new uint8_t[3 * block_size + 64];
+  // per-thread reused scratch (lit/tok/piv + a bounce block for tail
+  // blocks without wild-copy headroom): the old per-call new[] cost a
+  // 1.5-2 MB allocation + first-touch faults on every frame decode
+  static thread_local uint8_t *mem = nullptr;
+  static thread_local uint64_t mem_cap = 0;
+  const uint64_t need = 4 * block_size + 128;
+  if (need > mem_cap) {
+    delete[] mem;
+    mem = new uint8_t[need];
+    mem_cap = need;
+  }
   DecScratch S = {mem, mem + block_size + 64, mem + 2 * block_size + 64};
+  uint8_t *bounce = mem + 3 * block_size + 64;  // block_size + 64 usable
   int64_t err = 0;
   int saw_eof = 0;
   while (p + 8 <= n) {
@@ -2871,22 +2905,32 @@ int64_t zxch_decompress_frame(const uint8_t *src, uint64_t n,
         }
       }
     }
-    if (w_total + block_size + 64 > dst_alloc) {
-      err = -10;  // caller sizing violation (should be impossible)
-      break;
-    }
+    // blocks with full wild-copy headroom decode straight into dst;
+    // tail blocks (an exactly-sized caller buffer has none) decode into
+    // the bounce block and memcpy the exact byte count — this is what
+    // lets the Python layer hand us the result PyBytes' own buffer
+    // (footer-sized) instead of a scratch + whole-output copy
+    const int direct = (w_total + block_size + 64 <= dst_alloc);
+    uint8_t *bdst = direct ? dst + w_total : bounce;
     int payload_wild = (poff + csz + 32 <= n);
     int64_t out_n;
     if (bt == 0) {  // RAW
-      if (csz > block_size) {
+      if (csz > block_size || w_total + csz > dst_alloc) {
         err = -10;
         break;
       }
       memcpy(dst + w_total, pl, csz);
       out_n = csz;
     } else if (bt == 1 || bt == 2) {
-      out_n = decode_gnr_block(bt == 1, pl, csz, dst + w_total, block_size,
+      out_n = decode_gnr_block(bt == 1, pl, csz, bdst, block_size,
                                dict, n_dict, dict_cl, &S, payload_wild);
+      if (out_n >= 0 && !direct) {
+        if (w_total + (uint64_t)out_n > dst_alloc) {
+          err = -8;  // output exceeds the footer-declared size
+          break;
+        }
+        memcpy(dst + w_total, bounce, (size_t)out_n);
+      }
     } else {
       err = -13;
       break;
@@ -2898,7 +2942,6 @@ int64_t zxch_decompress_frame(const uint8_t *src, uint64_t n,
     w_total += (uint64_t)out_n;
     p = poff + csz + tail;
   }
-  delete[] mem;
   if (err) return err;
   if (!saw_eof) return -3;  // missing EOF block
   uint64_t stored_size;
