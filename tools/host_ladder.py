@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Host decode ladder: ours-API vs reference-core, interleaved.
+
+ours-API = full `frame.decompress` (returns fresh bytes).
+ref-core = the local .refbuild C library's `zxc_decompress` into a
+PREALLOCATED reused buffer (its core with zero wrapper cost — the
+conservative comparison). Archives are reference-encoded (cross-impl).
+Rounds alternate A/B/B/A; medians reported (this VM drifts 15-40%).
+
+Usage: [LADDER_MB=8] [LADDER_ROUNDS=9] python tools/host_ladder.py
+"""
+import ctypes
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+
+import numpy as np
+from gen_corpus import gen_corpus
+from zxc_tpu.codec import frame
+import ref_oracle
+
+MB = int(os.environ.get("LADDER_MB", "8"))
+ROUNDS = int(os.environ.get("LADDER_ROUNDS", "9"))
+BS = int(os.environ.get("LADDER_BLOCK", str(512 * 1024)))
+LEVELS = [int(x) for x in os.environ.get("LADDER_LEVELS", "1,2,3,5,6,7").split(",")]
+
+
+def main():
+    raw = gen_corpus(MB << 20)
+    L = ref_oracle.lib()
+    dst = ctypes.create_string_buffer(len(raw) + 64)
+    opts = ref_oracle.DecompressOpts(checksum_enabled=0)
+
+    def ref_core(src):
+        w = L.zxc_decompress(src, len(src), dst, len(raw),
+                             ctypes.byref(opts))
+        assert w == len(raw), w
+        return dst.raw[:w]
+
+    print(f"# {MB} MiB pinned corpus, {BS//1024} KiB blocks, "
+          f"{ROUNDS} interleaved rounds (medians)")
+    for lvl in LEVELS:
+        arc = ref_oracle.ref_compress(raw, level=lvl, block_size=BS)
+        assert frame.decompress(arc) == raw
+        assert ref_core(arc) == raw
+        t = {"ours": [], "ref": []}
+        for r in range(ROUNDS):
+            for k in (("ours", "ref") if r % 2 == 0 else ("ref", "ours")):
+                t0 = time.time()
+                if k == "ours":
+                    frame.decompress(arc)
+                else:
+                    L.zxc_decompress(arc, len(arc), dst, len(raw),
+                                     ctypes.byref(opts))
+                t[k].append(time.time() - t0)
+        mo = statistics.median(t["ours"])
+        mr = statistics.median(t["ref"])
+        print(f"L{lvl}: ours-API {MB/mo:6.0f} MB/s  ref-core {MB/mr:6.0f} MB/s"
+              f"  ratio {mr/mo:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
