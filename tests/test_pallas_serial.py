@@ -226,3 +226,7 @@ def test_v19_multiop_slots_interpret(ksub):
     outs = pallas_decode.decode_blocks_v19(
         pieces, lits, list(plan.totals), BLOCK, interpret=True, K=ksub)
     assert b"".join(outs) == data
+    # v20 (plane-segregated packing) must agree too
+    outs20 = pallas_decode.decode_blocks_v20(
+        pieces, lits, list(plan.totals), BLOCK, interpret=True, K=ksub)
+    assert b"".join(outs20) == data

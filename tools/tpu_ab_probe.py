@@ -38,11 +38,14 @@ VB = os.environ.get("PROBE_B", "19")
 
 def get_pack_kern(variant):
     ksub = KSUB
-    if variant.startswith("19k"):       # "19k3" = v19 with K=3 sub-ops
-        ksub = int(variant[3:])
-        variant = "19"
-    qa = {"13": 2, "15": 2, "16": 4, "17": 2, "19": 2}.get(variant, 1)
-    if variant == "19":
+    if variant.startswith("19k") or variant.startswith("20k"):
+        ksub = int(variant[3:])         # "19k3" = v19 with K=3 sub-ops
+        variant = variant[:2]
+    qa = {"13": 2, "15": 2, "16": 4, "17": 2, "19": 2, "20": 2}.get(variant, 1)
+    if variant == "20":
+        pack = functools.partial(PD.pack_blocks_v20, K=ksub)
+        kern = lambda b, q, r: PD.v20_kernel(b, q, r, ksub)
+    elif variant == "19":
         pack = functools.partial(PD.pack_blocks_v19, K=ksub)
         kern = lambda b, q, r: PD.v19_kernel(b, q, r, ksub)
     elif variant in ("15", "16", "17"):

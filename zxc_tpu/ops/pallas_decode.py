@@ -2481,3 +2481,313 @@ def decode_blocks_v19(pieces_list, lit_list, totals, block: int,
         out = outs[j // B][j % B]
         res.append(out.reshape(-1)[:totals[j]].astype(np.uint8).tobytes())
     return res
+
+
+# ---------------------------------------------------------------------------
+# v20: v19 with plane segregation.
+#
+# At K=2 only ~26% of slots carry a second sub-op, but every v19 quad
+# pays the second control plane's VPU work (fetch, extracts, compares,
+# select) — and v19 is VPU-bound (PERF.md: the K=2 quad's glue sits at
+# or above the 2x146 ns MXU floor). Quad order within a supertile is
+# free (contributions accumulate), so the packer places single-op
+# slots in their own quads first and multi-op slots after, recording a
+# per-tile midpoint; the kernel runs a 1-plane loop to the midpoint
+# and the 2-plane loop after it. qs doubles in width:
+# qs[2t]=start, qs[2t+1]=midpoint, qs[2t+2]=end of supertile t.
+# TPU reformulation of the reference hot loop zxc_decompress.c:890-1034.
+# ---------------------------------------------------------------------------
+
+
+def pack_blocks_v20(pieces_list, lit_list, totals, block: int,
+                    per=None, MAXQ=None, RL=None, quad_align: int = 2,
+                    K: int = 2):
+    """Pack the v20 dispatch batch (v19 arrays, segregated quads,
+    double-width qs)."""
+    B = len(pieces_list)
+    if per is None:
+        per = lane_ops_blocks(pieces_list, totals)
+    NR = block // 128
+    assert NR % 128 == 0, "v20 needs block >= 16384"
+    GRP = 4
+    NST = NR // 128
+    blocks = []
+    maxq = 1
+    maxrow = 0
+    empty = (0, np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros((0, K, 3), np.int64))
+    for (rows, rl, s, e, tile_start) in per:
+        quads = []
+        qs_t = [0]
+        nts = len(tile_start) - 1
+        for st in range(NST):
+            parts = []
+            for g in range(GRP):
+                t = st * GRP + g
+                if t >= nts:
+                    break
+                b0, b1 = tile_start[t], tile_start[t + 1]
+                if b1 <= b0:
+                    continue
+                er = rows[b0:b1].reshape(-1)
+                es = s[b0:b1].reshape(-1)
+                ee = e[b0:b1].reshape(-1)
+                erl = rl[b0:b1].reshape(-1)
+                live = np.nonzero(ee > es)[0]
+                if not len(live):
+                    continue
+                tgt = (live & 31) + 32 * g
+                parts.append(np.stack(
+                    [er[live], tgt, erl[live], es[live], ee[live] - 1],
+                    axis=1))
+            if parts:
+                ops = np.concatenate(parts, axis=0)
+                key = ops[:, 0] * 128 + ops[:, 1]
+                order = np.argsort(key, kind="stable")
+                ops = ops[order]
+                ks = key[order]
+                new = np.r_[True, ks[1:] != ks[:-1]]
+                gid = np.cumsum(new) - 1
+                gstart = np.flatnonzero(new)
+                within = np.arange(len(ks)) - gstart[gid]
+                gsizes = np.diff(np.r_[gstart, len(ks)])
+                spg = -(-gsizes // K)
+                sbase = np.r_[0, np.cumsum(spg)[:-1]]
+                slot_of = sbase[gid] + within // K
+                sub_of = within % K
+                n_slots = int(spg.sum())
+                ssrc = np.zeros(n_slots, np.int64)
+                stgt = np.zeros(n_slots, np.int64)
+                sctl = np.zeros((n_slots, K, 3), np.int64)
+                sctl[:, :, 1] = 1
+                ssrc[slot_of] = ops[:, 0]
+                stgt[slot_of] = ops[:, 1]
+                sctl[slot_of, sub_of, 0] = ops[:, 2]
+                sctl[slot_of, sub_of, 1] = ops[:, 3]
+                sctl[slot_of, sub_of, 2] = ops[:, 4]
+                n_subs = np.bincount(slot_of, minlength=n_slots)
+            else:
+                n_slots = 0
+                ssrc = stgt = np.zeros(0, np.int64)
+                sctl = np.zeros((0, K, 3), np.int64)
+                n_subs = np.zeros(0, np.int64)
+
+            # chunk each class separately (the window check needs src
+            # monotone within a chunk — a mixed-order boundary quad can
+            # pack a NEGATIVE rowrel, which the kernel's logical shift
+            # turns into garbage; learned the hard way). Parity of the
+            # single-side loop is fixed by SHIFTING its last quad to the
+            # multi side (1-plane slots are correct under the K-plane
+            # loop; their extra planes are empty fillers), so at most
+            # one trailing empty quad pads the multi side.
+            def chunk(sel):
+                src_c, tgt_c, ctl_c = ssrc[sel], stgt[sel], sctl[sel]
+                i = 0
+                n = len(src_c)
+                out = []
+                while i < n:
+                    base = int(src_c[i]) & ~15
+                    j = min(i + 128, n)
+                    while src_c[j - 1] - base > 127:
+                        j -= 1
+                    out.append((base, src_c[i:j], tgt_c[i:j], ctl_c[i:j]))
+                    i = j
+                return out
+
+            order = np.argsort(ssrc, kind="stable")
+            mul_o = (n_subs > 1)[order]
+            singles = chunk(order[~mul_o])
+            multis = chunk(order[mul_o])
+            st_quads = singles + multis
+            nq = len(st_quads)
+            qm = len(singles)
+            if qm & 1:
+                qm -= 1                       # shift one single to multi side
+            if (nq - qm) & 1:                 # boundary shifts can't change
+                st_quads.append(empty)        # total parity: pad one quad
+                nq += 1
+            quads.extend(st_quads)
+            qs_t.append(qs_t[-1] + qm)        # midpoint (singles end)
+            qs_t.append(qs_t[-2] + nq)        # supertile end
+            maxrow = max(maxrow,
+                         max((b + 128 for b, *_ in st_quads), default=128))
+        blocks.append((qs_t, quads))
+        maxq = max(maxq, len(quads))
+    if MAXQ is None:
+        MAXQ = maxq
+    assert maxq <= MAXQ, "MAXQ below a block's quad count"
+    if RL is None:
+        RL = max(maxrow, max(-(-len(lit) // 128) for lit in lit_list) + 1)
+    RLP = max(-(-RL // 16) * 16, -(-maxrow // 16) * 16)
+    NB = MAXQ * 4
+    NG32 = 32 * (-(-NB // 128))
+    qs = np.zeros((B, 2 * NST + 1), np.int32)
+    qbase = np.zeros((B, MAXQ), np.int32)
+    pctrl = np.full((B, K * NG32, 128), 1 << 7, np.int32)
+    tq = np.zeros((B, MAXQ, 128), np.int32)
+    lit8 = np.zeros((B, RLP, 128), np.uint8)
+    for j, ((qs_t, quads), lit) in enumerate(zip(blocks, lit_list)):
+        qs[j, :len(qs_t)] = qs_t
+        qs[j, len(qs_t):] = qs_t[-1]
+        for q, (base, ssrc, stgt, sctl) in enumerate(quads):
+            qbase[j, q] = base
+            n = len(ssrc)
+            if not n:
+                continue
+            i = np.arange(n)
+            bat = 4 * q + (i >> 5)
+            sub = i & 31
+            p0 = (sctl[:, 0, 0] | (sctl[:, 0, 1] << 7)
+                  | (sctl[:, 0, 2] << 14) | ((ssrc - base) << 21))
+            pctrl[j, 32 * (bat >> 7) + sub, bat & 127] = p0
+            for kk in range(1, K):
+                pk_ = (sctl[:, kk, 0] | (sctl[:, kk, 1] << 7)
+                       | (sctl[:, kk, 2] << 14))
+                pctrl[j, kk * NG32 + 32 * (bat >> 7) + sub, bat & 127] = pk_
+            tq[j, q, i] = stgt
+        flat = np.frombuffer(bytes(lit), np.uint8)
+        lit8[j].reshape(-1)[:len(flat)] = flat
+    return qs, qbase, pctrl, tq, lit8
+
+
+def _make_kernel_v20(K: int):
+    def _kernel_v20(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref,
+                    out_ref):
+        b = pl.program_id(0)
+        NST = out_ref.shape[1] // 128
+        G32 = pctrl_ref.shape[1] // K
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        row128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+        def contrib_quad(q, nk):
+            base = pl.multiple_of(qbase_ref[b, q], 16)
+            win = litb_ref[0, pl.ds(base, 128), :]
+
+            def plane_bc(j):
+                bcs = []
+                for u in range(4):
+                    bat = 4 * q + u
+                    grp = pctrl_ref[0, pl.ds(j * G32 + (bat >> 7) * 32, 32),
+                                    :]
+                    bcs.append(jnp.take_along_axis(
+                        grp, jnp.full((32, 128), bat & 127, jnp.int32),
+                        axis=1))
+                return jnp.concatenate(bcs, axis=0)
+
+            bc0 = plane_bc(0)
+            rowrel = jax.lax.shift_right_logical(bc0, 21)
+            onehot = jnp.where(rowiota == rowrel[:, :1],
+                               jnp.float32(1), jnp.float32(0))
+            gath = jax.lax.dot_general(
+                onehot.astype(jnp.bfloat16), win, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            m = ((lane128 >= ((bc0 >> 7) & 127))
+                 & (lane128 <= ((bc0 >> 14) & 127)))
+            bsel = bc0
+            for j in range(1, nk):
+                bcj = plane_bc(j)
+                mj = ((lane128 >= ((bcj >> 7) & 127))
+                      & (lane128 <= ((bcj >> 14) & 127)))
+                bsel = jnp.where(mj, bcj, bsel)
+                m = m | mj
+            sh = jnp.take_along_axis(gath, (lane128 + (bsel & 127)) & 127,
+                                     axis=1)
+            c = jnp.where(m, sh, 0)
+            tgt = tq_ref[0, q, :][None, :]
+            pt = jnp.where(row128 == tgt, jnp.float32(1), jnp.float32(0))
+            return jax.lax.dot_general(
+                pt.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+
+        for t in range(NST):
+            q0 = qs_ref[b, 2 * t]
+            qm = qs_ref[b, 2 * t + 1]
+            q1 = qs_ref[b, 2 * t + 2]
+
+            def sbody(g, acc):
+                q = q0 + 2 * g
+                return acc + contrib_quad(q, 1) + contrib_quad(q + 1, 1)
+
+            def mbody(g, acc):
+                q = qm + 2 * g
+                return acc + contrib_quad(q, K) + contrib_quad(q + 1, K)
+
+            tile = jax.lax.fori_loop(0, (qm - q0) >> 1, sbody,
+                                     jnp.zeros((128, 128), jnp.int32))
+            tile = jax.lax.fori_loop(0, (q1 - qm) >> 1, mbody, tile)
+            out_ref[0, t * 128:(t + 1) * 128, :] = tile
+
+    return _kernel_v20
+
+
+@functools.lru_cache(maxsize=32)
+def v20_kernel(block: int, MAXQ: int, RLP: int, K: int = 2,
+               interpret: bool = False):
+    NR = block // 128
+    NB = MAXQ * 4
+    G32 = 32 * (-(-NB // 128))
+    body = _make_kernel_v20(K)
+
+    def call(qs, qbase, pctrl, tq, lit8):
+        litb = lit8.astype(jnp.bfloat16)
+        B = pctrl.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, K * G32, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, MAXQ, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RLP, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            body,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(qs, qbase, pctrl, tq, litb)
+
+    return jax.jit(call)
+
+
+def decode_blocks_v20(pieces_list, lit_list, totals, block: int,
+                      interpret: bool = False, device=None,
+                      dispatch: int = 16, K: int = 2):
+    """v20 decode: segregated multi-op slots, pair-unrolled quads."""
+    nb = len(pieces_list)
+    if nb == 0:
+        return []
+    if block < 16384:
+        return decode_blocks_v13(pieces_list, lit_list, totals, block,
+                                 interpret=interpret, device=device,
+                                 dispatch=dispatch)
+    B = min(dispatch, nb)
+    nd = -(-nb // B)
+    pad = nd * B - nb
+    p = list(pieces_list) + [pieces_list[-1]] * pad
+    l = list(lit_list) + [lit_list[-1]] * pad
+    t = list(totals) + [0] * pad
+    raw = [pack_blocks_v20(p[d * B:(d + 1) * B], l[d * B:(d + 1) * B],
+                           t[d * B:(d + 1) * B], block, K=K)
+           for d in range(nd)]
+    MAXQ = -(-max(s[1].shape[1] for s in raw) // 32) * 32
+    RLP = -(-max(s[4].shape[1] for s in raw) // 128) * 128
+    kern = v20_kernel(block, MAXQ, RLP, K, interpret)
+    outs = []
+    for s in raw:
+        args = pad_v19_set(s, MAXQ, RLP, K)
+        if device is not None:
+            args = tuple(jax.device_put(a, device) for a in args)
+        outs.append(np.asarray(kern(*args)))
+    res = []
+    for j in range(nb):
+        out = outs[j // B][j % B]
+        res.append(out.reshape(-1)[:totals[j]].astype(np.uint8).tobytes())
+    return res
