@@ -378,7 +378,7 @@ class DictState:
 
     def __post_init__(self):
         if self.huf_lengths is not None and self.tree is None:
-            self.tree = huffman.build_tree(huffman.unpack_lengths(self.huf_lengths))
+            self.tree = huffman.build_tree_packed(bytes(self.huf_lengths))
 
 
 def _build_sequences(data: np.ndarray, level: int,
@@ -605,7 +605,12 @@ def _glo_payload(data: np.ndarray, level: int,
         j = len(rle) + ((n_lit * _prem_rle(level)) >> 8)
         if j < best_j:
             enc_lit, best_j, best_stream = C.ENC_RLE, j, rle
-        if level >= 6 and n_lit >= 139:
+        if n_lit >= 139:
+            # fast levels reach here only on the dict path (the native
+            # emitter owns no-dict L1-5 and prices its own hufflit);
+            # the inline candidate competes there too — package-merge
+            # runs native (zxch_code_lengths), so the auction is cheap
+            # even on tiny dict-framed blocks
             freq = np.bincount(literals, minlength=256)
             cl = huffman.build_code_lengths(freq, level_params(level).max_code_len)
             # NOTE round 2: the decode-speed "nudge" (reduced-cap
@@ -617,16 +622,27 @@ def _glo_payload(data: np.ndarray, level: int,
             # nudge is not applied; huffman.nudge_code_lengths remains
             # for parity study.
             if cl is not None:
-                tree = huffman.build_tree(cl)
-                size = huffman.calc_size(freq, tree, with_header=True)
-                j = size + ((n_lit * _prem_huf(level)) >> 8)
-                if j < best_j:
-                    enc_lit, best_j = C.ENC_HUFFMAN, j
-                    best_stream = huffman.pack_lengths(cl) + huffman.encode_payload(literals, tree)
-        if level >= 6 and dict_state is not None and dict_state.tree is not None and n_lit > 0:
+                # sound skip: per-node byte rounding only ADDS to
+                # sum(freq*len)/8, so when even the optimistic bound
+                # loses the auction the tree build is dead weight
+                bound = C.HUF_TABLE_SIZE + int(
+                    (freq * cl.astype(np.int64)).sum() >> 3)
+                if bound + ((n_lit * _prem_huf(level)) >> 8) < best_j:
+                    tree = huffman.build_tree(cl)
+                    size = huffman.calc_size(freq, tree, with_header=True)
+                    j = size + ((n_lit * _prem_huf(level)) >> 8)
+                    if j < best_j:
+                        enc_lit, best_j = C.ENC_HUFFMAN, j
+                        best_stream = huffman.pack_lengths(cl) + huffman.encode_payload(literals, tree)
+        if dict_state is not None and dict_state.tree is not None and n_lit > 0:
+            # the shared table competes at EVERY level: it costs no
+            # 128-byte inline header, which dominates on small frames
+            # (reference gates this at ULTRA only; our auction prices
+            # it exactly, so letting it compete is strictly >= in size)
             freq = np.bincount(literals, minlength=256)
             try:
-                size = huffman.calc_size(freq, dict_state.tree, with_header=False)
+                size = huffman.calc_size(freq, dict_state.tree,
+                                         with_header=False, reuse=True)
                 j = size + ((n_lit * _prem_huf(level)) >> 8)
                 if j < best_j:
                     enc_lit, best_j = C.ENC_HUFFMAN_DICT, j

@@ -34,8 +34,7 @@ def _dict_state(opts: DecodeOpts | None):
     dict_buf = np.frombuffer(opts.dict_content, np.uint8)
     tree = None
     if opts.dict_huf is not None:
-        cl = huffman.unpack_lengths(opts.dict_huf)
-        tree = huffman.build_tree(cl)
+        tree = huffman.build_tree_packed(bytes(opts.dict_huf))
     did = compute_dict_id(opts.dict_content, opts.dict_huf)
     return dict_buf, tree, did
 

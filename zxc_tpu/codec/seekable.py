@@ -114,7 +114,7 @@ class Seekable:
         d = _DictState(np.frombuffer(content, np.uint8), None,
                        compute_dict_id(content, huf_lengths))
         if huf_lengths is not None:
-            d.tree = huffman.build_tree(huffman.unpack_lengths(huf_lengths))
+            d.tree = huffman.build_tree_packed(bytes(huf_lengths))
         self._dict = d
 
     def _check_dict(self):

@@ -109,7 +109,7 @@ def plan_frame(archive: bytes, opts: DecodeOpts | None = None) -> FramePlan:
     if opts is not None and opts.dict_content:
         dict_buf = np.frombuffer(opts.dict_content, np.uint8)
         if opts.dict_huf is not None:
-            dict_tree = huffman.build_tree(huffman.unpack_lengths(opts.dict_huf))
+            dict_tree = huffman.build_tree_packed(bytes(opts.dict_huf))
         provided_id = compute_dict_id(opts.dict_content, opts.dict_huf)
     if fh.dict_id != 0:
         if dict_buf is None:

@@ -156,6 +156,8 @@ def lib() -> ctypes.CDLL | None:
         L.zxch_lane_ops.argtypes = [vp] * 4 + [u64, i64] + [vp] * 5 + [u64]
         L.zxch_pivco_decode.restype = ci
         L.zxch_pivco_decode.argtypes = [vp, u64, vp, u64, vp]
+        L.zxch_code_lengths.restype = ci
+        L.zxch_code_lengths.argtypes = [vp, ci, vp]
         L.zxch_decode_block.restype = i64
         L.zxch_decode_block.argtypes = [ci, vp, u64, vp, u64, vp, u64, vp]
         L.zxch_decompress_frame.restype = i64
@@ -727,3 +729,19 @@ def encode_glo(data: np.ndarray, start: int, max_probes: int, lazy: bool,
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def code_lengths(freq: np.ndarray, max_len: int) -> np.ndarray | None:
+    """Native package-merge code lengths; None when unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    f = np.ascontiguousarray(freq, np.uint64)
+    if len(f) != 256:
+        return None
+    cl = np.zeros(256, np.uint8)
+    rc = L.zxch_code_lengths(f.ctypes.data_as(ctypes.c_void_p), max_len,
+                             cl.ctypes.data_as(ctypes.c_void_p))
+    if rc < 0:
+        return None
+    return cl

@@ -2148,6 +2148,14 @@ static int zxch_build_code_lengths(const uint64_t *freq, int max_len,
   return n;
 }
 
+// exported wrapper: optimal length-limited code lengths (package-merge)
+// for the Python auction's fast path. Returns present-symbol count.
+extern "C" int zxch_code_lengths(const uint64_t *freq, int max_len,
+                                 uint8_t *cl) {
+  if (max_len < 1 || max_len > 15) return -1;
+  return zxch_build_code_lengths(freq, max_len, cl);
+}
+
 // All-literal Huffman GLO payload (GNR header + 4 descs + 128-byte
 // lengths header + PivCo payload; empty token/offset/extras sections).
 // `budget` = the competing payload size; returns emitted size only when
