@@ -624,31 +624,39 @@ def _glo_payload(data: np.ndarray, level: int,
             if cl is not None:
                 # sound skip: per-node byte rounding only ADDS to
                 # sum(freq*len)/8, so when even the optimistic bound
-                # loses the auction the tree build is dead weight
+                # loses the auction the candidate is dead weight
                 bound = C.HUF_TABLE_SIZE + int(
                     (freq * cl.astype(np.int64)).sum() >> 3)
                 if bound + ((n_lit * _prem_huf(level)) >> 8) < best_j:
-                    tree = huffman.build_tree(cl)
-                    size = huffman.calc_size(freq, tree, with_header=True)
+                    # price BY ENCODING (native pivco): exact size and
+                    # the winner's bytes in one pass, no Python trie
+                    from .. import runtime
+                    pay = runtime.pivco_encode(literals, cl)
+                    if pay is None:
+                        tree = huffman.build_tree(cl)
+                        pay = huffman.encode_payload(literals, tree)
+                    size = C.HUF_TABLE_SIZE + len(pay)
                     j = size + ((n_lit * _prem_huf(level)) >> 8)
                     if j < best_j:
                         enc_lit, best_j = C.ENC_HUFFMAN, j
-                        best_stream = huffman.pack_lengths(cl) + huffman.encode_payload(literals, tree)
+                        best_stream = huffman.pack_lengths(cl) + pay
         if dict_state is not None and dict_state.tree is not None and n_lit > 0:
             # the shared table competes at EVERY level: it costs no
             # 128-byte inline header, which dominates on small frames
             # (reference gates this at ULTRA only; our auction prices
             # it exactly, so letting it compete is strictly >= in size)
             freq = np.bincount(literals, minlength=256)
-            try:
-                size = huffman.calc_size(freq, dict_state.tree,
-                                         with_header=False, reuse=True)
-                j = size + ((n_lit * _prem_huf(level)) >> 8)
+            cl_d = dict_state.tree.code_len
+            # native encode silently drops uncoded symbols — gate first
+            if not ((freq > 0) & (cl_d == 0)).any():
+                from .. import runtime
+                pay = runtime.pivco_encode(literals, cl_d)
+                if pay is None:
+                    pay = huffman.encode_payload(literals, dict_state.tree)
+                j = len(pay) + ((n_lit * _prem_huf(level)) >> 8)
                 if j < best_j:
                     enc_lit, best_j = C.ENC_HUFFMAN_DICT, j
-                    best_stream = huffman.encode_payload(literals, dict_state.tree)
-            except ZxcError:
-                pass  # a literal byte without a shared code: candidate invalid
+                    best_stream = pay
 
     # --- token section candidate (ULTRA): Huffman over token bytes ---
     enc_tok = C.ENC_RAW
