@@ -105,7 +105,8 @@ int main(int argc, char **argv) {
     int64_t w = zxch_compress_frame(dp, data.size(), level,
                                     p.probes, p.lazy, p.suff, p.sb, p.ss,
                                     p.cover, /*min_emit=*/5,
-                                    bs, 16, 1, 1, arc.data(), cap);
+                                    bs, 16, 1, 1, nullptr, 0, nullptr, 0,
+                                    arc.data(), cap);
     if (w < 0) { fprintf(stderr, "compress failed %lld\n", (long long)w); return 3; }
     arc.resize(w);
     std::vector<uint8_t> out;

@@ -168,14 +168,15 @@ def lib() -> ctypes.CDLL | None:
                                       ci, vp, u64]
         L.zxch_encode_glo.restype = i64
         L.zxch_encode_glo.argtypes = [vp, u64, u64, ci, ci, ci, ci, ci, ci,
-                                      ci, vp, u64]
+                                      ci, vp, vp, u64]
         L.zxch_pivco_encode.restype = i64
         L.zxch_pivco_encode.argtypes = [vp, u64, vp, vp, u64]
         L.zxch_rle_encode_lit.restype = i64
         L.zxch_rle_encode_lit.argtypes = [vp, u64, vp, u64]
         L.zxch_compress_frame.restype = i64
         L.zxch_compress_frame.argtypes = [vp, u64, ci, ci, ci, ci, ci, ci,
-                                          ci, ci, u64, ci, ci, ci, vp, u64]
+                                          ci, ci, u64, ci, ci, ci, vp, u64,
+                                          vp, u32, vp, u64]
         _lib = L
         _install_fast_paths(L)
         _tried = True
@@ -614,14 +615,19 @@ def compress_frame(data: np.ndarray, level: int, max_probes: int,
                    lazy: bool, sufficient_len: int, step_base: int,
                    step_shift: int, cover_base: int, block_size: int,
                    block_size_code: int, checksum: bool,
-                   seekable: bool, min_emit: int = 5) -> bytes | None:
-    """Whole-frame one-shot encode, levels 1-5 non-dict; byte-identical
-    with the Python frame assembly. None when unavailable."""
+                   seekable: bool, min_emit: int = 5,
+                   dict_buf: np.ndarray | None = None,
+                   dict_cl: np.ndarray | None = None,
+                   dict_id: int = 0) -> bytes | None:
+    """Whole-frame one-shot encode, levels 1-5 (with or without a
+    dictionary window / shared table); byte-identical with the Python
+    frame assembly. None when unavailable."""
     L = lib()
     if L is None:
         return None
     d8 = np.ascontiguousarray(data, np.uint8)
     n = len(d8)
+    db, cl8, cl_ptr = _as_dict_args(dict_buf, dict_cl)
     n_blocks = (n + block_size - 1) // block_size
     cap = 16 + 12 + n + n_blocks * (8 + 4 + 64) + n // 4 + 4 * n_blocks + 8 + 4096
     out, w = _native_into_bytes("encbuf", cap, lambda ptr: L.zxch_compress_frame(
@@ -629,7 +635,8 @@ def compress_frame(data: np.ndarray, level: int, max_probes: int,
         max_probes, 1 if lazy else 0, sufficient_len,
         step_base, step_shift, cover_base, min_emit, block_size,
         block_size_code, 1 if checksum else 0, 1 if seekable else 0,
-        ptr, cap))
+        db.ctypes.data_as(ctypes.c_void_p), len(db), cl_ptr,
+        ctypes.c_uint32(dict_id), ptr, cap))
     if w < 0:
         return None
     return out
@@ -725,7 +732,7 @@ def encode_glo(data: np.ndarray, start: int, max_probes: int, lazy: bool,
     n = L.zxch_encode_glo(d8.ctypes.data_as(ctypes.c_void_p), len(d8), start,
                           max_probes, 1 if lazy else 0, sufficient_len,
                           step_base, step_shift, cover_base, min_emit,
-                          out.ctypes.data_as(ctypes.c_void_p), cap)
+                          None, out.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         return None
     return out[:n].tobytes()

@@ -1736,10 +1736,18 @@ int64_t zxch_rle_encode_lit(const uint8_t *lit, uint64_t n, uint8_t *out,
   return ghi_rle_encode(lit, n, out, cap);
 }
 
+// defined later in this file (entropy-candidate pricing needs them)
+static int zxch_build_code_lengths(const uint64_t *freq, int max_len,
+                                   uint8_t *cl);
+extern "C" int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
+                                     const uint8_t *code_len, uint8_t *out,
+                                     uint64_t cap);
+
 int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
                         int max_probes, int lazy, int sufficient_len,
                         int step_base, int step_shift, int cover_base,
-                        int min_emit, uint8_t *out, uint64_t cap) {
+                        int min_emit, const uint8_t *dict_cl, uint8_t *out,
+                        uint64_t cap) {
   uint64_t P = n - start;
   uint64_t max_seq = P / 5 + 8;
   int32_t *mp = new int32_t[max_seq];
@@ -1788,14 +1796,74 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
   int64_t rle_len = -1;
   int enc_lit = 0;
   uint64_t lit_sec = lit_total;
+  int64_t best_j = (int64_t)lit_total;
   if (lit_total > 0) {
     rle_buf = new uint8_t[2 * lit_total + 8];
     rle_len = ghi_rle_encode(lit_buf, lit_total, rle_buf, 2 * lit_total + 8);
     if (rle_len >= 0) {
-      uint64_t j = (uint64_t)rle_len + ((lit_total * 8) >> 8);  // prem_rle=8
-      if (j < lit_total) {
+      int64_t j = rle_len + (int64_t)((lit_total * 8) >> 8);  // prem_rle=8
+      if (j < best_j) {
         enc_lit = 1;
         lit_sec = (uint64_t)rle_len;
+        best_j = j;
+      }
+    }
+  }
+  // entropy literal candidates, priced j = size + tax (mirrors the
+  // Python auction in block_encode._glo_payload: inline Huffman with
+  // its 128-byte lengths header at n_lit >= 139, then the shared
+  // dictionary table (header-free; wins on small frames) at any size)
+  uint8_t *huf_buf = nullptr;
+  if (lit_total > 0 && (lit_total >= 139 || dict_cl)) {
+    uint64_t freq[256] = {0};
+    for (uint64_t i2 = 0; i2 < lit_total; i2++) freq[lit_buf[i2]]++;
+    if (lit_total >= 139) {
+      uint8_t cl[256];
+      if (zxch_build_code_lengths(freq, 8, cl) > 1) {
+        uint64_t bits = 0;
+        for (int s2 = 0; s2 < 256; s2++) bits += freq[s2] * cl[s2];
+        // sound skip: per-node byte rounding only adds to bits/8
+        int64_t bound = 128 + (int64_t)(bits >> 3)
+                        + (int64_t)((lit_total * 8) >> 8);
+        if (bound < best_j) {
+          uint8_t *ib = new uint8_t[2 * lit_total + 4096 + 128];
+          int64_t hn = zxch_pivco_encode(lit_buf, lit_total, cl, ib + 128,
+                                         2 * lit_total + 4096);
+          int64_t j = hn >= 0
+              ? 128 + hn + (int64_t)((lit_total * 8) >> 8) : best_j;
+          if (hn >= 0 && j < best_j) {
+            for (int b2 = 0; b2 < 128; b2++)
+              ib[b2] = (uint8_t)((cl[2 * b2] & 0x0F) | (cl[2 * b2 + 1] << 4));
+            delete[] huf_buf;
+            huf_buf = ib;
+            enc_lit = 2;
+            lit_sec = (uint64_t)(128 + hn);
+            best_j = j;
+          } else {
+            delete[] ib;
+          }
+        }
+      }
+    }
+    if (dict_cl) {
+      int all = 1;
+      for (int s2 = 0; s2 < 256; s2++)
+        if (freq[s2] && !dict_cl[s2]) { all = 0; break; }
+      if (all) {
+        uint8_t *db = new uint8_t[2 * lit_total + 4096];
+        int64_t hn = zxch_pivco_encode(lit_buf, lit_total, dict_cl, db,
+                                       2 * lit_total + 4096);
+        int64_t j = hn >= 0
+            ? hn + (int64_t)((lit_total * 8) >> 8) : best_j;
+        if (hn >= 0 && j < best_j) {
+          delete[] huf_buf;
+          huf_buf = db;
+          enc_lit = 3;
+          lit_sec = (uint64_t)hn;
+          best_j = j;
+        } else {
+          delete[] db;
+        }
       }
     }
   }
@@ -1804,7 +1872,7 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
                   n_ext_bytes;
   if (need > cap) {
     delete[] mp; delete[] ml; delete[] mo; delete[] lit_buf;
-    delete[] rle_buf;
+    delete[] rle_buf; delete[] huf_buf;
     return -10;
   }
 
@@ -1825,7 +1893,8 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
   d = n_ext_bytes | (n_ext_bytes << 32); memcpy(w + 24, &d, 8);
   w += 32;
 
-  if (enc_lit == 1) { memcpy(w, rle_buf, lit_sec); }
+  if (enc_lit >= 2) { memcpy(w, huf_buf, lit_sec); }
+  else if (enc_lit == 1) { memcpy(w, rle_buf, lit_sec); }
   else { memcpy(w, lit_buf, lit_sec); }
   w += lit_sec;
 
@@ -1863,6 +1932,7 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
     }
   }
   delete[] mp; delete[] ml; delete[] mo; delete[] lit_buf; delete[] rle_buf;
+  delete[] huf_buf;
   return (int64_t)need;
 }
 
@@ -2214,6 +2284,8 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
                             int min_emit,
                             uint64_t block_size, int block_size_code,
                             int checksum, int seekable,
+                            const uint8_t *dict, uint64_t dict_len,
+                            const uint8_t *dict_cl, uint32_t dict_id,
                             uint8_t *out, uint64_t cap) {
   const uint64_t HDR = 16, BH = 8, FOOT = 12;
   uint64_t w = 0;
@@ -2224,6 +2296,10 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
   out[4] = 7;                                   // FORMAT_VERSION
   out[5] = (uint8_t)block_size_code;
   out[6] = checksum ? (uint8_t)0x80 : 0;  // FLAG_HAS_CHECKSUM|RAPIDHASH(0)
+  if (dict_id) {
+    out[6] |= 0x40;                       // FLAG_HAS_DICTIONARY
+    memcpy(out + 7, &dict_id, 4);
+  }
   uint16_t h16 = zxch_hash16(out);
   out[14] = (uint8_t)(h16 & 0xFF);
   out[15] = (uint8_t)(h16 >> 8);
@@ -2232,6 +2308,19 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
   uint64_t n_blocks = (n + block_size - 1) / block_size;
   uint32_t *seek_sizes = seekable && n_blocks
       ? new uint32_t[n_blocks] : nullptr;
+  // dict window: parse/emit run on [dict || block] with start=dict_len
+  // (find_parse seeds chains from the prefix; offsets may reach into it)
+  static thread_local uint8_t *cat = nullptr;
+  static thread_local uint64_t cat_cap = 0;
+  if (dict_len) {
+    uint64_t needc = dict_len + block_size + 64;
+    if (needc > cat_cap) {
+      delete[] cat;
+      cat = new uint8_t[needc];
+      cat_cap = needc;
+    }
+    memcpy(cat, dict, dict_len);
+  }
   uint32_t global_hash = 0;
   uint64_t bi = 0;
   for (uint64_t pos = 0; pos < n; pos += block_size, bi++) {
@@ -2254,9 +2343,16 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
       // data the 0-sequence Huffman block wins outright (L5 elf
       // -0.4 -> -6.5%, tinyalpha -3.6 -> -41%). It encodes into a
       // scratch so the GLO payload survives a loss.
-      psz = zxch_encode_glo(data + pos, len, 0, max_probes, lazy,
-                            sufficient_len, step_base, step_shift,
-                            cover_base, min_emit, payload, pcap);
+      if (dict_len) {
+        memcpy(cat + dict_len, data + pos, len);
+        psz = zxch_encode_glo(cat, dict_len + len, dict_len, max_probes,
+                              lazy, sufficient_len, step_base, step_shift,
+                              cover_base, min_emit, dict_cl, payload, pcap);
+      } else {
+        psz = zxch_encode_glo(data + pos, len, 0, max_probes, lazy,
+                              sufficient_len, step_base, step_shift,
+                              cover_base, min_emit, dict_cl, payload, pcap);
+      }
       btype = 1;  // GLO
       static const int no_hl2 = getenv("ZXCH_NO_HUFLIT") != nullptr;
       if (!no_hl2) {
@@ -2278,10 +2374,17 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
       // identical to emit-then-compare, without the double encode
       uint64_t max_seq = len / 5 + 8;
       zxch_parse_scratch(max_seq);
-      int64_t nseq = zxch_find_parse(data + pos, len, 0, max_probes, lazy,
-                                     sufficient_len, step_base, step_shift,
-                                     cover_base, min_emit, g_mp, g_ml,
-                                     g_mo, max_seq);
+      const uint8_t *pdat = data + pos;
+      uint64_t pstart = 0;
+      if (dict_len) {
+        memcpy(cat + dict_len, data + pos, len);
+        pdat = cat;
+        pstart = dict_len;
+      }
+      int64_t nseq = zxch_find_parse(pdat, pstart + len, pstart, max_probes,
+                                     lazy, sufficient_len, step_base,
+                                     step_shift, cover_base, min_emit,
+                                     g_mp, g_ml, g_mo, max_seq);
       uint64_t lit_total = 0, n_ext = 0;
       int64_t ghi_need = nseq >= 0
           ? (int64_t)zxch_ghi_size(g_mp, g_ml, nseq, len, &lit_total,
@@ -2297,7 +2400,7 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
         psz = hl;
         btype = 1;  // GLO (all-literal Huffman)
       } else if (ghi_need >= 0 && (uint64_t)ghi_need <= pcap) {
-        psz = zxch_emit_ghi(data + pos, 0, len, g_mp, g_ml, g_mo, nseq,
+        psz = zxch_emit_ghi(pdat, pstart, len, g_mp, g_ml, g_mo, nseq,
                             lit_total, n_ext, payload);
         btype = 2;  // GHI
       } else {
@@ -2307,7 +2410,7 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
     } else {
       psz = zxch_encode_glo(data + pos, len, 0, max_probes, lazy,
                             sufficient_len, step_base, step_shift,
-                            cover_base, min_emit, payload, pcap);
+                            cover_base, min_emit, nullptr, payload, pcap);
       btype = 1;  // GLO
     }
     if (psz < 0 || (uint64_t)(BH + psz) >= len) {
@@ -3092,7 +3195,8 @@ int64_t zxch_simple_compress(const uint8_t *data, uint64_t n, int level,
   return zxch_compress_frame(data, n, level, p.probes, p.lazy, p.suff,
                              p.sb, p.ss, p.cover, p.min_emit,
                              block_size, code,
-                             checksum, seekable, dst, dst_cap);
+                             checksum, seekable, nullptr, 0, nullptr, 0,
+                             dst, dst_cap);
 }
 
 }  // extern "C"
