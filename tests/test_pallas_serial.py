@@ -226,7 +226,11 @@ def test_v19_multiop_slots_interpret(ksub):
     outs = pallas_decode.decode_blocks_v19(
         pieces, lits, list(plan.totals), BLOCK, interpret=True, K=ksub)
     assert b"".join(outs) == data
-    # v20 (plane-segregated packing) must agree too
+    # v20 (plane-segregated packing) and v21 (pair-merged permute)
+    # must agree too
     outs20 = pallas_decode.decode_blocks_v20(
         pieces, lits, list(plan.totals), BLOCK, interpret=True, K=ksub)
     assert b"".join(outs20) == data
+    outs21 = pallas_decode.decode_blocks_v21(
+        pieces, lits, list(plan.totals), BLOCK, interpret=True, K=ksub)
+    assert b"".join(outs21) == data

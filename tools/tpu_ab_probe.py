@@ -38,11 +38,15 @@ VB = os.environ.get("PROBE_B", "19")
 
 def get_pack_kern(variant):
     ksub = KSUB
-    if variant.startswith("19k") or variant.startswith("20k"):
+    if len(variant) > 2 and variant[2] == "k":
         ksub = int(variant[3:])         # "19k3" = v19 with K=3 sub-ops
         variant = variant[:2]
-    qa = {"13": 2, "15": 2, "16": 4, "17": 2, "19": 2, "20": 2}.get(variant, 1)
-    if variant == "20":
+    qa = {"13": 2, "15": 2, "16": 4, "17": 2, "19": 2, "20": 2,
+          "21": 2}.get(variant, 1)
+    if variant == "21":
+        pack = functools.partial(PD.pack_blocks_v19, K=ksub)
+        kern = lambda b, q, r: PD.v21_kernel(b, q, r, ksub)
+    elif variant == "20":
         pack = functools.partial(PD.pack_blocks_v20, K=ksub)
         kern = lambda b, q, r: PD.v20_kernel(b, q, r, ksub)
     elif variant == "19":

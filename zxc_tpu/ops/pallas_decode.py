@@ -2791,3 +2791,154 @@ def decode_blocks_v20(pieces_list, lit_list, totals, block: int,
         out = outs[j // B][j % B]
         res.append(out.reshape(-1)[:totals[j]].astype(np.uint8).tobytes())
     return res
+
+
+# ---------------------------------------------------------------------------
+# v21: v19 with the quad pair's two target-permute matmuls MERGED into
+# one (128,256)@(256,128) matmul. The v12 ablation showed the MXU
+# contraction dim streams nearly free up to ~528 (K=528 gather cost ~=
+# K=128), so ptA@cA + ptB@cB = [ptA|ptB]@[cA;cB] trades one full issue
+# for ~128 streamed cycles: 3 matmul issues per pair instead of 4.
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel_v21(K: int):
+    def _kernel_v21(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref,
+                    out_ref):
+        b = pl.program_id(0)
+        NST = out_ref.shape[1] // 128
+        G32 = pctrl_ref.shape[1] // K
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        row128q = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+        def quad_c(q):
+            base = pl.multiple_of(qbase_ref[b, q], 16)
+            win = litb_ref[0, pl.ds(base, 128), :]
+
+            def plane_bc(j):
+                bcs = []
+                for u in range(4):
+                    bat = 4 * q + u
+                    grp = pctrl_ref[0, pl.ds(j * G32 + (bat >> 7) * 32, 32),
+                                    :]
+                    bcs.append(jnp.take_along_axis(
+                        grp, jnp.full((32, 128), bat & 127, jnp.int32),
+                        axis=1))
+                return jnp.concatenate(bcs, axis=0)
+
+            bc0 = plane_bc(0)
+            rowrel = jax.lax.shift_right_logical(bc0, 21)
+            onehot = jnp.where(rowiota == rowrel[:, :1],
+                               jnp.float32(1), jnp.float32(0))
+            gath = jax.lax.dot_general(
+                onehot.astype(jnp.bfloat16), win, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            m = ((lane128 >= ((bc0 >> 7) & 127))
+                 & (lane128 <= ((bc0 >> 14) & 127)))
+            bsel = bc0
+            for j in range(1, K):
+                bcj = plane_bc(j)
+                mj = ((lane128 >= ((bcj >> 7) & 127))
+                      & (lane128 <= ((bcj >> 14) & 127)))
+                bsel = jnp.where(mj, bcj, bsel)
+                m = m | mj
+            sh = jnp.take_along_axis(gath, (lane128 + (bsel & 127)) & 127,
+                                     axis=1)
+            return jnp.where(m, sh, 0)
+
+        for t in range(NST):
+            q0 = qs_ref[b, t]
+            q1 = qs_ref[b, t + 1]
+
+            def qbody(g, acc):
+                q = q0 + 2 * g
+                cab = jnp.concatenate([quad_c(q), quad_c(q + 1)], axis=0)
+                # 1-D tq concat fails to lower ("input offsets outside of
+                # the first tile"); column-concat of the 2-D one-hots does
+                pta = jnp.where(row128q == tq_ref[0, q, :][None, :],
+                                jnp.float32(1), jnp.float32(0))
+                ptb = jnp.where(row128q == tq_ref[0, q + 1, :][None, :],
+                                jnp.float32(1), jnp.float32(0))
+                pt = jnp.concatenate([pta, ptb], axis=1)
+                return acc + jax.lax.dot_general(
+                    pt.astype(jnp.bfloat16), cab.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+
+            tile = jax.lax.fori_loop(0, (q1 - q0) >> 1, qbody,
+                                     jnp.zeros((128, 128), jnp.int32))
+            out_ref[0, t * 128:(t + 1) * 128, :] = tile
+
+    return _kernel_v21
+
+
+@functools.lru_cache(maxsize=32)
+def v21_kernel(block: int, MAXQ: int, RLP: int, K: int = 2,
+               interpret: bool = False):
+    NR = block // 128
+    NB = MAXQ * 4
+    G32 = 32 * (-(-NB // 128))
+    body = _make_kernel_v21(K)
+
+    def call(qs, qbase, pctrl, tq, lit8):
+        litb = lit8.astype(jnp.bfloat16)
+        B = pctrl.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, K * G32, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, MAXQ, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RLP, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            body,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(qs, qbase, pctrl, tq, litb)
+
+    return jax.jit(call)
+
+
+def decode_blocks_v21(pieces_list, lit_list, totals, block: int,
+                      interpret: bool = False, device=None,
+                      dispatch: int = 16, K: int = 2):
+    """v21 decode: v19 packing, pair-merged permute matmul."""
+    nb = len(pieces_list)
+    if nb == 0:
+        return []
+    if block < 16384:
+        return decode_blocks_v13(pieces_list, lit_list, totals, block,
+                                 interpret=interpret, device=device,
+                                 dispatch=dispatch)
+    B = min(dispatch, nb)
+    nd = -(-nb // B)
+    pad = nd * B - nb
+    p = list(pieces_list) + [pieces_list[-1]] * pad
+    l = list(lit_list) + [lit_list[-1]] * pad
+    t = list(totals) + [0] * pad
+    raw = [pack_blocks_v19(p[d * B:(d + 1) * B], l[d * B:(d + 1) * B],
+                           t[d * B:(d + 1) * B], block, K=K)
+           for d in range(nd)]
+    MAXQ = -(-max(s[1].shape[1] for s in raw) // 32) * 32
+    RLP = -(-max(s[4].shape[1] for s in raw) // 128) * 128
+    kern = v21_kernel(block, MAXQ, RLP, K, interpret)
+    outs = []
+    for s in raw:
+        args = pad_v19_set(s, MAXQ, RLP, K)
+        if device is not None:
+            args = tuple(jax.device_put(a, device) for a in args)
+        outs.append(np.asarray(kern(*args)))
+    res = []
+    for j in range(nb):
+        out = outs[j // B][j % B]
+        res.append(out.reshape(-1)[:totals[j]].astype(np.uint8).tobytes())
+    return res
