@@ -101,3 +101,5 @@ def test_encoder_roundtrip_under_sanitizers(driver, tmp_path):
         p.write_bytes(data)
         for level in (1, 2, 3, 5):
             _run(driver, "r", str(p), str(level), timeout=120)
+            # dict path (window prefix + shared table) under sanitizers
+            _run(driver, "rd", str(p), str(level), timeout=120)

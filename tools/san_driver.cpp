@@ -57,7 +57,9 @@ static int parse_header(const uint8_t *src, size_t n, uint64_t *block_size,
 }
 
 static int64_t decode(const std::vector<uint8_t> &arc, int verify,
-                      std::vector<uint8_t> *out) {
+                      std::vector<uint8_t> *out,
+                      const uint8_t *dict = nullptr, uint64_t n_dict = 0,
+                      const uint8_t *dict_cl = nullptr) {
   uint64_t bs;
   int ck;
   int rc = parse_header(arc.data(), arc.size(), &bs, &ck);
@@ -72,7 +74,7 @@ static int64_t decode(const std::vector<uint8_t> &arc, int verify,
   if (nb < 0) return nb;
   out->assign((uint64_t)nb * bs + 64, 0);
   return zxch_decompress_frame(arc.data(), arc.size(), bs, ck, verify,
-                               nullptr, 0, nullptr, out->data(),
+                               dict, n_dict, dict_cl, out->data(),
                                out->size());
 }
 
@@ -89,8 +91,25 @@ int main(int argc, char **argv) {
     return 0;
   }
   if (argv[1][0] == 'r') {
+    // "r" = roundtrip; "rd" = roundtrip with a dictionary derived from
+    // the input (window prefix + shared code-length table), exercising
+    // the dict-path native encode/decode under the sanitizers
+    int with_dict = argv[1][1] == 'd';
     std::vector<uint8_t> data = read_file(argv[2]);
     int level = argc > 3 ? atoi(argv[3]) : 3;
+    std::vector<uint8_t> dict;
+    uint8_t dict_cl[256] = {0};
+    const uint8_t *dcl = nullptr;
+    if (with_dict) {
+      uint64_t dn = data.size() < 4096 ? data.size() : 4096;
+      dict.assign(data.begin(), data.begin() + dn);
+      uint64_t freq[256] = {0};
+      for (uint64_t i = 0; i < dn; i++) freq[dict[i]]++;
+      // cover every byte value so the shared-table candidate always
+      // prices (missing symbols would just gate it off)
+      for (int v = 0; v < 256; v++) if (!freq[v]) freq[v] = 1;
+      if (zxch_code_lengths(freq, 8, dict_cl) > 1) dcl = dict_cl;
+    }
     // level-param table mirror of codec/block_encode.py level_params
     struct P { int probes, lazy, suff, sb, ss, cover; } tab[6] = {
         {2, 0, 16, 1, 4, 4}, {6, 1, 24, 1, 6, 4}, {6, 1, 32, 1, 6, 4},
@@ -105,12 +124,17 @@ int main(int argc, char **argv) {
     int64_t w = zxch_compress_frame(dp, data.size(), level,
                                     p.probes, p.lazy, p.suff, p.sb, p.ss,
                                     p.cover, /*min_emit=*/5,
-                                    bs, 16, 1, 1, nullptr, 0, nullptr, 0,
+                                    bs, 16, 1, 1,
+                                    dict.empty() ? nullptr : dict.data(),
+                                    dict.size(), dcl,
+                                    with_dict ? 0x1234u : 0u,
                                     arc.data(), cap);
     if (w < 0) { fprintf(stderr, "compress failed %lld\n", (long long)w); return 3; }
     arc.resize(w);
     std::vector<uint8_t> out;
-    int64_t n = decode(arc, 1, &out);
+    int64_t n = decode(arc, 1, &out,
+                       dict.empty() ? nullptr : dict.data(), dict.size(),
+                       dcl);
     if (n != (int64_t)data.size() ||
         (data.size() && memcmp(out.data(), data.data(), data.size()) != 0)) {
       fprintf(stderr, "roundtrip mismatch %lld\n", (long long)n);
