@@ -36,11 +36,20 @@ VA = os.environ.get("PROBE_A", "15")
 VB = os.environ.get("PROBE_B", "19")
 
 
-def get_pack_kern(variant):
-    ksub = KSUB
+def parse_variant(variant):
+    """"19k2m3" -> ("19", ksub=2, max_frag=3)."""
+    ksub, mf = KSUB, 1
+    if "m" in variant[2:]:
+        variant, mtail = variant.split("m", 1)
+        mf = int(mtail)
     if len(variant) > 2 and variant[2] == "k":
-        ksub = int(variant[3:])         # "19k3" = v19 with K=3 sub-ops
+        ksub = int(variant[3:])
         variant = variant[:2]
+    return variant, ksub, mf
+
+
+def get_pack_kern(variant):
+    variant, ksub, _ = parse_variant(variant)
     qa = {"13": 2, "15": 2, "16": 4, "17": 2, "19": 2, "20": 2,
           "21": 2}.get(variant, 1)
     if variant == "21":
@@ -131,13 +140,21 @@ def main():
     data = gen_corpus(MB * 1024 * 1024)
     arc = ref_oracle.ref_compress(data, level=LEVEL, block_size=BLOCK)
     plan = plan_frame(arc)
-    pieces, lits = [], []
-    for i in range(plan.n_blocks):
-        r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
-                                   plan.lit[i], plan.dict_buf,
-                                   device_pure=True, max_frag=1)
-        pieces.append(r[:4])
-        lits.append(r[4])
+    by_mf = {}
+
+    def resolve(mf):
+        if mf in by_mf:
+            return by_mf[mf]
+        pieces, lits = [], []
+        for i in range(plan.n_blocks):
+            r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
+                                       plan.lit[i], plan.dict_buf,
+                                       device_pure=True, max_frag=mf)
+            pieces.append(r[:4])
+            lits.append(r[4])
+        by_mf[mf] = (pieces, lits)
+        return by_mf[mf]
+
     dev = jax.devices()[0]
 
     exp1 = np.uint32(0)
@@ -158,6 +175,7 @@ def main():
     vs = {}
     for v in (VA, VB):
         t0 = time.time()
+        pieces, lits = resolve(parse_variant(v)[2])
         lo, hi, ds, ts = build(v, pieces, lits, list(plan.totals), data, dev)
         assert tuple(map(int, lo(ds, ts))) == fp, f"v{v} FP mismatch"
         assert tuple(map(int, hi(ds, ts))) == fp_hi
