@@ -106,9 +106,12 @@ int64_t zxch_decode_block(int block_type, const uint8_t *payload,
 int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
                             int max_probes, int lazy, int sufficient_len,
                             int step_base, int step_shift, int cover_base,
+                            int min_emit,
                             uint64_t block_size, int block_size_code,
-                            int checksum, int seekable, uint8_t *out,
-                            uint64_t cap);
+                            int checksum, int seekable,
+                            const uint8_t *dict, uint64_t dict_len,
+                            const uint8_t *dict_cl256, uint32_t dict_id,
+                            uint8_t *out, uint64_t cap);
 
 /* -- simple one-call ABI (binding surface) ------------------------------ */
 /* Header parse/validate; fills block_size / has_checksum / dict_id.  */
@@ -126,6 +129,18 @@ int64_t zxch_compress_bound(uint64_t n, uint64_t block_size);
 int64_t zxch_simple_compress(const uint8_t *data, uint64_t n, int level,
                              uint64_t block_size, int checksum, int seekable,
                              uint8_t *dst, uint64_t dst_cap);
+/* 32-bit id binding a (content, packed-table) pair; huf128 may be NULL. */
+uint32_t zxch_dict_id(const uint8_t *content, uint64_t n,
+                      const uint8_t *huf128);
+/* zxch_simple_compress with a dictionary window + optional shared
+ * table (256 unpacked code lengths, same convention as
+ * zxch_simple_decompress; NULL for a content-only dictionary). The
+ * dict id is stamped into the header automatically.                 */
+int64_t zxch_simple_compress_dict(const uint8_t *data, uint64_t n, int level,
+                                  uint64_t block_size, int checksum,
+                                  int seekable, const uint8_t *dict,
+                                  uint64_t n_dict, const uint8_t *dict_cl256,
+                                  uint8_t *dst, uint64_t dst_cap);
 /* O(1) random-access range decode from a seekable archive.           */
 int64_t zxch_seekable_range(const uint8_t *src, uint64_t n, uint64_t offset,
                             uint64_t length, uint8_t *dst, uint64_t dst_cap,

@@ -41,6 +41,12 @@ int32_t zxcw_decompress(const uint8_t*, uint32_t, uint8_t*, uint32_t,
 int32_t zxcw_seekable_range(const uint8_t*, uint32_t, uint32_t, uint32_t,
                             uint8_t*);
 int32_t zxcw_detect(const uint8_t*, uint32_t);
+int32_t zxcw_compress_dict(const uint8_t*, uint32_t, int32_t, uint32_t,
+                           int32_t, int32_t, const uint8_t*, uint32_t,
+                           const uint8_t*, uint8_t*, uint32_t);
+int32_t zxcw_decompress_dict(const uint8_t*, uint32_t, uint8_t*, uint32_t,
+                             const uint8_t*, uint32_t, const uint8_t*,
+                             int32_t);
 int main(void) {
     enum { N = 120000 };
     uint8_t *data = malloc(N);
@@ -59,6 +65,14 @@ int main(void) {
     uint8_t slice[512];
     if (zxcw_seekable_range(arc, w, 100000, 512, slice) != 512) return 7;
     if (memcmp(slice, data + 100000, 512)) return 8;
+    /* dictionary surface: dict = first 4 KB of the input */
+    int32_t wd = zxcw_compress_dict(data + 8000, 30000, 3, 65536, 1, 0,
+                                    data, 4096, 0, arc, cap);
+    if (wd <= 0) return 9;
+    if (zxcw_decompress(arc, wd, back, bound, 1) >= 0) return 10;  /* no dict */
+    if (zxcw_decompress_dict(arc, wd, back, bound, data, 4096, 0, 1)
+        != 30000) return 11;
+    if (memcmp(back, data + 8000, 30000)) return 12;
     return 0;
 }
 ''')

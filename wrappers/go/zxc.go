@@ -149,3 +149,91 @@ func SeekableRange(archive []byte, offset, length uint64) ([]byte, error) {
 	}
 	return dst[:w], nil
 }
+
+// Dictionary is a shared compression dictionary: a parse-window prefix
+// plus an optional shared literal code table (256 per-symbol lengths,
+// unpacked form; nil for a content-only dictionary). Mirrors the
+// reference Go wrapper's dictionary surface (wrappers/go/zxc_dict.go).
+type Dictionary struct {
+	Content []byte
+	CodeLen []byte // 256 entries or nil
+}
+
+func (d *Dictionary) clPtr() *C.uint8_t {
+	if d == nil || len(d.CodeLen) != 256 {
+		return nil
+	}
+	return ptr(d.CodeLen)
+}
+
+// ID returns the 32-bit dictionary id stamped into frame headers.
+func (d *Dictionary) ID() uint32 {
+	if d == nil || len(d.Content) == 0 {
+		return 0
+	}
+	var huf *C.uint8_t
+	var packed [128]byte
+	if len(d.CodeLen) == 256 {
+		for i := 0; i < 128; i++ {
+			packed[i] = (d.CodeLen[2*i] & 0x0F) | (d.CodeLen[2*i+1] << 4)
+		}
+		huf = (*C.uint8_t)(unsafe.Pointer(&packed[0]))
+	}
+	return uint32(C.zxch_dict_id(ptr(d.Content),
+		C.uint64_t(len(d.Content)), huf))
+}
+
+// CompressDict encodes data against a shared dictionary; the dict id is
+// stamped into the header and DecompressDict must receive the same dict.
+func CompressDict(data []byte, d *Dictionary, opts *CompressOptions) ([]byte, error) {
+	o := CompressOptions{Level: 3}
+	if opts != nil {
+		o = *opts
+	}
+	if o.Level == 0 {
+		o.Level = 3
+	}
+	bs := o.BlockSize
+	if bs == 0 {
+		bs = 512 * 1024
+	}
+	cap := int64(C.zxch_compress_bound(C.uint64_t(len(data)), C.uint64_t(bs)))
+	dst := make([]byte, cap)
+	var dc *C.uint8_t
+	var dn C.uint64_t
+	if d != nil && len(d.Content) > 0 {
+		dc = ptr(d.Content)
+		dn = C.uint64_t(len(d.Content))
+	}
+	w := int64(C.zxch_simple_compress_dict(ptr(data), C.uint64_t(len(data)),
+		C.int(o.Level), C.uint64_t(o.BlockSize), boolInt(o.Checksum),
+		boolInt(o.Seekable), dc, dn, d.clPtr(),
+		ptr(dst), C.uint64_t(len(dst))))
+	if w < 0 {
+		return nil, Error(w)
+	}
+	return dst[:w], nil
+}
+
+// DecompressDict decodes an archive produced with a shared dictionary.
+func DecompressDict(archive []byte, d *Dictionary, verify bool) ([]byte, error) {
+	bound := int64(C.zxch_simple_decompress_bound(ptr(archive),
+		C.uint64_t(len(archive))))
+	if bound < 0 {
+		return nil, Error(bound)
+	}
+	dst := make([]byte, bound+1)
+	var dc *C.uint8_t
+	var dn C.uint64_t
+	if d != nil && len(d.Content) > 0 {
+		dc = ptr(d.Content)
+		dn = C.uint64_t(len(d.Content))
+	}
+	w := int64(C.zxch_simple_decompress(ptr(archive),
+		C.uint64_t(len(archive)), ptr(dst), C.uint64_t(bound), dc, dn,
+		d.clPtr(), boolInt(verify)))
+	if w < 0 {
+		return nil, Error(w)
+	}
+	return dst[:w], nil
+}

@@ -59,3 +59,23 @@ func TestCorruptRejected(t *testing.T) {
 		t.Fatalf("corrupted archive accepted")
 	}
 }
+
+func TestDictionaryRoundtrip(t *testing.T) {
+	dict := &Dictionary{Content: bytes.Repeat([]byte("shared dict content: json rows with common keys "), 40)}
+	data := bytes.Repeat([]byte("json rows with common keys and payload 12345 "), 30)
+	arc, err := CompressDict(data, dict, &CompressOptions{Level: 3, Checksum: true})
+	if err != nil {
+		t.Fatal(err)
+	}
+	info, err := Info(arc)
+	if err != nil || info.DictID == 0 || info.DictID != dict.ID() {
+		t.Fatalf("dict id: %v %v vs %v", err, info.DictID, dict.ID())
+	}
+	out, err := DecompressDict(arc, dict, true)
+	if err != nil || !bytes.Equal(out, data) {
+		t.Fatalf("dict roundtrip: %v", err)
+	}
+	if _, err := Decompress(arc, true); err == nil {
+		t.Fatal("decode without dict must fail")
+	}
+}

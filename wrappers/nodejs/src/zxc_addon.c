@@ -96,6 +96,89 @@ static napi_value Decompress(napi_env env, napi_callback_info info) {
   return out;
 }
 
+/* compressDict(data, dictContent, dictCodeLen256|null, level=3,
+ * blockSize=0, checksum=false, seekable=false) -> Buffer */
+static napi_value CompressDict(napi_env env, napi_callback_info info) {
+  size_t argc = 7;
+  napi_value args[7];
+  napi_get_cb_info(env, info, &argc, args, NULL, NULL);
+  uint8_t *data;
+  size_t n;
+  if (!get_buffer(env, args[0], &data, &n)) return NULL;
+  uint8_t *dict = NULL;
+  size_t n_dict = 0;
+  if (argc > 1 && !get_buffer(env, args[1], &dict, &n_dict)) return NULL;
+  uint8_t *cl = NULL;
+  size_t n_cl = 0;
+  napi_valuetype t = napi_undefined;
+  if (argc > 2) napi_typeof(env, args[2], &t);
+  if (t != napi_undefined && t != napi_null) {
+    if (!get_buffer(env, args[2], &cl, &n_cl) || n_cl != 256) {
+      napi_throw_error(env, "EINVAL", "dictCodeLen must be 256 bytes");
+      return NULL;
+    }
+  }
+  int64_t level = argc > 3 ? get_int(env, args[3], 3) : 3;
+  int64_t bs = argc > 4 ? get_int(env, args[4], 0) : 0;
+  bool checksum = false, seekable = false;
+  if (argc > 5) napi_get_value_bool(env, args[5], &checksum);
+  if (argc > 6) napi_get_value_bool(env, args[6], &seekable);
+  int64_t cap = zxch_compress_bound(n, bs ? bs : 512 * 1024);
+  uint8_t *dst = (uint8_t *)malloc(cap);
+  if (!dst) return throw_code(env, -1);
+  int64_t w = zxch_simple_compress_dict(data, n, (int)level, bs, checksum,
+                                        seekable, dict, n_dict, cl, dst,
+                                        cap);
+  if (w < 0) {
+    free(dst);
+    return throw_code(env, w);
+  }
+  napi_value out;
+  napi_create_buffer_copy(env, (size_t)w, dst, NULL, &out);
+  free(dst);
+  return out;
+}
+
+/* decompressDict(archive, dictContent, dictCodeLen256|null, verify=true)
+ * -> Buffer */
+static napi_value DecompressDict(napi_env env, napi_callback_info info) {
+  size_t argc = 4;
+  napi_value args[4];
+  napi_get_cb_info(env, info, &argc, args, NULL, NULL);
+  uint8_t *arc;
+  size_t n;
+  if (!get_buffer(env, args[0], &arc, &n)) return NULL;
+  uint8_t *dict = NULL;
+  size_t n_dict = 0;
+  if (argc > 1 && !get_buffer(env, args[1], &dict, &n_dict)) return NULL;
+  uint8_t *cl = NULL;
+  size_t n_cl = 0;
+  napi_valuetype t = napi_undefined;
+  if (argc > 2) napi_typeof(env, args[2], &t);
+  if (t != napi_undefined && t != napi_null) {
+    if (!get_buffer(env, args[2], &cl, &n_cl) || n_cl != 256) {
+      napi_throw_error(env, "EINVAL", "dictCodeLen must be 256 bytes");
+      return NULL;
+    }
+  }
+  bool verify = true;
+  if (argc > 3) napi_get_value_bool(env, args[3], &verify);
+  int64_t bound = zxch_simple_decompress_bound(arc, n);
+  if (bound < 0) return throw_code(env, bound);
+  uint8_t *dst = (uint8_t *)malloc((size_t)bound + 1);
+  if (!dst) return throw_code(env, -1);
+  int64_t w = zxch_simple_decompress(arc, n, dst, (uint64_t)bound, dict,
+                                     n_dict, cl, verify);
+  if (w < 0) {
+    free(dst);
+    return throw_code(env, w);
+  }
+  napi_value out;
+  napi_create_buffer_copy(env, (size_t)w, dst, NULL, &out);
+  free(dst);
+  return out;
+}
+
 /* getDecompressedSize(archive: Buffer) -> number */
 static napi_value GetDecompressedSize(napi_env env, napi_callback_info info) {
   size_t argc = 1;
@@ -167,6 +250,8 @@ static napi_value Init(napi_env env, napi_value exports) {
   napi_set_named_property(env, exports, name, fn)
   EXPORT("compress", Compress);
   EXPORT("decompress", Decompress);
+  EXPORT("compressDict", CompressDict);
+  EXPORT("decompressDict", DecompressDict);
   EXPORT("getDecompressedSize", GetDecompressedSize);
   EXPORT("frameInfo", FrameInfo);
   EXPORT("seekableRange", SeekableRange);

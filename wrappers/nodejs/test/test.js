@@ -30,4 +30,13 @@ const bad = Buffer.from(arc);
 bad[100] ^= 0xff;
 assert.throws(() => zxc.decompress(bad));
 
+// shared-dictionary roundtrip (header carries the dict id; decoding
+// without the dictionary must fail)
+const dict = { content: Buffer.alloc(2048, 'json rows with common keys ') };
+const small = Buffer.alloc(4096, 'json rows with common keys and vals ');
+const darc = zxc.compressDict(small, dict, { level: 3, checksum: true });
+assert(zxc.frameInfo(darc).dictId !== 0);
+assert(zxc.decompressDict(darc, dict).equals(small));
+assert.throws(() => zxc.decompress(darc));
+
 console.log('zxc-tpu node binding: all tests passed');

@@ -27,6 +27,21 @@ extern "C" {
         verify: i32,
     ) -> i64;
     pub fn zxch_compress_bound(n: u64, block_size: u64) -> i64;
+    pub fn zxch_dict_id(content: *const u8, n: u64, huf128: *const u8)
+        -> u32;
+    pub fn zxch_simple_compress_dict(
+        data: *const u8,
+        n: u64,
+        level: i32,
+        block_size: u64,
+        checksum: i32,
+        seekable: i32,
+        dict: *const u8,
+        n_dict: u64,
+        dict_cl256: *const u8,
+        dst: *mut u8,
+        dst_cap: u64,
+    ) -> i64;
     pub fn zxch_simple_compress(
         data: *const u8,
         n: u64,

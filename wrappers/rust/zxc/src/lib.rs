@@ -88,6 +88,107 @@ pub fn compress(data: &[u8], opts: &CompressOptions) -> Result<Vec<u8>, Error> {
     Ok(dst)
 }
 
+/// Shared compression dictionary: a parse-window prefix plus an
+/// optional shared literal code table (256 unpacked per-symbol
+/// lengths). Mirrors the reference crate's dictionary surface.
+#[derive(Debug, Clone, Default)]
+pub struct Dictionary {
+    pub content: Vec<u8>,
+    /// 256 per-symbol code lengths, or empty for content-only dicts.
+    pub code_len: Vec<u8>,
+}
+
+impl Dictionary {
+    fn cl_ptr(&self) -> *const u8 {
+        if self.code_len.len() == 256 { self.code_len.as_ptr() }
+        else { core::ptr::null() }
+    }
+
+    /// 32-bit id stamped into frame headers for this dictionary.
+    pub fn id(&self) -> u32 {
+        if self.content.is_empty() {
+            return 0;
+        }
+        let packed: Option<[u8; 128]> = if self.code_len.len() == 256 {
+            let mut p = [0u8; 128];
+            for i in 0..128 {
+                p[i] = (self.code_len[2 * i] & 0x0F)
+                    | (self.code_len[2 * i + 1] << 4);
+            }
+            Some(p)
+        } else {
+            None
+        };
+        unsafe {
+            sys::zxch_dict_id(
+                self.content.as_ptr(),
+                self.content.len() as u64,
+                packed.as_ref().map_or(core::ptr::null(), |p| p.as_ptr()),
+            )
+        }
+    }
+}
+
+/// Frame encode against a shared dictionary (the dict id lands in the
+/// header; decode with [`decompress_dict`] and the same dictionary).
+pub fn compress_dict(
+    data: &[u8],
+    dict: &Dictionary,
+    opts: &CompressOptions,
+) -> Result<Vec<u8>, Error> {
+    let bs = if opts.block_size == 0 { 512 * 1024 } else { opts.block_size };
+    let cap = unsafe { sys::zxch_compress_bound(data.len() as u64, bs) };
+    let cap = check(cap)? as usize;
+    let mut dst = vec![0u8; cap];
+    let w = unsafe {
+        sys::zxch_simple_compress_dict(
+            data.as_ptr(),
+            data.len() as u64,
+            opts.level,
+            opts.block_size,
+            opts.checksum as i32,
+            opts.seekable as i32,
+            dict.content.as_ptr(),
+            dict.content.len() as u64,
+            dict.cl_ptr(),
+            dst.as_mut_ptr(),
+            cap as u64,
+        )
+    };
+    let w = check(w)? as usize;
+    dst.truncate(w);
+    Ok(dst)
+}
+
+/// Frame decode of a dictionary archive.
+pub fn decompress_dict(
+    archive: &[u8],
+    dict: &Dictionary,
+    verify: bool,
+) -> Result<Vec<u8>, Error> {
+    let bound = unsafe {
+        sys::zxch_simple_decompress_bound(archive.as_ptr(),
+                                          archive.len() as u64)
+    };
+    let bound = check(bound)? as usize;
+    let mut dst = vec![0u8; bound + 1];
+    let w = unsafe {
+        sys::zxch_simple_decompress(
+            archive.as_ptr(),
+            archive.len() as u64,
+            dst.as_mut_ptr(),
+            bound as u64,
+            dict.content.as_ptr(),
+            dict.content.len() as u64,
+            dict.cl_ptr(),
+            verify as i32,
+        )
+    };
+    let w = check(w)? as usize;
+    dst.truncate(w);
+    Ok(dst)
+}
+
 /// Footer-declared decompressed size of a validated archive.
 pub fn get_decompressed_size(archive: &[u8]) -> Result<u64, Error> {
     let s = unsafe {
@@ -189,6 +290,24 @@ mod tests {
                        &data[60000..65000]);
             assert!(frame_info(&arc).unwrap().has_checksum);
         }
+    }
+
+    #[test]
+    fn dict_roundtrip() {
+        let dict = Dictionary {
+            content: b"json rows with common keys ".repeat(80),
+            code_len: Vec::new(),
+        };
+        let data = b"json rows with common keys and payload 42 ".repeat(100);
+        let arc = compress_dict(&data, &dict, &CompressOptions {
+            checksum: true, ..Default::default()
+        }).unwrap();
+        let info = frame_info(&arc).unwrap();
+        assert_ne!(info.dict_id, 0);
+        assert_eq!(info.dict_id, dict.id());
+        assert_eq!(decompress_dict(&arc, &dict, true).unwrap(), data);
+        // decoding without the dictionary must fail (DICT_REQUIRED)
+        assert!(decompress(&arc, true).is_err());
     }
 
     #[test]

@@ -57,6 +57,29 @@ WASM_EXPORT int32_t zxcw_seekable_range(const uint8_t *src, uint32_t n,
   return w > 0x7FFFFFFF ? -10 : (int32_t)w;
 }
 
+WASM_EXPORT int32_t zxcw_compress_dict(const uint8_t *data, uint32_t n,
+                                       int32_t level, uint32_t block_size,
+                                       int32_t checksum, int32_t seekable,
+                                       const uint8_t *dict, uint32_t n_dict,
+                                       const uint8_t *dict_cl256,
+                                       uint8_t *dst, uint32_t cap) {
+  int64_t w = zxch_simple_compress_dict(data, n, level, block_size,
+                                        checksum, seekable, dict, n_dict,
+                                        dict_cl256, dst, cap);
+  return w > 0x7FFFFFFF ? -10 : (int32_t)w;
+}
+
+WASM_EXPORT int32_t zxcw_decompress_dict(const uint8_t *src, uint32_t n,
+                                         uint8_t *dst, uint32_t cap,
+                                         const uint8_t *dict,
+                                         uint32_t n_dict,
+                                         const uint8_t *dict_cl256,
+                                         int32_t verify) {
+  int64_t w = zxch_simple_decompress(src, n, dst, cap, dict, n_dict,
+                                     dict_cl256, verify);
+  return w > 0x7FFFFFFF ? -10 : (int32_t)w;
+}
+
 /* magic sniff for detectZxc() in the JS loader */
 WASM_EXPORT int32_t zxcw_detect(const uint8_t *src, uint32_t n) {
   uint64_t bs;

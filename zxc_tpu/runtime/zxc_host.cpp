@@ -3214,6 +3214,60 @@ int64_t zxch_simple_compress(const uint8_t *data, uint64_t n, int level,
                              dst, dst_cap);
 }
 
+// 32-bit id binding a (content, table) pair (FORMAT.md section 12;
+// dictionary.py dict_id): the content checksum seeds the 128-byte
+// packed-table checksum. huf may be NULL (content-only dictionaries).
+uint32_t zxch_dict_id(const uint8_t *content, uint64_t n,
+                      const uint8_t *huf) {
+  if (!content || n == 0) return 0;
+  uint32_t base = zxch_rapidhash32(content, (size_t)n, 0);
+  if (!huf) return base;
+  uint64_t h = zxch_rapidhash64(huf, 128, base);
+  return (uint32_t)((h ^ (h >> 32)) & 0xFFFFFFFFu);
+}
+
+// zxch_simple_compress with a dictionary: `dict` becomes the parse
+// window prefix of every block; `dict_cl256` (256 per-symbol code
+// lengths, same convention as zxch_simple_decompress, or NULL)
+// additionally enables the shared-table literal candidate. The dict id
+// is computed (over the packed 128-byte table form, matching .zxd /
+// zxc_dict.c) and stamped into the frame header; decode with
+// zxch_simple_decompress passing the same dict/table.
+int64_t zxch_simple_compress_dict(const uint8_t *data, uint64_t n,
+                                  int level, uint64_t block_size,
+                                  int checksum, int seekable,
+                                  const uint8_t *dict, uint64_t n_dict,
+                                  const uint8_t *dict_cl256,
+                                  uint8_t *dst, uint64_t dst_cap) {
+  if (level < 1) level = 1;
+  if (level > 5) level = 5;
+  if (block_size == 0) block_size = 512 * 1024;
+  if (block_size & (block_size - 1)) return -14;
+  if (n_dict > (1ull << 20)) return -17;  // DICT_TOO_LARGE (1 MiB cap)
+  int code = 0;
+  while ((1ull << code) < block_size) code++;
+  if (code < 12 || code > 21) return -14;
+  struct Par { int probes, lazy, suff, sb, ss, cover, min_emit; };
+  static const Par tab[5] = {{2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
+                             {5, 1, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
+                             {64, 1, 256, 1, 0, 2, 5}};
+  Par p = tab[level - 1];
+  uint8_t packed[128];
+  const uint8_t *huf = nullptr;
+  if (dict_cl256) {
+    for (int i = 0; i < 128; i++)
+      packed[i] = (uint8_t)((dict_cl256[2 * i] & 0x0F)
+                            | (dict_cl256[2 * i + 1] << 4));
+    huf = packed;
+  }
+  const uint8_t *dcl = dict_cl256;
+  uint32_t did = zxch_dict_id(dict, n_dict, huf);
+  return zxch_compress_frame(data, n, level, p.probes, p.lazy, p.suff,
+                             p.sb, p.ss, p.cover, p.min_emit,
+                             block_size, code, checksum, seekable,
+                             dict, n_dict, dcl, did, dst, dst_cap);
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
