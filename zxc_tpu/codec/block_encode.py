@@ -558,15 +558,25 @@ def encode_block_glo(data: np.ndarray, level: int,
                      sequences=None) -> bytes | None:
     """GLO payload (no block header); None when the caller should fall back
     to RAW (reference: zxc_encode_block_glo, zxc_compress.c:1179-1864)."""
-    if sequences is None and level < 6 and (dict_state is None
-                                            or not len(dict_state.content)):
-        try:  # fully-native fast path (find+parse+emit, RAW/RLE pricing)
+    if sequences is None and level < 6:
+        try:  # fully-native fast path (find+parse+emit + literal auction)
             from .. import runtime
             params = level_params(level)
-            out = runtime.encode_glo(data, 0, params.n_candidates,
-                                     params.lazy, params.sufficient_len,
-                                     params.step_base, params.step_shift,
-                                     params.cover_base, params.min_emit)
+            if dict_state is not None and len(dict_state.content):
+                full = np.concatenate([dict_state.content, data])
+                cl = (dict_state.tree.code_len
+                      if dict_state.tree is not None else None)
+                out = runtime.encode_glo(full, len(dict_state.content),
+                                         params.n_candidates, params.lazy,
+                                         params.sufficient_len,
+                                         params.step_base, params.step_shift,
+                                         params.cover_base, params.min_emit,
+                                         dict_cl=cl)
+            else:
+                out = runtime.encode_glo(data, 0, params.n_candidates,
+                                         params.lazy, params.sufficient_len,
+                                         params.step_base, params.step_shift,
+                                         params.cover_base, params.min_emit)
             if out is not None:
                 return out
         except ImportError:
@@ -780,12 +790,14 @@ def encode_chunk(data: np.ndarray, level: int,
         # wins outright (L5 elf -0.4 -> -6.5%, tinyalpha -3.6 -> -41%)
         payload = encode_block_glo(data, level, dict_state, sequences)
         btype = C.BLOCK_GLO
-        if dict_state is None or not len(dict_state.content):
-            budget = min(len(payload),
-                         max(len(data) - C.BLOCK_HEADER_SIZE, 0))
-            hl = encode_block_hufflit(data, budget)
-            if hl is not None:
-                payload = hl
+        # the all-literal candidate operates on the block bytes alone and
+        # is wire-legal inside a dict frame, so it competes either way
+        # (matching the native frame path)
+        budget = min(len(payload),
+                     max(len(data) - C.BLOCK_HEADER_SIZE, 0))
+        hl = encode_block_hufflit(data, budget)
+        if hl is not None:
+            payload = hl
     else:
         payload = encode_block_glo(data, level, dict_state, sequences)
         btype = C.BLOCK_GLO

@@ -719,9 +719,11 @@ def encode_ghi(data: np.ndarray, start: int, max_probes: int, lazy: bool,
 def encode_glo(data: np.ndarray, start: int, max_probes: int, lazy: bool,
                sufficient_len: int = 0, step_base: int = 1,
                step_shift: int = 0, cover_base: int = 1,
-               min_emit: int = 5):
-    """Fully-native GLO payload emission (levels 3-5, RAW/RLE literal
-    pricing); returns bytes or None."""
+               min_emit: int = 5, dict_cl: np.ndarray | None = None):
+    """Fully-native GLO payload emission (levels 1-5; RAW/RLE/inline-
+    Huffman literal pricing, plus the shared-dict table when ``dict_cl``
+    is given — ``data[:start]`` is the dictionary window); returns bytes
+    or None."""
     L = lib()
     if L is None:
         return None
@@ -729,10 +731,14 @@ def encode_glo(data: np.ndarray, start: int, max_probes: int, lazy: bool,
     P = len(d8) - start
     cap = 16 + 32 + 2 * P + 6 * (P // 5 + 8) + 64
     out = np.empty(cap, np.uint8)
+    cl_ptr = None
+    if dict_cl is not None:
+        cl8 = np.ascontiguousarray(dict_cl, np.uint8)
+        cl_ptr = cl8.ctypes.data_as(ctypes.c_void_p)
     n = L.zxch_encode_glo(d8.ctypes.data_as(ctypes.c_void_p), len(d8), start,
                           max_probes, 1 if lazy else 0, sufficient_len,
                           step_base, step_shift, cover_base, min_emit,
-                          None, out.ctypes.data_as(ctypes.c_void_p), cap)
+                          cl_ptr, out.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         return None
     return out[:n].tobytes()
