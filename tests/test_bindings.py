@@ -73,6 +73,22 @@ int main(void) {
     if (zxcw_decompress_dict(arc, wd, back, bound, data, 4096, 0, 1)
         != 30000) return 11;
     if (memcmp(back, data + 8000, 30000)) return 12;
+    /* seekable + dict through the full-int64 ABI */
+    {
+        int64_t zxch_simple_compress_dict(const uint8_t*, uint64_t, int,
+            uint64_t, int, int, const uint8_t*, uint64_t, const uint8_t*,
+            uint8_t*, uint64_t);
+        int64_t zxch_seekable_range(const uint8_t*, uint64_t, uint64_t,
+            uint64_t, uint8_t*, uint64_t, const uint8_t*, uint64_t,
+            const uint8_t*);
+        int64_t ws = zxch_simple_compress_dict(data + 8000, 30000, 3,
+            16384, 0, 1, data, 4096, 0, arc, cap);
+        if (ws <= 0) return 13;
+        uint8_t r2[700];
+        if (zxch_seekable_range(arc, ws, 20000, 700, r2, 700, data, 4096,
+                                0) != 700) return 14;
+        if (memcmp(r2, data + 8000 + 20000, 700)) return 15;
+    }
     return 0;
 }
 ''')

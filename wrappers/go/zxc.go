@@ -237,3 +237,24 @@ func DecompressDict(archive []byte, d *Dictionary, verify bool) ([]byte, error) 
 	}
 	return dst[:w], nil
 }
+
+// SeekableRangeDict is SeekableRange for dictionary archives.
+func SeekableRangeDict(archive []byte, offset, length uint64, d *Dictionary) ([]byte, error) {
+	if length == 0 {
+		return nil, nil
+	}
+	dst := make([]byte, length)
+	var dc *C.uint8_t
+	var dn C.uint64_t
+	if d != nil && len(d.Content) > 0 {
+		dc = ptr(d.Content)
+		dn = C.uint64_t(len(d.Content))
+	}
+	w := int64(C.zxch_seekable_range(ptr(archive), C.uint64_t(len(archive)),
+		C.uint64_t(offset), C.uint64_t(length), ptr(dst),
+		C.uint64_t(length), dc, dn, d.clPtr()))
+	if w < 0 {
+		return nil, Error(w)
+	}
+	return dst[:w], nil
+}

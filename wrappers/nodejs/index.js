@@ -48,4 +48,9 @@ module.exports = {
   frameInfo: (a) => addon.frameInfo(Buffer.from(a)),
   seekableRange: (a, off, len) =>
       addon.seekableRange(Buffer.from(a), off, len),
+  seekableRangeDict: (a, off, len, dict) =>
+      addon.seekableRangeDict(Buffer.from(a), off, len,
+                              Buffer.from(dict.content),
+                              dict.codeLen ? Buffer.from(dict.codeLen)
+                                           : null),
 };

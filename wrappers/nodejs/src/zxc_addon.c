@@ -243,6 +243,44 @@ static napi_value SeekableRange(napi_env env, napi_callback_info info) {
   return out;
 }
 
+/* seekableRangeDict(archive, offset, length, dictContent,
+ * dictCodeLen256|null) -> Buffer */
+static napi_value SeekableRangeDict(napi_env env, napi_callback_info info) {
+  size_t argc = 5;
+  napi_value args[5];
+  napi_get_cb_info(env, info, &argc, args, NULL, NULL);
+  uint8_t *arc;
+  size_t n;
+  if (!get_buffer(env, args[0], &arc, &n)) return NULL;
+  int64_t off = get_int(env, args[1], 0);
+  int64_t len = get_int(env, args[2], 0);
+  uint8_t *dict = NULL;
+  size_t n_dict = 0;
+  if (argc > 3 && !get_buffer(env, args[3], &dict, &n_dict)) return NULL;
+  uint8_t *cl = NULL;
+  size_t n_cl = 0;
+  napi_valuetype t = napi_undefined;
+  if (argc > 4) napi_typeof(env, args[4], &t);
+  if (t != napi_undefined && t != napi_null) {
+    if (!get_buffer(env, args[4], &cl, &n_cl) || n_cl != 256) {
+      napi_throw_error(env, "EINVAL", "dictCodeLen must be 256 bytes");
+      return NULL;
+    }
+  }
+  uint8_t *dst = (uint8_t *)malloc((size_t)len ? (size_t)len : 1);
+  if (!dst) return throw_code(env, -1);
+  int64_t w = zxch_seekable_range(arc, n, (uint64_t)off, (uint64_t)len, dst,
+                                  (uint64_t)len, dict, n_dict, cl);
+  if (w < 0) {
+    free(dst);
+    return throw_code(env, w);
+  }
+  napi_value out;
+  napi_create_buffer_copy(env, (size_t)w, dst, NULL, &out);
+  free(dst);
+  return out;
+}
+
 static napi_value Init(napi_env env, napi_value exports) {
   napi_value fn;
 #define EXPORT(name, f)                                    \
@@ -255,6 +293,7 @@ static napi_value Init(napi_env env, napi_value exports) {
   EXPORT("getDecompressedSize", GetDecompressedSize);
   EXPORT("frameInfo", FrameInfo);
   EXPORT("seekableRange", SeekableRange);
+  EXPORT("seekableRangeDict", SeekableRangeDict);
 #undef EXPORT
   return exports;
 }

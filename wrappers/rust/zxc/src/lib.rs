@@ -189,6 +189,32 @@ pub fn decompress_dict(
     Ok(dst)
 }
 
+/// `seekable_range` for dictionary archives.
+pub fn seekable_range_dict(
+    archive: &[u8],
+    offset: u64,
+    length: u64,
+    dict: &Dictionary,
+) -> Result<Vec<u8>, Error> {
+    let mut dst = vec![0u8; length as usize];
+    let w = unsafe {
+        sys::zxch_seekable_range(
+            archive.as_ptr(),
+            archive.len() as u64,
+            offset,
+            length,
+            dst.as_mut_ptr(),
+            length,
+            dict.content.as_ptr(),
+            dict.content.len() as u64,
+            dict.cl_ptr(),
+        )
+    };
+    let w = check(w)? as usize;
+    dst.truncate(w);
+    Ok(dst)
+}
+
 /// Footer-declared decompressed size of a validated archive.
 pub fn get_decompressed_size(archive: &[u8]) -> Result<u64, Error> {
     let s = unsafe {
