@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 from gen_corpus import gen_corpus
 from zxc_tpu.codec import frame
+from zxc_tpu import runtime
+from zxc_tpu.format import headers
 import ref_oracle
 
 MB = int(os.environ.get("LADDER_MB", "8"))
@@ -42,26 +44,47 @@ def main():
         assert w == len(raw), w
         return dst.raw[:w]
 
+    NL = runtime.lib()
+    scratch = np.empty((MB << 20) + (1 << 21), np.uint8)
+    scratch[:] = 0          # touch once: the reused-buffer core path
+    vp = ctypes.c_void_p
+    d8 = np.zeros(1, np.uint8)
+
+    def ours_core(src_np, ck):
+        return NL.zxch_decompress_frame(
+            src_np.ctypes.data_as(vp), len(src_np), BS, ck, 0,
+            d8.ctypes.data_as(vp), 0, None,
+            scratch.ctypes.data_as(vp), len(scratch))
+
     print(f"# {MB} MiB pinned corpus, {BS//1024} KiB blocks, "
-          f"{ROUNDS} interleaved rounds (medians)")
+          f"{ROUNDS} interleaved rounds (medians). ours-API returns fresh"
+          f" bytes; both -core columns reuse a preallocated buffer.")
     for lvl in LEVELS:
         arc = ref_oracle.ref_compress(raw, level=lvl, block_size=BS)
+        ck = 1 if headers.read_file_header(arc).has_checksum else 0
+        src_np = np.frombuffer(arc, np.uint8)
         assert frame.decompress(arc) == raw
         assert ref_core(arc) == raw
-        t = {"ours": [], "ref": []}
+        assert ours_core(src_np, ck) == len(raw)             and bytes(scratch[:len(raw)]) == raw
+        t = {"ours": [], "core": [], "ref": []}
         for r in range(ROUNDS):
-            for k in (("ours", "ref") if r % 2 == 0 else ("ref", "ours")):
+            ks = ("ours", "core", "ref")
+            for k in (ks if r % 2 == 0 else ks[::-1]):
                 t0 = time.time()
                 if k == "ours":
                     frame.decompress(arc)
+                elif k == "core":
+                    ours_core(src_np, ck)
                 else:
                     L.zxc_decompress(arc, len(arc), dst, len(raw),
                                      ctypes.byref(opts))
                 t[k].append(time.time() - t0)
         mo = statistics.median(t["ours"])
+        mc = statistics.median(t["core"])
         mr = statistics.median(t["ref"])
-        print(f"L{lvl}: ours-API {MB/mo:6.0f} MB/s  ref-core {MB/mr:6.0f} MB/s"
-              f"  ratio {mr/mo:.2f}x")
+        print(f"L{lvl}: ours-API {MB/mo:6.0f}  ours-core {MB/mc:6.0f}  "
+              f"ref-core {MB/mr:6.0f} MB/s  API/ref {mr/mo:.2f}x  "
+              f"core/core {mr/mc:.2f}x")
 
 
 if __name__ == "__main__":
