@@ -159,3 +159,18 @@ def test_block_size_getters(arc):
         s.block_comp_size(s.num_blocks)
     with pytest.raises(ZxcError):
         s.block_decomp_size(-1)
+
+
+def test_decompress_range_mt_matches_serial():
+    """MT fork-join range decode is byte-identical to the serial path
+    (reference zxc_seekable_decompress_range_mt parity)."""
+    rng = np.random.default_rng(31)
+    data = (b"seekable mt range " * 5000
+            + rng.integers(0, 256, 120000, dtype=np.uint8).tobytes()) * 2
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=16384,
+                                          seekable=True, checksum=True))
+    sk = seekable.Seekable.open_bytes(arc)
+    for off, ln in ((0, 1), (5000, 100000), (len(data) - 7, 7),
+                    (16384 * 3 - 5, 16384 * 4)):
+        assert (sk.decompress_range_mt(off, ln, n_threads=4)
+                == sk.decompress_range(off, ln) == data[off:off + ln])

@@ -208,6 +208,31 @@ class Seekable:
         lo = offset - b0 * self.block_size
         return blob[lo:lo + length]
 
+    def decompress_range_mt(self, offset: int, length: int,
+                            verify_checksum: bool = False,
+                            n_threads: int = 0) -> bytes:
+        """Fork-join MT range decode (zxc_seekable_decompress_range_mt,
+        zxc_seekable.c:1005): overlapping blocks decode on a thread pool
+        (the native block decode releases the GIL) and reassemble in
+        order."""
+        if length == 0:
+            return b""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        b0, b1 = self.block_range(offset, length)
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 1
+        workers = max(1, min(n_threads, b1 - b0 + 1, 16))
+        if workers == 1:
+            return self.decompress_range(offset, length, verify_checksum)
+        with ThreadPoolExecutor(workers) as ex:
+            parts = list(ex.map(
+                lambda i: self.decompress_block(i, verify_checksum),
+                range(b0, b1 + 1)))
+        blob = b"".join(parts)
+        lo = offset - b0 * self.block_size
+        return blob[lo:lo + length]
+
     def decompress_range_device(self, offset: int, length: int,
                                 device=None, batch: int = 64) -> bytes:
         """Device-batched range decode — the TPU equivalent of the
