@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import struct
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -14,9 +15,11 @@ from ..errors import (ZxcError, ERROR_BAD_MAGIC, ERROR_BAD_VERSION, ERROR_BAD_HE
 from .hashes import rapidhash32, rapidhash64, hash16
 
 
+@lru_cache(maxsize=64)
 def dict_id(content: bytes, huf_lengths: bytes | None = None) -> int:
     """32-bit id binding the (content, table) pair: the content checksum
-    seeds the table checksum (zxc_dict.c:36-45)."""
+    seeds the table checksum (zxc_dict.c:36-45). Memoized: callers hash
+    the same dictionary once per process, not once per frame."""
     if not content:
         return 0
     base = rapidhash32(content)

@@ -921,8 +921,17 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
   const int HASH_BITS = 15;
   const uint64_t MIN_MATCH = 5;
   static thread_local uint32_t head[1 << 15];
-  memset(head, 0xFF, sizeof(head));  // 0xFFFFFFFF = empty (pos field > any n)
   if (n < MIN_MATCH + 1) return 0;
+  // dict-seed snapshot state (restored below when the same dict returns)
+  static thread_local uint8_t *seed_dict = nullptr;
+  static thread_local uint32_t *seed_chain = nullptr;
+  static thread_local uint32_t *seed_head = nullptr;
+  static thread_local uint64_t seed_cap = 0, seed_start = 0;
+  const uint64_t SB = start >= 4 ? start - 4 : 0;  // cache-covered prefix
+  const bool seed_hit = start > 0 && SB > 0 && seed_start == start &&
+                        seed_dict && memcmp(seed_dict, data, start) == 0;
+  if (!seed_hit)
+    memset(head, 0xFF, sizeof(head));  // 0xFFFFFFFF = empty (pos > any n)
   // reusable per-thread chain buffer (grown on demand): skips the per-call
   // allocation + first-touch page faults of new[]
   static thread_local uint32_t *chain_buf = nullptr;
@@ -1056,7 +1065,38 @@ done:
     }
   };
 
-  for (uint64_t p = 0; p < start; p++) insert(p);
+  // Dictionary-window seeding. Re-hashing the whole prefix per call
+  // dominates small-frame dict encodes (16-64K inserts per 4KB file), so
+  // the head/chain state after seeding [0, start-4) — which depends only
+  // on the dict bytes (hash5t at p reads data[p..p+4], and p+4 < start
+  // there) — is snapshotted per thread and restored by memcpy when the
+  // same dict bytes come back (exact memcmp key, no hash collisions).
+  // The last 4 positions hash across the dict/block boundary and are
+  // re-inserted per call. Byte-identical with the plain loop; the
+  // reference instead re-seeds per block, sparsely (zxc_compress.c:1090).
+  if (start > 0) {
+    if (seed_hit) {
+      memcpy(head, seed_head, sizeof(head));
+      memcpy(chain, seed_chain, SB * sizeof(uint32_t));
+    } else {
+      for (uint64_t p = 0; p < SB; p++) insert(p);
+      if (SB > 0) {
+        if (!seed_head) seed_head = new uint32_t[1 << HASH_BITS];
+        if (start > seed_cap) {
+          delete[] seed_dict;
+          delete[] seed_chain;
+          seed_dict = new uint8_t[start];
+          seed_chain = new uint32_t[start];
+          seed_cap = start;
+        }
+        memcpy(seed_head, head, sizeof(head));
+        memcpy(seed_chain, chain, SB * sizeof(uint32_t));
+        memcpy(seed_dict, data, start);
+        seed_start = start;
+      }
+    }
+    for (uint64_t p = SB; p < start; p++) insert(p);
+  }
 
   uint64_t nseq = 0;
   uint64_t p = start;
@@ -1742,6 +1782,8 @@ static int zxch_build_code_lengths(const uint64_t *freq, int max_len,
 extern "C" int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
                                      const uint8_t *code_len, uint8_t *out,
                                      uint64_t cap);
+extern "C" int64_t zxch_pivco_size(const uint8_t *data, uint64_t n,
+                                   const uint8_t *code_len);
 
 int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
                         int max_probes, int lazy, int sufficient_len,
@@ -1812,35 +1854,31 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
   // entropy literal candidates, priced j = size + tax (mirrors the
   // Python auction in block_encode._glo_payload: inline Huffman with
   // its 128-byte lengths header at n_lit >= 139, then the shared
-  // dictionary table (header-free; wins on small frames) at any size)
+  // dictionary table (header-free; wins on small frames) at any size).
+  // Candidates are priced by zxch_pivco_size (exact — the payload size
+  // is fully determined after the histogram pass); only the winning
+  // section pays the per-byte bit-packing pass. Same winners, same
+  // bytes as encode-everything.
   uint8_t *huf_buf = nullptr;
+  uint8_t inline_cl[256];
   if (lit_total > 0 && (lit_total >= 139 || dict_cl)) {
     uint64_t freq[256] = {0};
     for (uint64_t i2 = 0; i2 < lit_total; i2++) freq[lit_buf[i2]]++;
     if (lit_total >= 139) {
-      uint8_t cl[256];
-      if (zxch_build_code_lengths(freq, 8, cl) > 1) {
+      if (zxch_build_code_lengths(freq, 8, inline_cl) > 1) {
         uint64_t bits = 0;
-        for (int s2 = 0; s2 < 256; s2++) bits += freq[s2] * cl[s2];
+        for (int s2 = 0; s2 < 256; s2++) bits += freq[s2] * inline_cl[s2];
         // sound skip: per-node byte rounding only adds to bits/8
         int64_t bound = 128 + (int64_t)(bits >> 3)
                         + (int64_t)((lit_total * 8) >> 8);
         if (bound < best_j) {
-          uint8_t *ib = new uint8_t[2 * lit_total + 4096 + 128];
-          int64_t hn = zxch_pivco_encode(lit_buf, lit_total, cl, ib + 128,
-                                         2 * lit_total + 4096);
+          int64_t hn = zxch_pivco_size(lit_buf, lit_total, inline_cl);
           int64_t j = hn >= 0
               ? 128 + hn + (int64_t)((lit_total * 8) >> 8) : best_j;
           if (hn >= 0 && j < best_j) {
-            for (int b2 = 0; b2 < 128; b2++)
-              ib[b2] = (uint8_t)((cl[2 * b2] & 0x0F) | (cl[2 * b2 + 1] << 4));
-            delete[] huf_buf;
-            huf_buf = ib;
             enc_lit = 2;
             lit_sec = (uint64_t)(128 + hn);
             best_j = j;
-          } else {
-            delete[] ib;
           }
         }
       }
@@ -1850,20 +1888,36 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
       for (int s2 = 0; s2 < 256; s2++)
         if (freq[s2] && !dict_cl[s2]) { all = 0; break; }
       if (all) {
-        uint8_t *db = new uint8_t[2 * lit_total + 4096];
-        int64_t hn = zxch_pivco_encode(lit_buf, lit_total, dict_cl, db,
-                                       2 * lit_total + 4096);
+        int64_t hn = zxch_pivco_size(lit_buf, lit_total, dict_cl);
         int64_t j = hn >= 0
             ? hn + (int64_t)((lit_total * 8) >> 8) : best_j;
         if (hn >= 0 && j < best_j) {
-          delete[] huf_buf;
-          huf_buf = db;
           enc_lit = 3;
           lit_sec = (uint64_t)hn;
           best_j = j;
-        } else {
-          delete[] db;
         }
+      }
+    }
+    if (enc_lit == 2) {
+      huf_buf = new uint8_t[2 * lit_total + 4096 + 128];
+      int64_t hn = zxch_pivco_encode(lit_buf, lit_total, inline_cl,
+                                     huf_buf + 128, 2 * lit_total + 4096);
+      if (hn < 0 || (uint64_t)(128 + hn) != lit_sec) {  // can't happen
+        delete[] huf_buf; delete[] mp; delete[] ml; delete[] mo;
+        delete[] lit_buf; delete[] rle_buf;
+        return -10;
+      }
+      for (int b2 = 0; b2 < 128; b2++)
+        huf_buf[b2] = (uint8_t)((inline_cl[2 * b2] & 0x0F) |
+                                (inline_cl[2 * b2 + 1] << 4));
+    } else if (enc_lit == 3) {
+      huf_buf = new uint8_t[2 * lit_total + 4096];
+      int64_t hn = zxch_pivco_encode(lit_buf, lit_total, dict_cl, huf_buf,
+                                     2 * lit_total + 4096);
+      if (hn < 0 || (uint64_t)hn != lit_sec) {  // can't happen
+        delete[] huf_buf; delete[] mp; delete[] ml; delete[] mo;
+        delete[] lit_buf; delete[] rle_buf;
+        return -10;
       }
     }
   }
@@ -1947,9 +2001,12 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
 
 extern "C" {
 
-int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
-                          const uint8_t *code_len, uint8_t *out,
-                          uint64_t cap) {
+// emit=0: price only — returns the exact payload size without touching
+// `out` (the auction's candidates cost a histogram pass instead of a
+// full per-byte pack; only the winner pays pass 2).
+static int64_t zxch_pivco_core(const uint8_t *data, uint64_t n,
+                               const uint8_t *code_len, uint8_t *out,
+                               uint64_t cap, int emit) {
   const int MAXLEN = 11;
   const int MAXNODES = 1024;
   static thread_local int16_t child[MAXNODES][2];
@@ -2099,6 +2156,7 @@ int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
     byte_off[nid] = w;
     w += (nbits_node[nid] + 7) / 8;
   }
+  if (!emit) return (int64_t)w;  // price-only: exact size, no pass 2
   // +8: the packing loop flushes with unaligned u64 |= whose tail bytes
   // carry only zero bits but must be addressable
   if (w + 8 > cap) return -10;
@@ -2144,6 +2202,18 @@ int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
   return (int64_t)w;
 }
 
+int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
+                          const uint8_t *code_len, uint8_t *out,
+                          uint64_t cap) {
+  return zxch_pivco_core(data, n, code_len, out, cap, 1);
+}
+
+// Exact encoded size (sum of per-node ceil-byte runs) without emitting.
+int64_t zxch_pivco_size(const uint8_t *data, uint64_t n,
+                        const uint8_t *code_len) {
+  return zxch_pivco_core(data, n, code_len, nullptr, 0, 0);
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
@@ -2161,13 +2231,25 @@ extern "C" {
 int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
                           const uint8_t *code_len, uint8_t *out,
                           uint64_t cap);
+int64_t zxch_pivco_size(const uint8_t *data, uint64_t n,
+                        const uint8_t *code_len);
 }
 
 // freq[256] -> cl[256] (0 = absent), cap max_len. Returns number of
 // distinct symbols (0 => no lengths written).
+//
+// Counting-form boundary package-merge, O(max_len * n) with zero
+// allocations. Equivalent-by-construction to the textbook coin-collector
+// form (sorted leaf list; per round, merge leaves with the previous
+// round's packages — leaves first on weight ties, matching a stable sort
+// of [leaves..., packages...] — and pair consecutive items). Because the
+// leaves appear in the merged list in ascending-weight order, the leaves
+// selected among the first `take` items of any round are exactly the
+// `k` smallest-weight leaves, so per-item coin sets collapse to one
+// counter per round (reference builds lengths the same way at heart:
+// zxc_huffman.c:178-317).
 static int zxch_build_code_lengths(const uint64_t *freq, int max_len,
                                    uint8_t *cl) {
-  struct Item { uint64_t w; std::vector<uint16_t> coins; };
   int present[256];
   int n = 0;
   for (int s = 0; s < 256; s++)
@@ -2175,45 +2257,55 @@ static int zxch_build_code_lengths(const uint64_t *freq, int max_len,
   memset(cl, 0, 256);
   if (n == 0) return 0;
   if (n == 1) { cl[present[0]] = 1; return 1; }
-  if (n > (1 << max_len)) return -1;
+  if (max_len > 15 || n > (1 << max_len)) return -1;
   // stable argsort by weight (ties keep ascending symbol order)
   int order[256];
   for (int i = 0; i < n; i++) order[i] = i;
   std::stable_sort(order, order + n, [&](int a, int b) {
     return freq[present[a]] < freq[present[b]];
   });
-  std::vector<Item> base(n), prev;
-  for (int i = 0; i < n; i++) {
-    base[i].w = freq[present[order[i]]];
-    base[i].coins = {(uint16_t)i};
-  }
-  for (int lvl = 0; lvl < max_len - 1; lvl++) {
-    std::vector<Item> merged;
-    merged.reserve(base.size() + prev.size());
-    for (auto &it : base) merged.push_back(it);
-    for (auto &it : prev) merged.push_back(std::move(it));
-    std::stable_sort(merged.begin(), merged.end(),
-                     [](const Item &a, const Item &b) { return a.w < b.w; });
-    prev.clear();
-    for (size_t i = 0; i + 1 < merged.size(); i += 2) {
-      Item pk;
-      pk.w = merged[i].w + merged[i + 1].w;
-      pk.coins = merged[i].coins;
-      pk.coins.insert(pk.coins.end(), merged[i + 1].coins.begin(),
-                      merged[i + 1].coins.end());
-      prev.push_back(std::move(pk));
+  uint64_t w[256];
+  for (int i = 0; i < n; i++) w[i] = freq[present[order[i]]];
+  // forward: package weights per round. Round q's merged list is
+  // merge(w, pk[q-1]) (round 0: leaves only); packages pair items 2j,2j+1.
+  static thread_local uint64_t pk[15][256];
+  int cnt[15];
+  int rounds = max_len - 1;  // package-building rounds
+  for (int q = 0; q < rounds; q++) {
+    const uint64_t *pw = q ? pk[q - 1] : nullptr;
+    int pc = q ? cnt[q - 1] : 0;
+    int mlen = n + pc;
+    int i = 0, j = 0;
+    int out = 0;
+    uint64_t *dst = pk[q];
+    for (int m = 0; m + 1 < mlen; m += 2) {
+      // two merged items per package
+      uint64_t a, b;
+      a = (j >= pc || (i < n && w[i] <= pw[j])) ? w[i++] : pw[j++];
+      b = (j >= pc || (i < n && w[i] <= pw[j])) ? w[i++] : pw[j++];
+      dst[out++] = a + b;
     }
+    cnt[q] = out;
   }
-  std::vector<Item> merged;
-  merged.reserve(base.size() + prev.size());
-  for (auto &it : base) merged.push_back(std::move(it));
-  for (auto &it : prev) merged.push_back(std::move(it));
-  std::stable_sort(merged.begin(), merged.end(),
-                   [](const Item &a, const Item &b) { return a.w < b.w; });
+  // backward: take the first 2n-2 items of the final merged list; at each
+  // round the leaves taken are the k smallest, and p packages expand to
+  // 2p items of the round below.
   int lengths[256] = {0};
-  size_t take = (size_t)(2 * n - 2);
-  for (size_t i = 0; i < take; i++)
-    for (uint16_t c : merged[i].coins) lengths[c]++;
+  int take = 2 * n - 2;
+  for (int q = rounds - 1; q >= 0 && take > 0; q--) {
+    const uint64_t *pw = pk[q];
+    int pc = cnt[q];
+    int i = 0, j = 0;
+    while (i + j < take && (i < n || j < pc)) {
+      if (j >= pc || (i < n && w[i] <= pw[j])) i++;
+      else j++;
+    }
+    for (int s2 = 0; s2 < i; s2++) lengths[s2]++;
+    take = 2 * j;
+  }
+  // round "-1": the bottom merged list is pure leaves
+  if (take > n) take = n;
+  for (int s2 = 0; s2 < take; s2++) lengths[s2]++;
   for (int i = 0; i < n; i++) cl[present[order[i]]] = (uint8_t)lengths[i];
   return n;
 }
@@ -2243,14 +2335,17 @@ static int64_t zxch_encode_hufflit(const uint8_t *data, uint64_t P,
   for (int s = 0; s < 256; s++) bits += freq[s] * cl[s];
   if (FIXED + (bits + 7) / 8 >= budget) return -1;  // lower bound: padding
   if (cap < FIXED + P + 64) return -1;
+  // price exactly before paying the bit-packing pass: a losing candidate
+  // costs only the histogram walk
+  int64_t paysz = zxch_pivco_size(data, P, cl);
+  if (paysz < 0 || FIXED + (uint64_t)paysz >= budget) return -1;
   uint8_t *w = out;
   // lengths header: two 4-bit lengths per byte, low nibble first
   uint8_t *lit_w = w + 16 + 32;
   for (int s = 0; s < 256; s += 2)
     lit_w[s / 2] = (uint8_t)((cl[s] & 0x0F) | (cl[s + 1] << 4));
-  int64_t paysz = zxch_pivco_encode(data, P, cl, lit_w + 128,
-                                    cap - FIXED);
-  if (paysz < 0) return -1;
+  int64_t esz = zxch_pivco_encode(data, P, cl, lit_w + 128, cap - FIXED);
+  if (esz != paysz) return -1;  // can't happen
   uint64_t lit_sec = 128 + (uint64_t)paysz;
   uint64_t need = 16 + 32 + lit_sec;
   if (need >= budget) return -1;
