@@ -91,3 +91,55 @@ def test_device_encode_empty_and_incompressible():
     # RAW fallback keeps expansion bounded
     assert len(arc) < len(rnd) + 16384
     assert frame.decompress(arc) == rnd
+
+
+@pytest.mark.parametrize("name", ["text", "mix", "runs", "random"])
+def test_lcp_matcher_matches_are_real(name):
+    """Pallas-LCP matcher (interpret mode): every (len, off) must be an
+    actual match — the kernel's claimed lengths are exact below the
+    256-byte cap and never above the true length."""
+    arr = np.frombuffer(_corpora()[name], np.uint8)
+    lens, offs = dev_enc.find_matches_device_lcp(arr, 4, interpret=True)
+    ld = np.asarray(lens).astype(np.int64)
+    od = np.asarray(offs).astype(np.int64)
+    n = len(arr)
+    for p in np.nonzero(ld >= 5)[0][::7]:
+        l, o = int(ld[p]), int(od[p])
+        assert 1 <= o <= p and p + l <= n
+        np.testing.assert_array_equal(
+            arr[p:p + l], np.array([arr[p + i - o] for i in range(l)],
+                                   np.uint8))
+
+
+def test_lcp_matcher_vs_xla_matcher_size():
+    """Whole-frame archives from the two device matchers stay within 1%
+    (the LCP path caps extension at 256 bytes; offset-1 runs stay
+    analytic and uncapped)."""
+    import os
+    data = _corpora()["text"] + _corpora()["mix"]
+    arc_lcp = ops.compress_device(data, level=3, block_size=65536)
+    os.environ["ZXC_DEVICE_MATCHER"] = "xla"
+    try:
+        arc_xla = ops.compress_device(data, level=3, block_size=65536)
+    finally:
+        del os.environ["ZXC_DEVICE_MATCHER"]
+    assert frame.decompress(arc_lcp) == data
+    assert len(arc_lcp) <= len(arc_xla) * 1.01
+
+
+def test_parse_compact_walk_matches_doubling():
+    """Scalar-walk parse == pointer-doubling parse (small interpret run;
+    the hardware path is asserted by tools/tpu_lcp_probe.py phases)."""
+    arr = np.frombuffer(_corpora()["text"][:2048], np.uint8)
+    lens, offs = block_encode.find_matches(arr, 0, 4)
+    for lazy in (False, True):
+        a = dev_enc.parse_compact_walk(lens.astype(np.int32),
+                                       offs.astype(np.int32), lazy,
+                                       interpret=True)
+        b = dev_enc.parse_compact_device(lens.astype(np.int32),
+                                         offs.astype(np.int32), lazy)
+        ka, kb = int(a[0]), int(b[0])
+        assert ka == kb
+        for x, y in zip(a[1:], b[1:]):
+            np.testing.assert_array_equal(np.asarray(x[:ka]),
+                                          np.asarray(y[:ka]))

@@ -131,6 +131,100 @@ def find_matches_device(data: jnp.ndarray, n_candidates: int
     return lens, offs
 
 
+@functools.partial(jax.jit, static_argnames=("n_candidates", "interpret"))
+def find_matches_device_lcp(data: jnp.ndarray, n_candidates: int,
+                            interpret: bool = False
+                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """find_matches_device with the extension done by the Pallas LCP
+    kernel (pallas_encode.py) instead of gather-priced compare rounds —
+    ~100x on hardware (PERF.md 3.4). Candidate generation (hash sort)
+    is unchanged XLA. Match lengths cap at 128*ROUNDS (=256, the host
+    finder's sufficient-length stop, zxch_find_matches); offset-1 runs
+    stay analytic and uncapped. Blocks must be <= 64 KiB (positions
+    pack into 16 bits of the kernel's control word)."""
+    from . import pallas_encode as PE
+
+    n = data.shape[0]
+    assert n <= 65536, "pallas matcher packs positions into 16 bits"
+    lens = jnp.zeros(n, jnp.int32)
+    offs = jnp.ones(n, jnp.int32)
+    if n < C.MIN_MATCH + 1:
+        return lens, offs
+    pad = jnp.concatenate([data, jnp.zeros(4, jnp.uint8)])
+    w32 = _le32(pad)
+    run = _run_lengths(data)
+    prev_same = jnp.concatenate([jnp.zeros(1, bool), data[1:] == data[:-1]])
+    run_match = prev_same & (run >= C.MIN_MATCH)
+    lens = jnp.where(run_match, run.astype(jnp.int32), lens)
+    in_run = prev_same & (run >= 64)
+
+    nh = n - (C.MIN_MATCH - 1)
+    lo = w32[:nh]
+    b5 = data[C.MIN_MATCH - 1:C.MIN_MATCH - 1 + nh].astype(jnp.uint32)
+    h = ((lo * _M1) ^ (b5 * _M2)) >> np.uint32(32 - _HASH_BITS)
+    order = jnp.argsort(h, stable=True)
+    rank = jnp.zeros(nh, jnp.int32).at[order].set(
+        jnp.arange(nh, dtype=jnp.int32))
+    p_arr = jnp.arange(nh, dtype=jnp.int32)
+    searchable = ~in_run[:nh]
+
+    K = n_candidates
+    cands = []
+    oks = []
+    for k in range(1, K + 1):
+        cr = rank - k
+        valid = (cr >= 0) & searchable
+        cri = jnp.maximum(cr, 0)
+        cand = order[cri]
+        dist = p_arr - cand
+        # no hash-group or 5-byte verification: the LCP kernel compares
+        # from byte 0, so a collision candidate just scores lcp < 5 and
+        # is filtered by the MIN_MATCH gate — three 64K gathers saved
+        ok = valid & (dist >= 1) & (dist <= C.WINDOW_SIZE)
+        cands.append(jnp.where(ok, cand, jnp.maximum(p_arr - 1, 0)))
+        oks.append(ok)
+
+    # pairs, ascending-p with the K candidates of a position adjacent
+    pos_f = jnp.repeat(p_arr, K)                       # (nh*K,)
+    cand_f = jnp.stack(cands, axis=1).reshape(-1)
+    npairs = nh * K
+    npad = -(-npairs // 128) * 128
+    nt = -(-(npad // 128) // 32)
+    fullpad = nt * 32 * 128
+    val = (cand_f.astype(jnp.uint32)
+           | (pos_f.astype(jnp.uint32) << 16))
+    val = jnp.concatenate([
+        val, jnp.broadcast_to(val[-1], (fullpad - npairs,))])
+    # ctl[t, k%32, 4*qlocal + k//32] = val[Q*128 + k]: a pure transpose
+    ctl = val.astype(jnp.int32).reshape(nt, 32, 4, 32).transpose(
+        0, 3, 1, 2).reshape(nt, 32, 128)
+    nrows = -(-n // 128)
+    R = max(nrows + PE.PAD_ROWS, PE.P_WIN)
+    p0 = lax.shift_right_logical(val.reshape(-1, 128)[:, 0],
+                                 jnp.uint32(16))
+    pbase = jnp.minimum(((p0 >> 7) // 16 * 16).astype(jnp.int32),
+                        R - PE.P_WIN)
+    blk8 = jnp.pad(data, (0, R * 128 - n)).reshape(1, R, 128)
+    kern = PE.lcp_kernel(R, nt, interpret=interpret)
+    lcp = kern(pbase[None], ctl[None], blk8).reshape(-1)[:npairs]
+    max_len = (n - pos_f).astype(jnp.int32)
+    m_f = jnp.minimum(lcp, max_len)
+
+    best_len = jnp.zeros(nh, jnp.int32)
+    best_off = jnp.zeros(nh, jnp.int32)
+    m2 = m_f.reshape(nh, K)
+    for k in range(K):
+        mk = jnp.where(oks[k], m2[:, k], 0)
+        better = mk > best_len
+        best_len = jnp.where(better, mk, best_len)
+        best_off = jnp.where(better, p_arr - cands[k], best_off)
+
+    use = (best_len >= C.MIN_MATCH) & (best_len > lens[:nh])
+    lens = lens.at[:nh].set(jnp.where(use, best_len, lens[:nh]))
+    offs = offs.at[:nh].set(jnp.where(use, best_off, offs[:nh]))
+    return lens, offs
+
+
 @functools.partial(jax.jit, static_argnames=("lazy", "min_emit"))
 def parse_compact_device(lens: jnp.ndarray, offs: jnp.ndarray, lazy: bool,
                          min_emit: int = 5
@@ -157,6 +251,40 @@ def parse_compact_device(lens: jnp.ndarray, offs: jnp.ndarray, lazy: bool,
     del dump
     n_seq = jnp.sum(keep).astype(jnp.int32)
     return n_seq, pos_buf, len_buf, off_buf
+
+
+@functools.partial(jax.jit, static_argnames=("lazy", "min_emit",
+                                              "interpret"))
+def parse_compact_walk(lens: jnp.ndarray, offs: jnp.ndarray, lazy: bool,
+                       min_emit: int = 5, interpret: bool = False
+                       ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                  jnp.ndarray]:
+    """parse_compact_device via the Pallas scalar-walk kernel
+    (pallas_encode.parse_walk_kernel): the serial cursor walk runs as a
+    sub-ms SMEM loop instead of log2(P) jump-table doubling rounds of
+    64K-element gathers. Identical results."""
+    from . import pallas_encode as PE
+
+    P = lens.shape[0]
+    cap = P // C.MIN_MATCH + 1
+    good = lens >= max(C.MIN_MATCH, min_emit)
+    if lazy and P > 1:
+        nxt_len = jnp.concatenate([lens[1:], jnp.zeros(1, lens.dtype)])
+        nxt_good = jnp.concatenate([good[1:], jnp.zeros(1, bool)])
+        defer = good & nxt_good & (nxt_len > lens)
+        emit = good & ~defer
+    else:
+        emit = good
+    step = jnp.where(emit, lens, 1).astype(jnp.int32)
+    nseq, pos_raw = PE.parse_walk_kernel(P, cap, interpret=interpret)(step)
+    n_seq = nseq[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    msk = idx < n_seq
+    pos_b = jnp.where(msk, jnp.clip(pos_raw, 0, P - 1), 0)
+    len_b = jnp.where(msk, lens[pos_b].astype(jnp.int32), 0)
+    off_b = jnp.where(msk, offs[pos_b].astype(jnp.int32), 0)
+    pos_b = jnp.where(msk, pos_b, 0)
+    return n_seq, pos_b, len_b, off_b
 
 
 @functools.partial(jax.jit, static_argnames=("lazy", "min_emit"))
@@ -187,6 +315,46 @@ def parse_device(lens: jnp.ndarray, offs: jnp.ndarray, lazy: bool,
     return mark[:P] & emit
 
 
+def _extend_capped_host(arr: np.ndarray, pos, lns, off):
+    """Host fixup for the LCP matcher's 256-byte cap: sequences sitting
+    exactly at the cap are extended by chunked byte compare (exact LZ
+    semantics, matching the copy-from-output rule), and following
+    sequences swallowed by the extension are dropped (greedy re-tile).
+    Runs on the host where the sequences already live for emission;
+    O(extension bytes) — capped sequences are rare outside long-match
+    corpora, where this recovers the archive size the cap would cost
+    (+15% measured on periodic text without it)."""
+    from .pallas_encode import ROUNDS
+    cap = 128 * ROUNDS
+    if not (lns >= cap).any():
+        return pos, lns, off
+    n = len(arr)
+    o_pos, o_len, o_off = [], [], []
+    cursor = 0
+    for i in range(len(pos)):
+        p0, l0, o0 = int(pos[i]), int(lns[i]), int(off[i])
+        if p0 < cursor:
+            continue
+        if l0 >= cap:
+            q = p0 + l0
+            while q < n:
+                span = min(4096, n - q)
+                a = arr[q:q + span]
+                b = arr[q - o0:q - o0 + span]
+                neq = np.flatnonzero(a != b)
+                if len(neq):
+                    q += int(neq[0])
+                    break
+                q += span
+            l0 = q - p0
+        o_pos.append(p0)
+        o_len.append(l0)
+        o_off.append(o0)
+        cursor = p0 + l0
+    return (np.asarray(o_pos, np.int64), np.asarray(o_len, np.int64),
+            np.asarray(o_off, np.int64))
+
+
 def encode_chunk_device(data: bytes | np.ndarray, level: int,
                         device=None, checksum: bool = False) -> bytes:
     """Full block encode with match finding + parse on the device.
@@ -201,14 +369,34 @@ def encode_chunk_device(data: bytes | np.ndarray, level: int,
     d = jnp.asarray(arr)
     if device is not None:
         d = jax.device_put(d, device)
-    lens, offs = find_matches_device(d, params.n_candidates)
-    n_seq, pos_b, len_b, off_b = parse_compact_device(lens, offs,
-                                                      params.lazy,
-                                                      params.min_emit)
+    # Pallas LCP matcher where its 16-bit control packing allows (<=64K
+    # blocks): ~100x the gather-round extension on hardware. Opt out
+    # with ZXC_DEVICE_MATCHER=xla (A/B, interpret-mode CI).
+    import os
+    use_lcp = (len(arr) <= 65536
+               and os.environ.get("ZXC_DEVICE_MATCHER", "lcp") == "lcp")
+    if use_lcp:
+        interp = jax.default_backend() == "cpu"
+        lens, offs = find_matches_device_lcp(d, params.n_candidates,
+                                             interpret=interp)
+    else:
+        lens, offs = find_matches_device(d, params.n_candidates)
+    if use_lcp and not interp:
+        # scalar-walk parse: sub-ms on hardware, but its serial while
+        # runs per-iteration in interpret mode — CPU keeps the doubling
+        # parse (identical results; parity asserted in tests + on hw)
+        n_seq, pos_b, len_b, off_b = parse_compact_walk(
+            lens, offs, params.lazy, params.min_emit)
+    else:
+        n_seq, pos_b, len_b, off_b = parse_compact_device(lens, offs,
+                                                          params.lazy,
+                                                          params.min_emit)
     k = int(n_seq)
     seqs = (np.asarray(pos_b[:k]).astype(np.int64),
             np.asarray(len_b[:k]).astype(np.int64),
             np.asarray(off_b[:k]).astype(np.int64))
+    if use_lcp and k:
+        seqs = _extend_capped_host(arr, *seqs)
     return block_encode.encode_chunk(arr, level, None, checksum,
                                      sequences=seqs)
 

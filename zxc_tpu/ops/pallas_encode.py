@@ -193,6 +193,61 @@ def lcp_kernel(R: int, NT: int, interpret: bool = False):
     return jax.jit(call)
 
 
+def parse_walk_kernel(P: int, CAP: int, interpret: bool = False):
+    """Serial greedy-tiling walk as a scalar SMEM loop.
+
+    The XLA parse (ops/encode.py parse_device) pointer-doubles a jump
+    table: log2(P)+1 rounds of a 64K-element gather + scatter (~45 ms
+    of the 34 ms... the dominant cost of the device matcher phase once
+    extension went to the LCP kernel). The walk is inherently serial
+    but TRIVIALLY serial: p += step[p], record p when step[p] > 1
+    (emit positions always step by lens >= min_emit >= 5 > 1, misses
+    step 1 — identical semantics to parse_device's mark & emit). A
+    scalar while over an SMEM-resident step array does ~P dependent
+    scalar loads: sub-ms where the doubling pass pays tens of ms.
+
+    step: (P,) int32 scalar-prefetch. Outputs (SMEM): nseq (1,) i32 and
+    pos (CAP,) i32 (kept start positions; entries >= nseq are junk).
+    Reference analog: the cursor walk of zxc_encode_block_glo
+    (zxc_compress.c:1229-1316).
+    """
+    def body(step_ref, nseq_ref, pos_ref):
+        def loop(st):
+            p, j = st
+            s = step_ref[p]
+            emit = s > 1
+
+            @pl.when(emit)
+            def _():
+                pos_ref[jnp.minimum(j, CAP - 1)] = p
+
+            return (p + s, j + jnp.where(emit, 1, 0))
+
+        _, j = lax.while_loop(lambda st: st[0] < P, loop,
+                              (jnp.int32(0), jnp.int32(0)))
+        nseq_ref[0] = j
+
+    def call(step):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+        )
+        return pl.pallas_call(
+            body,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((1,), jnp.int32),
+                       jax.ShapeDtypeStruct((CAP,), jnp.int32)],
+            interpret=interpret,
+        )(step)
+
+    return jax.jit(call)
+
+
 def lcp_pairs(data: np.ndarray, p: np.ndarray, c: np.ndarray,
               interpret: bool = False, device=None) -> np.ndarray:
     """One-block convenience entry: LCP (capped at 128*ROUNDS) for each
