@@ -101,24 +101,41 @@ def _make_lcp_body(R: int):
             hi_c = (lane + shc) >= 128                     # second row
             hi_p = (lane + shp) >= 128
 
-            lcp = jnp.zeros((128, 1), jnp.int32)
-            done = jnp.zeros((128, 1), bool)
-            ca = fetch_c(rowc)
-            pa = fetch_p(rowp_rel)
-            for r in range(ROUNDS):
-                cb = fetch_c(rowc + (r + 1))
-                pb = fetch_p(rowp_rel + (r + 1))
+            def compare(ca, pa, cb, pb):
                 al_c = jnp.where(hi_c,
                                  jnp.take_along_axis(cb, idx_c, axis=1),
                                  jnp.take_along_axis(ca, idx_c, axis=1))
                 al_p = jnp.where(hi_p,
                                  jnp.take_along_axis(pb, idx_p, axis=1),
                                  jnp.take_along_axis(pa, idx_p, axis=1))
-                mis = jnp.min(jnp.where(al_c == al_p, 128, lane),
-                              axis=1, keepdims=True)       # (128,1)
-                lcp = jnp.where(done, lcp, lcp + mis)
-                done = done | (mis < 128)
-                ca, pa = cb, pb
+                return jnp.min(jnp.where(al_c == al_p, 128, lane),
+                               axis=1, keepdims=True)      # (128,1)
+
+            ca = fetch_c(rowc)
+            pa = fetch_p(rowp_rel)
+            cb = fetch_c(rowc + 1)
+            pb = fetch_p(rowp_rel + 1)
+            mis1 = compare(ca, pa, cb, pb)
+            lcp = mis1
+            if ROUNDS > 1:
+                # later rounds only run when some pair in the quad is
+                # still fully equal — most quads stop in round 1, saving
+                # their fetch matmuls (scf.if around the MXU work)
+                def more_rounds(args):
+                    lcp, ca, pa, cb, pb = args
+                    done = lcp < 128 * 1  # round-1 mismatch
+                    for r in range(1, ROUNDS):
+                        ca, pa = cb, pb
+                        cb = fetch_c(rowc + (r + 1))
+                        pb = fetch_p(rowp_rel + (r + 1))
+                        mis = compare(ca, pa, cb, pb)
+                        lcp = jnp.where(done, lcp, lcp + mis)
+                        done = done | (mis < 128)
+                    return lcp
+
+                lcp = lax.cond(jnp.any(mis1 >= 128), more_rounds,
+                               lambda args: args[0],
+                               (lcp, ca, pa, cb, pb))
             # diagonal extract: row k's scalar -> lane k of tile row q
             lcp_lane = jnp.min(
                 jnp.where(row_eq_lane, jnp.broadcast_to(lcp, (128, 128)),
