@@ -3,4 +3,6 @@ from . import expand, batch  # noqa: F401
 from .batch import decompress, plan_frame, decode_plan_device  # noqa: F401
 from . import pallas_decode  # noqa: F401
 from . import encode  # noqa: F401
-from .encode import compress_device, find_matches_device  # noqa: F401
+from .encode import (compress_device, find_matches_device,  # noqa: F401
+                     find_matches_device_lcp, parse_compact_walk)
+from . import pallas_encode  # noqa: F401
