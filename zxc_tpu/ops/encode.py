@@ -131,25 +131,13 @@ def find_matches_device(data: jnp.ndarray, n_candidates: int
     return lens, offs
 
 
-@functools.partial(jax.jit, static_argnames=("n_candidates", "interpret"))
-def find_matches_device_lcp(data: jnp.ndarray, n_candidates: int,
-                            interpret: bool = False
-                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """find_matches_device with the extension done by the Pallas LCP
-    kernel (pallas_encode.py) instead of gather-priced compare rounds —
-    ~100x on hardware (PERF.md 3.4). Candidate generation (hash sort)
-    is unchanged XLA. Match lengths cap at 128*ROUNDS (=256, the host
-    finder's sufficient-length stop, zxch_find_matches); offset-1 runs
-    stay analytic and uncapped. Blocks must be <= 64 KiB (positions
-    pack into 16 bits of the kernel's control word)."""
+def _lcp_pre(data: jnp.ndarray, K: int):
+    """Per-block candidate generation + kernel-input packing (pure XLA,
+    vmappable). Returns (lens0, pbase, ctl, blk8_rows, oks, cands)."""
     from . import pallas_encode as PE
 
     n = data.shape[0]
-    assert n <= 65536, "pallas matcher packs positions into 16 bits"
     lens = jnp.zeros(n, jnp.int32)
-    offs = jnp.ones(n, jnp.int32)
-    if n < C.MIN_MATCH + 1:
-        return lens, offs
     pad = jnp.concatenate([data, jnp.zeros(4, jnp.uint8)])
     w32 = _le32(pad)
     run = _run_lengths(data)
@@ -168,7 +156,6 @@ def find_matches_device_lcp(data: jnp.ndarray, n_candidates: int,
     p_arr = jnp.arange(nh, dtype=jnp.int32)
     searchable = ~in_run[:nh]
 
-    K = n_candidates
     cands = []
     oks = []
     for k in range(1, K + 1):
@@ -204,25 +191,72 @@ def find_matches_device_lcp(data: jnp.ndarray, n_candidates: int,
                                  jnp.uint32(16))
     pbase = jnp.minimum(((p0 >> 7) // 16 * 16).astype(jnp.int32),
                         R - PE.P_WIN)
-    blk8 = jnp.pad(data, (0, R * 128 - n)).reshape(1, R, 128)
-    kern = PE.lcp_kernel(R, nt, interpret=interpret)
-    lcp = kern(pbase[None], ctl[None], blk8).reshape(-1)[:npairs]
-    max_len = (n - pos_f).astype(jnp.int32)
-    m_f = jnp.minimum(lcp, max_len)
+    blk8 = jnp.pad(data, (0, R * 128 - n)).reshape(R, 128)
+    return (lens, pbase, ctl, blk8,
+            jnp.stack(oks, axis=0), jnp.stack(cands, axis=0))
 
+
+def _lcp_post(lcp_pairs_flat, lens0, oks, cands, n: int, K: int):
+    """Per-block best-of-K merge of kernel LCPs into (lens, offs)."""
+    nh = n - (C.MIN_MATCH - 1)
+    p_arr = jnp.arange(nh, dtype=jnp.int32)
+    max_len = (n - jnp.repeat(p_arr, K)).astype(jnp.int32)
+    m2 = jnp.minimum(lcp_pairs_flat[:nh * K], max_len).reshape(nh, K)
     best_len = jnp.zeros(nh, jnp.int32)
     best_off = jnp.zeros(nh, jnp.int32)
-    m2 = m_f.reshape(nh, K)
     for k in range(K):
         mk = jnp.where(oks[k], m2[:, k], 0)
         better = mk > best_len
         best_len = jnp.where(better, mk, best_len)
         best_off = jnp.where(better, p_arr - cands[k], best_off)
-
+    lens = lens0
+    offs = jnp.ones(n, jnp.int32)
     use = (best_len >= C.MIN_MATCH) & (best_len > lens[:nh])
     lens = lens.at[:nh].set(jnp.where(use, best_len, lens[:nh]))
     offs = offs.at[:nh].set(jnp.where(use, best_off, offs[:nh]))
     return lens, offs
+
+
+@functools.partial(jax.jit, static_argnames=("n_candidates", "interpret"))
+def find_matches_device_lcp_batch(blocks: jnp.ndarray, n_candidates: int,
+                                  interpret: bool = False
+                                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched find_matches_device_lcp over (B, n) same-length blocks —
+    ONE jitted program: the candidate generation vmaps, the LCP kernel
+    natively takes the batch as its first grid dim."""
+    from . import pallas_encode as PE
+
+    B, n = blocks.shape
+    assert n <= 65536, "pallas matcher packs positions into 16 bits"
+    if n < C.MIN_MATCH + 1:
+        return (jnp.zeros((B, n), jnp.int32), jnp.ones((B, n), jnp.int32))
+    K = n_candidates
+    lens0, pbase, ctl, blk8, oks, cands = jax.vmap(
+        lambda d: _lcp_pre(d, K))(blocks)
+    nt = ctl.shape[1]
+    R = blk8.shape[1]
+    kern = PE.lcp_kernel(R, nt, interpret=interpret)
+    lcp = kern(pbase, ctl, blk8).reshape(B, -1)
+    return jax.vmap(
+        lambda l, l0, o, c: _lcp_post(l, l0, o, c, n, K))(
+            lcp, lens0, oks, cands)
+
+
+@functools.partial(jax.jit, static_argnames=("n_candidates", "interpret"))
+def find_matches_device_lcp(data: jnp.ndarray, n_candidates: int,
+                            interpret: bool = False
+                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """find_matches_device with the extension done by the Pallas LCP
+    kernel (pallas_encode.py) instead of gather-priced compare rounds —
+    ~20x on hardware (PERF.md 3.4). Candidate generation (hash sort)
+    is unchanged XLA. Match lengths cap at 128*ROUNDS (=256, the host
+    finder's sufficient-length stop, zxch_find_matches); offset-1 runs
+    stay analytic and uncapped, and capped sequences are extended
+    exactly on the host during emission. Blocks must be <= 64 KiB
+    (positions pack into 16 bits of the kernel's control word)."""
+    lens, offs = find_matches_device_lcp_batch(data[None], n_candidates,
+                                               interpret=interpret)
+    return lens[0], offs[0]
 
 
 @functools.partial(jax.jit, static_argnames=("lazy", "min_emit"))
@@ -401,24 +435,86 @@ def encode_chunk_device(data: bytes | np.ndarray, level: int,
                                      sequences=seqs)
 
 
+@functools.partial(jax.jit, static_argnames=("n_candidates", "lazy",
+                                              "min_emit"))
+def _device_encode_batch(blocks: jnp.ndarray, n_candidates: int,
+                         lazy: bool, min_emit: int):
+    """Matcher + parse for (B, n) blocks as ONE jitted program (hardware
+    path): batched LCP matcher, then B scalar-walk parse kernels inlined
+    into the same program. Returns stacked (n_seq, pos, len, off)."""
+    lens, offs = find_matches_device_lcp_batch(blocks, n_candidates)
+    outs = [parse_compact_walk(lens[b], offs[b], lazy, min_emit)
+            for b in range(blocks.shape[0])]
+    return (jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+            jnp.stack([o[2] for o in outs]),
+            jnp.stack([o[3] for o in outs]))
+
+
 def compress_device(data: bytes, level: int = C.LEVEL_DEFAULT,
                     block_size: int = C.BLOCK_SIZE_DEFAULT,
                     device=None, checksum: bool = False) -> bytes:
     """Frame encode with device-side match finding per block.
 
-    Blocks share one jit shape (full blocks) plus one for the tail, so a
-    steady stream pays two compiles total.  Emission and frame plumbing
-    are host-side (they are byte-twiddling, not compute).
+    On hardware with the LCP matcher, full blocks run in batched
+    dispatches (one jitted matcher+parse program per group of up to 16
+    blocks — padding repeats the last block so a steady stream pays one
+    compile); the tail block and the CPU/interpret path go block-at-a-
+    time. Emission and frame plumbing are host-side (byte-twiddling,
+    not compute).
     """
+    import os
+    from ..codec import block_encode
     from ..codec.stream import global_hash_update
     from ..format import headers
 
     C.block_size_code(block_size)  # validate
     out = bytearray(headers.write_file_header(block_size, checksum))
     global_hash = 0
-    for pos in range(0, len(data), block_size):
-        chunk = data[pos:pos + block_size]
-        blk = encode_chunk_device(chunk, level, device, checksum)
+    n_full = len(data) // block_size
+    use_batch = (n_full >= 2 and block_size <= 65536
+                 and os.environ.get("ZXC_DEVICE_MATCHER", "lcp") == "lcp"
+                 and jax.default_backend() != "cpu")
+    blk_bytes: list[bytes] = []
+    if use_batch:
+        params = block_encode.level_params(level)
+        arr_all = np.frombuffer(data[:n_full * block_size], np.uint8)
+        blocks = arr_all.reshape(n_full, block_size)
+        DB = 16
+        for g0 in range(0, n_full, DB):
+            grp = blocks[g0:g0 + DB]
+            pad = DB - len(grp) if n_full > DB else 0
+            gb = np.concatenate([grp, np.repeat(grp[-1:], pad, 0)]) \
+                if pad else grp
+            db = jnp.asarray(gb)
+            if device is not None:
+                db = jax.device_put(db, device)
+            n_seq_d, pos_d, len_d, off_d = _device_encode_batch(
+                db, params.n_candidates, params.lazy, params.min_emit)
+            n_seq = np.asarray(n_seq_d)
+            cap = pos_d.shape[1]
+            for j in range(len(grp)):
+                # pull only ~the first k entries per block (rounded to a
+                # 1K granule so slice shapes — and their compiled pull
+                # programs — stay few): readback is O(sequences), not
+                # O(padded buffers)
+                k = int(n_seq[j])
+                kp = min(-(-max(k, 1) // 1024) * 1024, cap)
+                seqs = (np.asarray(pos_d[j, :kp])[:k].astype(np.int64),
+                        np.asarray(len_d[j, :kp])[:k].astype(np.int64),
+                        np.asarray(off_d[j, :kp])[:k].astype(np.int64))
+                if k:
+                    seqs = _extend_capped_host(blocks[g0 + j], *seqs)
+                blk_bytes.append(block_encode.encode_chunk(
+                    blocks[g0 + j], level, None, checksum, sequences=seqs))
+        for pos in range(n_full * block_size, len(data), block_size):
+            blk_bytes.append(encode_chunk_device(
+                data[pos:pos + block_size], level, device, checksum))
+    else:
+        for pos in range(0, len(data), block_size):
+            blk_bytes.append(encode_chunk_device(
+                data[pos:pos + block_size], level, device, checksum))
+    for blk in blk_bytes:
         if checksum:
             stored = int.from_bytes(blk[-4:], "little")
             global_hash = global_hash_update(global_hash, stored)
