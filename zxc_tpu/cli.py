@@ -191,9 +191,13 @@ def cmd_compress(args, log: Log) -> int:
         prog = Progress(args.progress, len(data), src or "stdin")
         if args.device and d is None and not args.seekable:
             from . import ops
+            # device default: 64 KiB blocks so the Pallas LCP matcher
+            # applies (its control word packs positions in 16 bits);
+            # any explicit -B wins. Wire-legal: block size is a frame
+            # parameter, not a level property.
             out = ops.compress_device(
                 data, level=eopts.level,
-                block_size=eopts.block_size or C.BLOCK_SIZE_DEFAULT,
+                block_size=eopts.block_size or 65536,
                 checksum=eopts.checksum)
             prog.update(len(data))
         elif args.threads != 1:

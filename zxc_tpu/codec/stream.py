@@ -160,23 +160,32 @@ def stream_decompress(src, dst, opts: DecodeOpts | None = None,
                     global_hash = global_hash_update(global_hash, stored)
             yield bh.block_type, payload[:bh.comp_size], stored
 
-    def decode_one(item) -> bytes:
+    def decode_one(item):
         btype, payload, stored = item
         arr = np.frombuffer(payload, np.uint8)
         if verify and stored is not None:
             if rapidhash32(payload) != stored:
                 raise ZxcError(ERROR_BAD_CHECKSUM, "block payload checksum")
-        out = block_decode.decode_block(btype, arr, fh.block_size,
-                                        dict_buf, dict_tree)
-        return out.tobytes()
+        # written via the buffer protocol — no tobytes() copy per block
+        return block_decode.decode_block(btype, arr, fh.block_size,
+                                         dict_buf, dict_tree)
 
     workers = _n_workers(n_threads)
-    with ThreadPoolExecutor(workers) as ex:
-        for out in ex.map(decode_one, read_payloads()):
+    if workers == 1:
+        # single-threaded: plain loop, no executor hand-off per block
+        results = map(decode_one, read_payloads())
+        for out in results:
             dst.write(out)
             produced += len(out)
             if progress is not None:
                 progress(produced, total_bytes)
+    else:
+        with ThreadPoolExecutor(workers) as ex:
+            for out in ex.map(decode_one, read_payloads()):
+                dst.write(out)
+                produced += len(out)
+                if progress is not None:
+                    progress(produced, total_bytes)
 
     # trailing: optional SEK then footer
     rest = src.read()
