@@ -1769,6 +1769,23 @@ static int64_t ghi_rle_encode(const uint8_t *lit, uint64_t n, uint8_t *out,
 // emitter for levels < 6 (RAW/RLE literal candidates only; Huffman
 // pricing starts at level 6 and stays on the Python path).
 // prem_rle = 8 below level 6. Returns payload size or -10.
+// 4-way-interleaved byte histogram (same treatment as zxch_pivco_core's
+// pass-1 counters): repeated bytes serialize a single-table histogram on
+// the store-to-load forwarding of freq[b], four partial tables break the
+// dependence. ~3x on text-like data; exact counts.
+static void zxch_hist4(const uint8_t *data, uint64_t n, uint64_t freq[256]) {
+  static thread_local uint32_t f4[4][256];
+  memset(f4, 0, sizeof(f4));
+  uint64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    f4[0][data[i]]++; f4[1][data[i + 1]]++;
+    f4[2][data[i + 2]]++; f4[3][data[i + 3]]++;
+  }
+  for (; i < n; i++) f4[0][data[i]]++;
+  for (int s = 0; s < 256; s++)
+    freq[s] = (uint64_t)f4[0][s] + f4[1][s] + f4[2][s] + f4[3][s];
+}
+
 // Exported RLE literal emitter (Python fast path for the L6/L7 GLO
 // section pricing, which runs outside zxch_encode_glo).
 int64_t zxch_rle_encode_lit(const uint8_t *lit, uint64_t n, uint8_t *out,
@@ -1862,8 +1879,8 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
   uint8_t *huf_buf = nullptr;
   uint8_t inline_cl[256];
   if (lit_total > 0 && (lit_total >= 139 || dict_cl)) {
-    uint64_t freq[256] = {0};
-    for (uint64_t i2 = 0; i2 < lit_total; i2++) freq[lit_buf[i2]]++;
+    uint64_t freq[256];
+    zxch_hist4(lit_buf, lit_total, freq);
     if (lit_total >= 139) {
       if (zxch_build_code_lengths(freq, 8, inline_cl) > 1) {
         uint64_t bits = 0;
@@ -2327,8 +2344,8 @@ static int64_t zxch_encode_hufflit(const uint8_t *data, uint64_t P,
                                    uint64_t budget) {
   const uint64_t FIXED = 16 + 32 + 128;
   if (FIXED + (P + 7) / 8 >= budget || FIXED + (P + 7) / 8 > cap) return -1;
-  uint64_t freq[256] = {0};
-  for (uint64_t i = 0; i < P; i++) freq[data[i]]++;
+  uint64_t freq[256];
+  zxch_hist4(data, P, freq);
   uint8_t cl[256];
   if (zxch_build_code_lengths(freq, 8, cl) < 2) return -1;
   uint64_t bits = 0;
