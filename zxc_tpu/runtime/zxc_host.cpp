@@ -2655,10 +2655,31 @@ inline int unpack_cl(const uint8_t *packed, uint8_t *cl) {
   return any ? 0 : -8;
 }
 
+#if defined(__AVX512VBMI__) && defined(__AVX512VL__)
+// vpermb index tables for the small-offset pattern copy: row o holds
+// i % o, so one permutexvar replicates the o-byte repeating unit across
+// a full 32-byte register (the VBMI analog of the reference's SSSE3
+// shuffle masks, zxc_decompress.c:114-143).
+static const uint8_t zxch_overlap_idx[16][32] = {
+#define ZXCH_ROW(o) {0%(o),1%(o),2%(o),3%(o),4%(o),5%(o),6%(o),7%(o), \
+  8%(o),9%(o),10%(o),11%(o),12%(o),13%(o),14%(o),15%(o),16%(o),17%(o), \
+  18%(o),19%(o),20%(o),21%(o),22%(o),23%(o),24%(o),25%(o),26%(o),27%(o), \
+  28%(o),29%(o),30%(o),31%(o)}
+    ZXCH_ROW(1), ZXCH_ROW(1), ZXCH_ROW(2), ZXCH_ROW(3), ZXCH_ROW(4),
+    ZXCH_ROW(5), ZXCH_ROW(6), ZXCH_ROW(7), ZXCH_ROW(8), ZXCH_ROW(9),
+    ZXCH_ROW(10), ZXCH_ROW(11), ZXCH_ROW(12), ZXCH_ROW(13), ZXCH_ROW(14),
+    ZXCH_ROW(15),
+#undef ZXCH_ROW
+};
+#endif
+
 // Overlap-aware match copy: wild 16-byte chunks once the effective
-// distance reaches 16; below that, pattern-doubling (copy o bytes, then
-// 2o, ...) grows the distance in O(log) steps. Caller guarantees >= 32
-// bytes of physical slack past the logical end.
+// distance reaches 16; below that, one vpermb replicates the o-byte
+// pattern across a 32-byte register and wild stores advance by the
+// largest multiple of o <= 32 (phase-preserving), replacing the
+// store-forward-stalled doubling rounds (reference analog:
+// zxc_decode_copy_overlap_run, zxc_decompress.c:159-207). Caller
+// guarantees >= 32 bytes of physical slack past the logical end.
 inline void copy_match(uint8_t *d, uint64_t o, uint64_t mlen) {
   if (o >= 32) {
     const uint8_t *sp = d - o;
@@ -2676,6 +2697,17 @@ inline void copy_match(uint8_t *d, uint64_t o, uint64_t mlen) {
     memset(d, d[-1], mlen);
     return;
   }
+#if defined(__AVX512VBMI__) && defined(__AVX512VL__)
+  // o in [2,15]: the 16-byte load at d-o reads only readable slack past
+  // d; vpermb indices never reference lanes >= o
+  __m128i unit = _mm_loadu_si128((const __m128i *)(d - o));
+  __m256i idx = _mm256_loadu_si256((const __m256i *)zxch_overlap_idx[o]);
+  __m256i pat =
+      _mm256_permutexvar_epi8(idx, _mm256_castsi128_si256(unit));
+  const uint64_t stride = 32 - (32 % o);
+  for (uint64_t k = 0; k < mlen; k += stride)
+    _mm256_storeu_si256((__m256i *)(d + k), pat);
+#else
   uint64_t done = 0, dist = o;
   while (dist < 16) {
     if (done + dist >= mlen) {
@@ -2687,6 +2719,7 @@ inline void copy_match(uint8_t *d, uint64_t o, uint64_t mlen) {
     dist <<= 1;
   }
   for (; done < mlen; done += 16) memcpy(d + done, d + done - dist, 16);
+#endif
 }
 
 // Literal copy: fixed-width wild chunks when the source has >= 32 bytes
