@@ -101,6 +101,28 @@ def lib() -> ctypes.CDLL | None:
         except OSError:
             _tried = True
             return None
+        # ISA guard: the .so cache is keyed by mtime only, so a library
+        # built -march=native on another host (copied checkout, shared
+        # volume) may use instructions this CPU lacks. zxch_isa_supported
+        # re-checks the build ISA against CPUID; on mismatch (or when the
+        # symbol predates this guard) rebuild for THIS host before binding.
+        try:
+            isa_ok = L.zxch_isa_supported()
+        except AttributeError:
+            isa_ok = 0
+        if not isa_ok:
+            del L
+            if not _build():
+                _tried = True
+                return None
+            try:
+                L = ctypes.CDLL(_SO)
+                if not L.zxch_isa_supported():
+                    _tried = True
+                    return None
+            except (OSError, AttributeError):
+                _tried = True
+                return None
         # ALL bindings happen here, inside the lock, before _lib is
         # published: argtypes are mandatory (stack-passed uint64_t gets
         # garbage upper bits under default c_int marshalling), and lazy

@@ -28,6 +28,41 @@
 extern "C" {
 
 // ---------------------------------------------------------------------------
+// build-ISA vs running-CPU guard. The library is compiled -march=native
+// and cached next to the source by mtime only, so a prebuilt .so copied
+// to (or mounted on) a host without the build CPU's extensions would
+// execute e.g. vpermb unconditionally and SIGILL. The loader calls this
+// first and rebuilds when it returns 0 (runtime/__init__.py), giving the
+// same safety as the reference's per-ISA runtime dispatch
+// (zxc_dispatch.c:154-302) at one check per process instead of per call.
+// ---------------------------------------------------------------------------
+
+int zxch_isa_supported(void) {
+#if defined(__x86_64__) || defined(__i386__)
+  __builtin_cpu_init();
+#if defined(__AVX512VBMI__)
+  if (!__builtin_cpu_supports("avx512vbmi")) return 0;
+#endif
+#if defined(__AVX512VBMI2__)
+  if (!__builtin_cpu_supports("avx512vbmi2")) return 0;
+#endif
+#if defined(__AVX512BW__)
+  if (!__builtin_cpu_supports("avx512bw")) return 0;
+#endif
+#if defined(__AVX512F__)
+  if (!__builtin_cpu_supports("avx512f")) return 0;
+#endif
+#if defined(__AVX2__)
+  if (!__builtin_cpu_supports("avx2")) return 0;
+#endif
+#if defined(__BMI2__)
+  if (!__builtin_cpu_supports("bmi2")) return 0;
+#endif
+#endif
+  return 1;
+}
+
+// ---------------------------------------------------------------------------
 // rapidhash v3 (public algorithm) folded to u32 — per-block checksum
 // ---------------------------------------------------------------------------
 
@@ -1773,8 +1808,19 @@ static int64_t ghi_rle_encode(const uint8_t *lit, uint64_t n, uint8_t *out,
 // pass-1 counters): repeated bytes serialize a single-table histogram on
 // the store-to-load forwarding of freq[b], four partial tables break the
 // dependence. ~3x on text-like data; exact counts.
+// BOUND: the uint32 partial counters rely on n < 4 * 2^32. The format
+// caps blocks at 2 MiB (header codes 12..21, constants.py BLOCK_SIZES),
+// so per-lane counts stay far below overflow; a future format bump past
+// 16 GiB per block would need uint64 lanes again.
 static void zxch_hist4(const uint8_t *data, uint64_t n, uint64_t freq[256]) {
+  static_assert(2 * 1024 * 1024 / 4 < 0xFFFFFFFFull,
+                "hist4 u32 lanes sized for the 2 MiB max block");
   static thread_local uint32_t f4[4][256];
+  if (n >= (4ull << 32)) {  // defensive: never reachable through the format
+    memset(freq, 0, 256 * sizeof(uint64_t));
+    for (uint64_t i = 0; i < n; i++) freq[data[i]]++;
+    return;
+  }
   memset(f4, 0, sizeof(f4));
   uint64_t i = 0;
   for (; i + 4 <= n; i += 4) {
