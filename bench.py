@@ -76,6 +76,11 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
     import jax.numpy as jnp
     from zxc_tpu import runtime
     from zxc_tpu.ops import pallas_decode as PD
+    # rejected kernel generations (PERF.md 3.2) stay benchable from the
+    # attic so historical A/Bs remain reproducible
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import kernel_attic as PDA
 
     t0 = time.time()
     # max_frag=1 for the device path: the v13 kernel is issue-bound per
@@ -134,7 +139,7 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
             # (1.30x v15 interleaved, tools/tpu_ab_probe.py)
             import functools
             packfn = {19: functools.partial(PD.pack_blocks_v19, K=ksub),
-                      15: PD.pack_blocks_v15}.get(variant,
+                      15: PDA.pack_blocks_v15}.get(variant,
                                                   PD.pack_blocks_v12)
             raw = [packfn(p10[d * B10:(d + 1) * B10],
                           l10[d * B10:(d + 1) * B10],
@@ -151,7 +156,7 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
             dsets = [tuple(jax.device_put(a, dev) for a in s) for s in sets]
             jax.block_until_ready(dsets)
             kern10 = {19: lambda b, q, r: PD.v19_kernel(b, q, r, ksub),
-                      15: PD.v15_kernel}.get(
+                      15: PDA.v15_kernel}.get(
                           variant, PD.v13_kernel)(plan.block_size, MAXQ, RLP)
         else:
             per10 = PD.lane_ops_blocks(pieces[:nb10], list(plan.totals))
@@ -162,7 +167,7 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
             sets = []
             for d in range(nd10):
                 sl = slice(d * B10, (d + 1) * B10)
-                sets.append(PD.pack_blocks_v10(p10[sl], l10[sl], t10[sl],
+                sets.append(PDA.pack_blocks_v10(p10[sl], l10[sl], t10[sl],
                                                plan.block_size, per=per10[sl],
                                                MAXB=MAXB, RL=RL10))
             RLP = sets[0][3].shape[1]
@@ -170,7 +175,7 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
                   f"B10={B10} ({nd10} kernel calls)", file=sys.stderr)
             dsets = [tuple(jax.device_put(a, dev) for a in s) for s in sets]
             jax.block_until_ready(dsets)
-            kern10 = PD.v10_kernel(plan.block_size,
+            kern10 = PDA.v10_kernel(plan.block_size,
                                    (sets[0][2].shape[1] // 32) * 128, RLP)
         NR = plan.block_size // 128
         flatpos = jnp.arange(NR * 128, dtype=jnp.uint32)
@@ -288,14 +293,14 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
         sets = []
         for d in range(nd9):
             sl = slice(d * B9, (d + 1) * B9)
-            sets.append(PD.pack_blocks_v9(p9[sl], l9[sl], t9[sl],
+            sets.append(PDA.pack_blocks_v9(p9[sl], l9[sl], t9[sl],
                                           plan.block_size, per=per9[sl],
                                           MAXB=MAXB, RL=RL9))
         print(f"# v9 pack: {time.time()-t0:.3f}s, MAXB={MAXB} RL={RL9} "
               f"B9={B9} ({nd9} kernel calls)", file=sys.stderr)
         dsets = [tuple(jax.device_put(a, dev) for a in s) for s in sets]
         jax.block_until_ready(dsets)
-        kern9 = PD.v9_kernel(plan.block_size, MAXB, RL9)
+        kern9 = PDA.v9_kernel(plan.block_size, MAXB, RL9)
         NR = plan.block_size // 128
         flatpos = jnp.arange(NR * 128, dtype=jnp.uint32)
         w9 = (flatpos % 8191).astype(jnp.uint32)
@@ -336,12 +341,12 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
         }))
         return
     if variant >= 4:
-        args, (OR, RL, NW) = PD.pack_blocks_v4(
+        args, (OR, RL, NW) = PDA.pack_blocks_v4(
             pieces, lits, totals_all, plan.block_size,
             split_src=(variant >= 5),
-            pad_unroll={6: PD.UNROLL, 7: PD.UNROLL7}.get(variant, 0))
+            pad_unroll={6: PDA.UNROLL, 7: PDA.UNROLL7}.get(variant, 0))
     else:
-        args, (PR, RL) = PD.pack_blocks(pieces, lits, totals_all,
+        args, (PR, RL) = PDA.pack_blocks(pieces, lits, totals_all,
                                         plan.block_size)
     t0 = time.time()
     batches = []
@@ -355,11 +360,11 @@ def bench_serial(data: bytes, plan, dev, t_plan: float):
           f"({n_disp} dispatches of {B_FIX} blocks)", file=sys.stderr)
 
     if variant >= 4:
-        kern = PD.v4_kernel(plan.block_size, OR, RL, False, variant)
+        kern = PDA.v4_kernel(plan.block_size, OR, RL, False, variant)
     else:
-        kern = PD.serial_kernel_wrapped(plan.block_size, PR, RL, False,
+        kern = PDA.serial_kernel_wrapped(plan.block_size, PR, RL, False,
                                         variant)
-    RO = plan.block_size // 128 + PD.WIN
+    RO = plan.block_size // 128 + PDA.WIN
     flatpos = jnp.arange(RO * 128, dtype=jnp.uint32)
     w = (flatpos % 8191).astype(jnp.uint32)
 

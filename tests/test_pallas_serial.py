@@ -15,6 +15,14 @@ from zxc_tpu.ops import pallas_decode
 
 import ref_oracle
 
+# rejected kernel generations live in tools/kernel_attic.py (see PERF.md
+# 3.2); their history suite keeps running from there
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))), "tools"))
+import kernel_attic
+
 pytestmark = pytest.mark.skipif(not runtime.available(),
                                 reason="native toolchain unavailable")
 
@@ -29,8 +37,8 @@ def _decode(archive: bytes, opts=None) -> bytes:
         assert r is not None
         pieces.append(r[:4])
         lits.append(r[4])
-    res = pallas_decode.decode_blocks(pieces, lits, plan.totals,
-                                      plan.block_size, interpret=True)
+    res = kernel_attic.decode_blocks(pieces, lits, plan.totals,
+                                     plan.block_size, interpret=True)
     return b"".join(res)
 
 
@@ -90,9 +98,9 @@ def test_serial_kernel_variants_agree(variant):
                                    plan.lit[i], device_pure=True)
         pieces.append(r[:4])
         lits.append(r[4])
-    res = pallas_decode.decode_blocks(pieces, lits, plan.totals,
-                                      plan.block_size, interpret=True,
-                                      variant=variant)
+    res = kernel_attic.decode_blocks(pieces, lits, plan.totals,
+                                     plan.block_size, interpret=True,
+                                     variant=variant)
     assert b"".join(res) == data
 
 
@@ -108,9 +116,9 @@ def test_serial_kernel_v3_agrees():
                                    plan.lit[i], device_pure=True)
         pieces.append(r[:4])
         lits.append(r[4])
-    res = pallas_decode.decode_blocks(pieces, lits, plan.totals,
-                                      plan.block_size, interpret=True,
-                                      variant=3)
+    res = kernel_attic.decode_blocks(pieces, lits, plan.totals,
+                                     plan.block_size, interpret=True,
+                                     variant=3)
     assert b"".join(res) == data
 
 
@@ -128,7 +136,7 @@ def test_window_op_kernels_agree(variant):
                                    plan.lit[i], device_pure=True)
         pieces.append(r[:4])
         lits.append(r[4])
-    res = pallas_decode.decode_blocks_v4(pieces, lits, plan.totals,
+    res = kernel_attic.decode_blocks_v4(pieces, lits, plan.totals,
                                          plan.block_size, interpret=True,
                                          variant=variant)
     assert b"".join(res) == data
@@ -162,7 +170,7 @@ def test_v9_lane_kernel_interpret():
         assert r is not None
         pieces.append(r[:4])
         lits.append(r[4])
-    outs = PD.decode_blocks_v9(pieces, lits, list(plan.totals), BLOCK,
+    outs = kernel_attic.decode_blocks_v9(pieces, lits, list(plan.totals), BLOCK,
                                interpret=True)
     assert b"".join(outs) == data
 
@@ -193,12 +201,12 @@ def test_v12_v13_windowed_gather_interpret(variant):
         pieces.append(r[:4])
         lits.append(r[4])
     fn = {13: pallas_decode.decode_blocks_v13,
-          14: pallas_decode.decode_blocks_v14,
-          15: pallas_decode.decode_blocks_v15,
-          16: pallas_decode.decode_blocks_v16,
-          17: pallas_decode.decode_blocks_v17,
+          14: kernel_attic.decode_blocks_v14,
+          15: kernel_attic.decode_blocks_v15,
+          16: kernel_attic.decode_blocks_v16,
+          17: kernel_attic.decode_blocks_v17,
           19: pallas_decode.decode_blocks_v19}.get(
-              variant, pallas_decode.decode_blocks_v12)
+              variant, kernel_attic.decode_blocks_v12)
     outs = fn(pieces, lits, list(plan.totals), BLOCK, interpret=True)
     assert b"".join(outs) == data
 
@@ -228,9 +236,9 @@ def test_v19_multiop_slots_interpret(ksub):
     assert b"".join(outs) == data
     # v20 (plane-segregated packing) and v21 (pair-merged permute)
     # must agree too
-    outs20 = pallas_decode.decode_blocks_v20(
+    outs20 = kernel_attic.decode_blocks_v20(
         pieces, lits, list(plan.totals), BLOCK, interpret=True, K=ksub)
     assert b"".join(outs20) == data
-    outs21 = pallas_decode.decode_blocks_v21(
+    outs21 = kernel_attic.decode_blocks_v21(
         pieces, lits, list(plan.totals), BLOCK, interpret=True, K=ksub)
     assert b"".join(outs21) == data

@@ -18,7 +18,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
-from zxc_tpu.ops import plan_frame, pallas_decode as PD  # noqa: E402
+from zxc_tpu.ops import plan_frame
+import kernel_attic as PD  # superset view: live kernels + rejected generations
 from zxc_tpu import runtime  # noqa: E402
 from gen_corpus import gen_corpus  # noqa: E402
 import ref_oracle  # noqa: E402

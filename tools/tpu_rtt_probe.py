@@ -20,7 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from zxc_tpu.ops import plan_frame, pallas_decode as PD
+from zxc_tpu.ops import plan_frame
+import kernel_attic as PD  # superset view: live kernels + rejected generations
 from zxc_tpu import runtime
 
 MB = int(os.environ.get("PROBE_MB", "8"))

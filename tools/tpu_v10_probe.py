@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from zxc_tpu.ops import plan_frame, pallas_decode as PD
+from zxc_tpu.ops import plan_frame
+import kernel_attic as PD  # superset view: live kernels + rejected generations
 from zxc_tpu import runtime
 
 MB = int(os.environ.get("PROBE_MB", "8"))

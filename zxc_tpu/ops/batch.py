@@ -368,7 +368,14 @@ def decompress(archive: bytes, opts: DecodeOpts | None = None,
                         pieces, lits, plan.totals, plan.block_size,
                         device=device)
                 else:
-                    res = pallas_decode.decode_blocks(
+                    # rejected generations (PERF.md 3.2) remain selectable
+                    # for A/B reproduction from the attic
+                    import sys as _sys
+                    _sys.path.insert(0, _os.path.join(_os.path.dirname(
+                        _os.path.dirname(_os.path.dirname(
+                            _os.path.abspath(__file__)))), "tools"))
+                    import kernel_attic
+                    res = kernel_attic.decode_blocks(
                         pieces, lits, plan.totals, plan.block_size,
                         device=device, variant=variant)
             return b"".join(res)
