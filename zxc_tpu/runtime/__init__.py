@@ -199,6 +199,10 @@ def lib() -> ctypes.CDLL | None:
         L.zxch_compress_frame.argtypes = [vp, u64, ci, ci, ci, ci, ci, ci,
                                           ci, ci, u64, ci, ci, ci, vp, u64,
                                           vp, u32, vp, u64]
+        L.zxch_v19_prep_block.restype = i64
+        L.zxch_v19_prep_block.argtypes = [vp, u64, ci, u64, vp, u64, vp,
+                                          ci, ci, vp, vp, vp, vp, vp,
+                                          i64, i64, i64, vp, vp, vp]
         _lib = L
         _install_fast_paths(L)
         _tried = True
@@ -780,3 +784,39 @@ def code_lengths(freq: np.ndarray, max_len: int) -> np.ndarray | None:
     if rc < 0:
         return None
     return cl
+
+
+def v19_prep_block(payload: np.ndarray, block_type: int, block_size: int,
+                   qs_row: np.ndarray, qbase_row: np.ndarray,
+                   pctrl_row: np.ndarray, tq_row: np.ndarray,
+                   lit8_row: np.ndarray, MAXQ: int, NG32: int, RLP: int,
+                   K: int = 2, quad_align: int = 2,
+                   dict_buf: np.ndarray | None = None,
+                   dict_cl: np.ndarray | None = None):
+    """Fused device-dispatch prep: one native call takes a block payload to
+    its v19 control slices (section parse + entropy literals + piece
+    resolution + lane-op packing — pack_blocks_v19 layout, asserted
+    byte-identical by tests/test_device_pipeline.py).
+
+    The *_row arrays are this block's slices of the dispatch-group arrays
+    (C-contiguous). Returns (total, nq, maxrow, litrows); total < 0 is a
+    ZXC error code, with -10 also meaning "MAXQ/RLP too small" (nq/maxrow/
+    litrows then hold the needed lower bounds). None when the native
+    library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    pl = np.ascontiguousarray(payload, np.uint8)
+    d8, cl8, cl_ptr = _as_dict_args(dict_buf, dict_cl)
+    nq = ctypes.c_int64(0)
+    maxrow = ctypes.c_int64(0)
+    litrows = ctypes.c_int64(0)
+    P = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    total = L.zxch_v19_prep_block(
+        P(pl), len(pl), block_type, block_size,
+        d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr,
+        K, quad_align,
+        P(qs_row), P(qbase_row), P(pctrl_row), P(tq_row), P(lit8_row),
+        MAXQ, NG32, RLP,
+        ctypes.byref(nq), ctypes.byref(maxrow), ctypes.byref(litrows))
+    return int(total), int(nq.value), int(maxrow.value), int(litrows.value)

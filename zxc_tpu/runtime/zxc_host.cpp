@@ -3654,3 +3654,500 @@ int64_t zxch_lane_ops(const int32_t *po, const int32_t *pc,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused v19 dispatch prep: one call per block, payload -> packed device
+// control arrays.
+//
+// This is the host half of the END-TO-END device decode pipeline. It fuses
+// what rounds 1-2 ran as four passes with Python/NumPy glue between them
+// (section parse -> entropy literal decode -> zxch_resolve_pieces ->
+// zxch_lane_ops -> pack_blocks_v19-in-NumPy) into a single cache-hot walk
+// that writes the v19 kernel's control slices directly:
+//
+//   qs    (NST+1,)        per-128-row-supertile quad prefix
+//   qbase (MAXQ,)         per-quad 16-aligned source-window base row
+//   pctrl (K*NG32, 128)   per-slot packed control, one plane per sub-op
+//   tq    (MAXQ, 128)     per-slot target rows
+//   lit8  (RLP, 128)      dict ++ literals ++ resolver-materialized bytes
+//
+// Layouts are BYTE-IDENTICAL to ops/pallas_decode.pack_blocks_v19 (asserted
+// by tests/test_device_pipeline.py): the NumPy packer's stable argsort by
+// key = src_row*128 + tgt is reproduced by a counting sort over src_row —
+// lane ops are emitted in output order, which within one src_row bucket is
+// exactly ascending (tgt, lane), so stable-counting == stable-argsort.
+// Supertiles complete monotonically (pieces are emitted in output order),
+// so each one is sorted, slot-grouped, quad-chunked and scattered while
+// still in cache.
+//
+// Behavior contract: the reference's one-call hot path
+// (zxc_decompress.c:680-1045 section parse + literal decode + sequences,
+// dispatched per block from zxc_dispatch.c:856-1055); here the sequence
+// copies move to the TPU and this call emits their control stream instead.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PrepTL {  // per-thread scratch, grown on demand
+  uint8_t *tok = nullptr; uint64_t tok_cap = 0;
+  uint8_t *piv = nullptr; uint64_t piv_cap = 0;
+  int32_t *ll = nullptr, *ml = nullptr, *off = nullptr; uint64_t seq_cap = 0;
+  int32_t *po = nullptr, *pc = nullptr, *ps = nullptr, *pk = nullptr;
+  uint64_t piece_cap = 0;
+  // per-supertile op bucket (row, src_row, roll, s, e packed per op)
+  int32_t *ops = nullptr; uint64_t ops_cap = 0;
+  int32_t *ops_sorted = nullptr;
+  // slot arrays (per supertile)
+  int32_t *ssrc = nullptr, *stgt = nullptr, *sctl = nullptr;  // sctl K*3 per slot
+  uint64_t slot_cap = 0;
+  int32_t *counts = nullptr; uint64_t counts_cap = 0;
+};
+
+// growth PRESERVES contents: the lane-op bucket grows mid-supertile with
+// live entries (the first cut dropped them and read uninitialized memory)
+inline void grow_i32(int32_t **p, uint64_t *cap, uint64_t need) {
+  if (need <= *cap) return;
+  uint64_t nc = *cap ? *cap : 4096;
+  while (nc < need) nc *= 2;
+  int32_t *np_ = new int32_t[nc];
+  if (*p) memcpy(np_, *p, *cap * sizeof(int32_t));
+  delete[] *p;
+  *p = np_;
+  *cap = nc;
+}
+
+inline void grow_u8(uint8_t **p, uint64_t *cap, uint64_t need) {
+  if (need <= *cap) return;
+  uint64_t nc = *cap ? *cap : 4096;
+  while (nc < need) nc *= 2;
+  uint8_t *np_ = new uint8_t[nc];
+  if (*p) memcpy(np_, *p, *cap);
+  delete[] *p;
+  *p = np_;
+  *cap = nc;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the block's decoded size >= 0, or a negative ZXC error code
+// (-10 also covers "MAXQ/RLP too small": *out_nq / *out_maxrow /
+// *out_litrows hold best-known lower bounds so the caller can resize).
+// Requires block_size % 16384 == 0 (the v19 supertile contract).
+int64_t zxch_v19_prep_block(
+    const uint8_t *pl, uint64_t plen, int block_type, uint64_t block_size,
+    const uint8_t *dict, uint64_t n_dict, const uint8_t *dict_cl,
+    int K, int quad_align,
+    int32_t *qs, int32_t *qbase, int32_t *pctrl, int32_t *tq, uint8_t *lit8,
+    int64_t MAXQ, int64_t NG32, int64_t RLP,
+    int64_t *out_nq, int64_t *out_maxrow, int64_t *out_litrows) {
+  if (block_size % 16384 || K < 1 || K > 4) return -1;
+  const int64_t NST = (int64_t)(block_size / 16384);
+  *out_nq = 0; *out_maxrow = 128; *out_litrows = 0;
+  static thread_local PrepTL T;
+  const uint64_t lit_cap = (uint64_t)RLP * 128;
+
+  // ---- phase 1: sections -> (ll, ml, off) + literals in lit8 ----
+  uint64_t n_lit = 0, n_seq64 = 0;
+  if (n_dict) {
+    if (n_dict + 64 > lit_cap) return -10;
+    memcpy(lit8, dict, n_dict);
+  }
+  uint8_t *lit = lit8 + n_dict;
+  if (block_type == 0) {  // RAW: all-literal block
+    if (plen > block_size) return -10;
+    if (n_dict + plen + 64 > lit_cap) { *out_litrows = (int64_t)((n_dict + plen + 64 + 127) / 128); return -10; }
+    memcpy(lit, pl, plen);
+    n_lit = plen;
+  } else if (block_type == 1 || block_type == 2) {
+    const int is_glo = block_type == 1;
+    const int n_sec = is_glo ? 4 : 3;
+    const uint64_t HDR = 16 + 8u * n_sec;
+    if (plen < HDR) return -6;
+    uint32_t n_seq;
+    memcpy(&n_seq, pl, 4);
+    uint8_t enc_lit = pl[8], enc_tok = pl[9], enc_off = pl[11];
+    uint64_t sz[4] = {0, 0, 0, 0}, raw[4] = {0, 0, 0, 0};
+    uint64_t tile = HDR;
+    for (int k = 0; k < n_sec; k++) {
+      uint64_t d;
+      memcpy(&d, pl + 16 + 8 * k, 8);
+      sz[k] = d & 0xFFFFFFFFu;
+      raw[k] = d >> 32;
+      tile += sz[k];
+    }
+    if (tile != plen) return -8;
+    const uint8_t *sec_lit = pl + HDR;
+    const uint8_t *sec_b = sec_lit + sz[0];
+    const uint8_t *sec_c = sec_b + sz[1];
+    const uint8_t *sec_ext = is_glo ? sec_c + sz[2] : sec_c;
+    const uint64_t sz_ext = is_glo ? sz[3] : sz[2];
+    if (n_seq > block_size / 5 + 1) return -8;
+    n_seq64 = n_seq;
+
+    // literal section -> lit (within lit8)
+    if (!is_glo || enc_lit == 0) {
+      n_lit = is_glo ? sz[0] : sz[0];
+      if (n_dict + n_lit + 64 > lit_cap) { *out_litrows = (int64_t)((n_dict + n_lit + 64 + 127) / 128); return -10; }
+      memcpy(lit, sec_lit, n_lit);
+    } else {
+      uint64_t rl = raw[0];
+      if (rl > block_size) return -8;
+      if (n_dict + rl + 64 > lit_cap) { *out_litrows = (int64_t)((n_dict + rl + 64 + 127) / 128); return -10; }
+      grow_u8(&T.piv, &T.piv_cap, block_size + 64);
+      n_lit = rl;
+      if (enc_lit == 1) {
+        if (rl) {
+          int rc = zxch_rle_decode(sec_lit, sz[0], lit, rl);
+          if (rc) return rc;
+        }
+      } else if (enc_lit == 2) {
+        if (rl) {
+          if (sz[0] < 128) return -8;
+          uint8_t cl[256];
+          {
+            int any = 0;
+            for (int i = 0; i < 128; i++) {
+              uint8_t b = sec_lit[i];
+              uint8_t lo = (uint8_t)(b & 15), hi = (uint8_t)(b >> 4);
+              if (lo > 11 || hi > 11) return -8;
+              cl[2 * i] = lo; cl[2 * i + 1] = hi;
+              any |= b;
+            }
+            if (!any) return -8;
+          }
+          int rc = zxch_pivco_decode_s(sec_lit + 128, sz[0] - 128, cl, rl,
+                                       lit, T.piv);
+          if (rc) return rc;
+        }
+      } else if (enc_lit == 3) {
+        if (!dict_cl) return -15;
+        if (rl) {
+          int rc = zxch_pivco_decode_s(sec_lit, sz[0], dict_cl, rl, lit,
+                                       T.piv);
+          if (rc) return rc;
+        }
+      } else {
+        return -8;
+      }
+    }
+
+    // token / word section -> (ll, ml, off) with inline extras varints
+    grow_i32(&T.ll, &T.seq_cap, n_seq ? n_seq : 1);
+    // seq_cap tracks ll only; ml/off ride along
+    if (T.seq_cap > 0) {
+      static thread_local uint64_t mloff_cap = 0;
+      if (T.seq_cap > mloff_cap) {
+        delete[] T.ml; delete[] T.off;
+        T.ml = new int32_t[T.seq_cap];
+        T.off = new int32_t[T.seq_cap];
+        mloff_cap = T.seq_cap;
+      }
+    }
+    const uint8_t *tok = sec_b;
+    if (is_glo) {
+      if (enc_tok == 2) {
+        if (n_seq) {
+          if (sz[1] < 128) return -8;
+          uint8_t cl[256];
+          {
+            int any = 0;
+            for (int i = 0; i < 128; i++) {
+              uint8_t b = sec_b[i];
+              uint8_t lo = (uint8_t)(b & 15), hi = (uint8_t)(b >> 4);
+              if (lo > 11 || hi > 11) return -8;
+              cl[2 * i] = lo; cl[2 * i + 1] = hi;
+              any |= b;
+            }
+            if (!any) return -8;
+          }
+          grow_u8(&T.tok, &T.tok_cap, block_size + 64);
+          grow_u8(&T.piv, &T.piv_cap, block_size + 64);
+          int rc = zxch_pivco_decode_s(sec_b + 128, sz[1] - 128, cl, n_seq,
+                                       T.tok, T.piv);
+          if (rc) return rc;
+          tok = T.tok;
+        }
+      } else if (enc_tok != 0) {
+        return -8;
+      } else if (sz[1] < n_seq) {
+        return -8;
+      }
+      uint64_t expected_off = (enc_off == 1) ? n_seq : 2u * n_seq;
+      if (sz[2] < expected_off) return -8;
+      uint64_t e = 0;
+      for (uint64_t i = 0; i < n_seq; i++) {
+        uint32_t t = tok[i];
+        uint64_t l = t >> 4, m = t & 15;
+        if (l == 15) {
+          uint64_t v; int64_t c = dec_varint(sec_ext + e, sz_ext - e, &v);
+          if (c < 0) return -8;
+          e += (uint64_t)c; l += v;
+        }
+        if (m == 15) {
+          uint64_t v; int64_t c = dec_varint(sec_ext + e, sz_ext - e, &v);
+          if (c < 0) return -8;
+          e += (uint64_t)c; m += v;
+        }
+        T.ll[i] = (int32_t)l;
+        T.ml[i] = (int32_t)(m + 5);
+        T.off[i] = (enc_off == 1) ? (int32_t)sec_c[i] + 1
+                                  : (int32_t)rd16le(sec_c + 2 * i) + 1;
+      }
+    } else {
+      if (sz[1] < 4u * n_seq) return -8;
+      uint64_t e = 0;
+      for (uint64_t i = 0; i < n_seq; i++) {
+        uint32_t wd;
+        memcpy(&wd, sec_b + 4 * i, 4);
+        uint64_t l = wd >> 24, m = (wd >> 16) & 0xFF;
+        if (l == 255) {
+          uint64_t v; int64_t c = dec_varint(sec_ext + e, sz_ext - e, &v);
+          if (c < 0) return -8;
+          e += (uint64_t)c; l += v;
+        }
+        if (m == 255) {
+          uint64_t v; int64_t c = dec_varint(sec_ext + e, sz_ext - e, &v);
+          if (c < 0) return -8;
+          e += (uint64_t)c; m += v;
+        }
+        T.ll[i] = (int32_t)l;
+        T.ml[i] = (int32_t)(m + 5);
+        T.off[i] = (int32_t)(wd & 0xFFFF) + 1;
+      }
+    }
+  } else {
+    return -13;  // BAD_BLOCK_TYPE
+  }
+
+  // logical size validation (python plan_frame parity)
+  uint64_t lit_used = 0, total_seq = 0;
+  for (uint64_t i = 0; i < n_seq64; i++) {
+    lit_used += (uint64_t)T.ll[i];
+    total_seq += (uint64_t)T.ll[i] + (uint64_t)T.ml[i];
+  }
+  if (lit_used > n_lit) return -10;
+  const uint64_t total = total_seq + (n_lit - lit_used);
+  if (total > block_size) return -10;
+
+  // ---- phase 2: resolve into device-pure pieces (max_frag=1) ----
+  grow_i32(&T.po, &T.piece_cap, 8 * (n_seq64 ? n_seq64 : 1) + 64);
+  {
+    static thread_local uint64_t pcsk_cap = 0;
+    if (T.piece_cap > pcsk_cap) {
+      delete[] T.pc; delete[] T.ps; delete[] T.pk;
+      T.pc = new int32_t[T.piece_cap];
+      T.ps = new int32_t[T.piece_cap];
+      T.pk = new int32_t[T.piece_cap];
+      pcsk_cap = T.piece_cap;
+    }
+  }
+  uint64_t lit_out = 0;
+  int64_t np = zxch_resolve_pieces(T.ll, T.ml, T.off, n_seq64, lit8,
+                                   n_dict + n_lit, lit_cap, n_dict,
+                                   T.po, T.pc, T.ps, T.pk, T.piece_cap,
+                                   &lit_out, /*device_pure=*/1,
+                                   /*max_frag=*/1);
+  if (np == -10) { *out_litrows = (int64_t)((lit_out ? lit_out : lit_cap + (block_size >> 2)) + 127) / 128 + 8; return -10; }
+  if (np < 0) return np;
+  const int64_t litrows = (int64_t)((lit_out + 127) / 128);
+  *out_litrows = litrows;
+  // zero-pad the literal tail row (deterministic H2D content)
+  if ((uint64_t)litrows * 128 > lit_out)
+    memset(lit8 + lit_out, 0, (uint64_t)litrows * 128 - lit_out);
+
+  // ---- phase 3: lane ops per supertile -> sort -> slots -> quads ----
+  int64_t nq = 0;           // quads emitted so far (block-relative)
+  int64_t maxrow = 0;
+  int64_t cur_st = 0;       // next supertile to flush
+  uint64_t bucket_n = 0;    // ops in the open supertile's bucket
+  qs[0] = 0;
+  grow_i32(&T.counts, &T.counts_cap, (uint64_t)RLP + 1);
+  int64_t bkt_minrow = 1 << 30, bkt_maxrow = -1;
+
+  // flush the open supertile bucket as quads; returns 0 or -10
+  auto flush_one = [&]() -> int {
+    // counting sort by src_row (stable: bucket order is output order,
+    // which within a src_row is ascending (tgt, lane) — argsort parity)
+    const int64_t n = (int64_t)bucket_n;
+    int32_t *B = T.ops;            // packed 5 x i32 per op
+    int32_t *S = T.ops_sorted;
+    int64_t n_slots = 0;
+    if (n) {
+      const int64_t lo = bkt_minrow, hi = bkt_maxrow;
+      int32_t *cnt = T.counts;
+      memset(cnt, 0, (size_t)(hi - lo + 2) * sizeof(int32_t));
+      for (int64_t i = 0; i < n; i++) cnt[B[5 * i + 1] - lo + 1]++;
+      for (int64_t r = 0; r <= hi - lo; r++) cnt[r + 1] += cnt[r];
+      for (int64_t i = 0; i < n; i++) {
+        int64_t d = cnt[B[5 * i + 1] - lo]++;
+        memcpy(S + 5 * d, B + 5 * i, 5 * sizeof(int32_t));
+      }
+      // slot grouping: runs of equal (src_row, tgt), K sub-ops per slot
+      grow_i32(&T.ssrc, &T.slot_cap, (uint64_t)n);
+      {
+        static thread_local uint64_t sl2_cap = 0;
+        if (T.slot_cap > sl2_cap) {
+          delete[] T.stgt; delete[] T.sctl;
+          T.stgt = new int32_t[T.slot_cap];
+          T.sctl = new int32_t[T.slot_cap * 4 * 3];
+          sl2_cap = T.slot_cap;
+        }
+      }
+      int32_t cur_src = -1, cur_tgt = -1;
+      int within = 0;
+      for (int64_t i = 0; i < n; i++) {
+        const int32_t *o = S + 5 * i;   // row, src_row, roll, s, e
+        const int32_t tgt = (int32_t)((o[0] & 31) + 32 * ((o[0] >> 5) & 3));
+        if (o[1] != cur_src || tgt != cur_tgt) {
+          cur_src = o[1]; cur_tgt = tgt; within = 0;
+        }
+        if (within % K == 0) {
+          int64_t s_ = n_slots++;
+          T.ssrc[s_] = cur_src;
+          T.stgt[s_] = cur_tgt;
+          for (int k = 0; k < K; k++) {
+            T.sctl[(s_ * K + k) * 3 + 0] = 0;
+            T.sctl[(s_ * K + k) * 3 + 1] = 1;   // empty: s=1 > e-1=0
+            T.sctl[(s_ * K + k) * 3 + 2] = 0;
+          }
+        }
+        const int64_t s_ = n_slots - 1;
+        const int k = within % K;
+        T.sctl[(s_ * K + k) * 3 + 0] = o[2];
+        T.sctl[(s_ * K + k) * 3 + 1] = o[3];
+        T.sctl[(s_ * K + k) * 3 + 2] = o[4] - 1;
+        within++;
+      }
+    }
+    // quad chunking over slots (ssrc non-decreasing)
+    const int64_t q_first = nq;
+    int64_t i = 0;
+    while (i < n_slots) {
+      const int32_t base = T.ssrc[i] & ~15;
+      int64_t j = i + 128 < n_slots ? i + 128 : n_slots;
+      while (T.ssrc[j - 1] - base > 127) j--;
+      if (nq >= MAXQ) { *out_nq = nq + 1; return -10; }
+      // scatter this quad
+      qbase[nq] = base;
+      if (base + 128 > maxrow) maxrow = base + 128;
+      int32_t *tqrow = tq + nq * 128;
+      const int64_t qn = j - i;
+      for (int64_t c = 0; c < 128; c++) {
+        const int64_t bat = 4 * nq + (c >> 5);
+        int32_t *cell = pctrl + ((bat >> 7) * 32 + (c & 31)) * 128
+                        + (bat & 127);
+        if (c < qn) {
+          const int64_t s_ = i + c;
+          const int32_t *ct = T.sctl + s_ * K * 3;
+          cell[0] = ct[0] | (ct[1] << 7) | (ct[2] << 14)
+                    | ((T.ssrc[s_] - base) << 21);
+          for (int k = 1; k < K; k++)
+            cell[(int64_t)k * NG32 * 128] =
+                ct[k * 3 + 0] | (ct[k * 3 + 1] << 7) | (ct[k * 3 + 2] << 14);
+          tqrow[c] = T.stgt[s_];
+        } else {
+          cell[0] = 1 << 7;
+          for (int k = 1; k < K; k++) cell[(int64_t)k * NG32 * 128] = 1 << 7;
+          tqrow[c] = 0;
+        }
+      }
+      nq++;
+      i = j;
+    }
+    if (n_slots == 0) {
+      // python parity: an empty supertile still emits one empty quad
+      if (nq >= MAXQ) { *out_nq = nq + 1; return -10; }
+      qbase[nq] = 0;
+      if (maxrow < 128) maxrow = 128;
+      int32_t *tqrow = tq + nq * 128;
+      for (int64_t c = 0; c < 128; c++) {
+        const int64_t bat = 4 * nq + (c >> 5);
+        int32_t *cell = pctrl + ((bat >> 7) * 32 + (c & 31)) * 128
+                        + (bat & 127);
+        cell[0] = 1 << 7;
+        for (int k = 1; k < K; k++) cell[(int64_t)k * NG32 * 128] = 1 << 7;
+        tqrow[c] = 0;
+      }
+      nq++;
+    }
+    // alignment padding quads
+    while ((nq - q_first) % quad_align) {
+      if (nq >= MAXQ) { *out_nq = nq + 1; return -10; }
+      qbase[nq] = 0;
+      if (maxrow < 128) maxrow = 128;
+      int32_t *tqrow = tq + nq * 128;
+      for (int64_t c = 0; c < 128; c++) {
+        const int64_t bat = 4 * nq + (c >> 5);
+        int32_t *cell = pctrl + ((bat >> 7) * 32 + (c & 31)) * 128
+                        + (bat & 127);
+        cell[0] = 1 << 7;
+        for (int k = 1; k < K; k++) cell[(int64_t)k * NG32 * 128] = 1 << 7;
+        tqrow[c] = 0;
+      }
+      nq++;
+    }
+    bucket_n = 0;
+    bkt_minrow = 1 << 30; bkt_maxrow = -1;
+    return 0;
+  };
+
+  for (int64_t j = 0; j < np; j++) {
+    int64_t q = T.po[j];
+    int64_t end = (j + 1 < np) ? T.po[j + 1] : (int64_t)total;
+    const int64_t c = T.pc[j], sd = T.ps[j], k = T.pk[j];
+    while (q < end) {
+      const int64_t row = q >> 7;
+      const int64_t st = row >> 7;
+      while (st >= cur_st + 1) {   // piece crossed into a new supertile
+        int rc = flush_one();
+        if (rc) return rc;
+        cur_st++;
+        qs[cur_st] = (int32_t)nq;
+      }
+      const int64_t s = q & 127;
+      int64_t row_end = (row + 1) << 7;
+      if (row_end > end) row_end = end;
+      const int64_t src = (k >= ZXCH_KBIG) ? c + (q - sd)
+                                           : c + ((q - sd) % k);
+      const int64_t src_lane = src & 127;
+      int64_t len = row_end - q;
+      if (len > 128 - src_lane) len = 128 - src_lane;
+      grow_i32(&T.ops, &T.ops_cap, (bucket_n + 1) * 5);
+      {
+        static thread_local uint64_t srt_cap = 0;
+        if (T.ops_cap > srt_cap) {
+          delete[] T.ops_sorted;
+          T.ops_sorted = new int32_t[T.ops_cap];
+          srt_cap = T.ops_cap;
+        }
+      }
+      int32_t *o = T.ops + bucket_n * 5;
+      o[0] = (int32_t)row;   // full output row; tgt = (row&31) + 32*((row>>5)&3)
+      o[1] = (int32_t)(src >> 7);
+      o[2] = (int32_t)((src_lane - s) & 127);
+      o[3] = (int32_t)s;
+      o[4] = (int32_t)(s + len);
+      if (o[1] < bkt_minrow) bkt_minrow = o[1];
+      if (o[1] > bkt_maxrow) bkt_maxrow = o[1];
+      bucket_n++;
+      q += len;
+    }
+  }
+  // flush remaining supertiles (incl. trailing empties)
+  while (cur_st < NST) {
+    int rc = flush_one();
+    if (rc) return rc;
+    cur_st++;
+    qs[cur_st] = (int32_t)nq;
+  }
+  *out_nq = nq;
+  *out_maxrow = maxrow;
+  // the kernel reads lit8[base : base+128) per quad: RLP must cover the
+  // highest window, not just the literal rows
+  if (maxrow > RLP) return -10;
+  return (int64_t)total;
+}
+
+}  // extern "C"
