@@ -159,6 +159,40 @@ def _alloc_group(B: int, NST: int, MAXQ: int, NG32: int, RLP: int,
     )
 
 
+# -- group-buffer pool -------------------------------------------------------
+# Fresh 20 MB host allocations inside a jax-loaded process cost 0.1-0.4 s
+# EACH (page-fault pathology measured on the bench host: 8 group buffers =
+# 1.2 s of a 1.6 s e2e wall, vs 4 ms in a clean process). Reuse is safe
+# because the native prep fully overwrites every cell of every quad it
+# flushes (zxch_v19_prep_block writes empty control words + tq=0 for
+# unoccupied slots), quads >= nq are never read (qs ranges bound the
+# kernel loop), and lit8 rows >= litrows only feed one-hot gathers that
+# never select them. This is the zxc_cctx reuse analog (zxc_common.c:386:
+# one workspace, many frames).
+import threading
+
+_pool_lock = threading.Lock()
+_pool: dict = {}
+
+
+def _pool_acquire(B, NST, MAXQ, NG32, RLP, K) -> GroupBuffers:
+    key = (B, NST, MAXQ, NG32, RLP, K)
+    with _pool_lock:
+        free = _pool.get(key)
+        if free:
+            return free.pop()
+    return _alloc_group(B, NST, MAXQ, NG32, RLP, K)
+
+
+def _pool_release(buf: GroupBuffers, B, NST, MAXQ, NG32, RLP, K,
+                  cap: int = 64) -> None:
+    key = (B, NST, MAXQ, NG32, RLP, K)
+    with _pool_lock:
+        free = _pool.setdefault(key, [])
+        if len(free) < cap:
+            free.append(buf)
+
+
 class DevicePipeline:
     """Reusable archive -> device decode pipeline for one frame geometry.
 
@@ -180,6 +214,20 @@ class DevicePipeline:
         self.MAXQ = 0
         self.RLP = 0
         self.NG32 = 0
+        self._held: list = []   # (buf, shape-key) pairs
+
+    def release(self) -> None:
+        """Return this pipeline's group buffers to the module pool. Only
+        call after every device computation that read them has completed
+        (device_put may alias the host buffers on the CPU backend)."""
+        for b, key in self._held:
+            _pool_release(b, *key)
+        self._held = []
+
+    def drop_held(self) -> None:
+        """Forget held buffers WITHOUT pooling them (retry path: device
+        work that aliases them may still be in flight)."""
+        self._held = []
 
     # -- shape discovery ---------------------------------------------------
     def size_shapes(self, sample: int | None = None,
@@ -200,16 +248,21 @@ class DevicePipeline:
                          128)
         NG320 = _round_up(MAXQ0 * 4, 128) // 4 // 32 * 32
         NG320 = 32 * _round_up(MAXQ0 * 4, 128) // 128
-        buf = _alloc_group(1, self.NST, MAXQ0, NG320, RLP0, self.K)
+        buf = _pool_acquire(1, self.NST, MAXQ0, NG320, RLP0, self.K)
         idx = np.linspace(0, nb - 1, sample).astype(int)
         max_nq = max_need = 1
-        for i in np.unique(idx):
-            total, nq, maxrow, litrows = self._prep_into(int(i), buf, 0,
-                                                         MAXQ0, NG320, RLP0)
-            if total < 0:
-                raise ZxcError(int(total), "device prep (sizing)")
-            max_nq = max(max_nq, nq)
-            max_need = max(max_need, maxrow, litrows)
+        try:
+            for i in np.unique(idx):
+                total, nq, maxrow, litrows = self._prep_into(
+                    int(i), buf, 0, MAXQ0, NG320, RLP0)
+                if total < 0:
+                    raise ZxcError(int(total), "device prep (sizing)")
+                max_nq = max(max_nq, nq)
+                max_need = max(max_need, maxrow, litrows)
+        finally:
+            # sizing scratch never reaches the device: releasable now
+            _pool_release(buf, 1, self.NST, MAXQ0, NG320, RLP0, self.K,
+                          cap=2)
         self.MAXQ = _round_up(int(max_nq * margin) + 8, 32)
         self.RLP = _round_up(int(max_need * margin) + 144, 128)
         self.NG32 = 32 * _round_up(self.MAXQ * 4, 128) // 128
@@ -247,8 +300,9 @@ class DevicePipeline:
         n_groups = -(-nb // B) if nb else 0
         if n_groups == 0:
             return carry
-        bufs = [_alloc_group(B, self.NST, self.MAXQ, self.NG32, self.RLP,
-                             self.K) for _ in range(min(pools, n_groups))]
+        key = (B, self.NST, self.MAXQ, self.NG32, self.RLP, self.K)
+        bufs = [_pool_acquire(*key) for _ in range(min(pools, n_groups))]
+        self._held.extend((b, key) for b in bufs)
         in_flight: list = [None] * len(bufs)
 
         def prep_block(g: int, j: int):
@@ -291,8 +345,13 @@ class DevicePipeline:
                 for f in futs.pop(g):
                     f.result()   # raises ShapeOverflow / ZxcError
                 buf = bufs[g % len(bufs)]
-                dev_args = jax.device_put(
-                    (buf.qs, buf.qbase, buf.pctrl, buf.tq, buf.lit8), device)
+                # per-array puts: a PYTREE device_put takes a slow batched
+                # path on this backend (0.42 s vs 0.11 s for the same
+                # 160 MB, measured round 3) — put each leaf individually
+                dev_args = tuple(
+                    jax.device_put(a, device)
+                    for a in (buf.qs, buf.qbase, buf.pctrl, buf.tq,
+                              buf.lit8))
                 carry = consume(dev_args, buf.totals.copy(), g, carry)
                 in_flight[g % len(bufs)] = (dev_args, carry)
         return carry
@@ -431,6 +490,7 @@ def decompress_e2e(archive: bytes, opts: DecodeOpts | None = None,
             res = pipe.run(consume, device=device, carry=carry0)
             break
         except ShapeOverflow as o:
+            pipe.drop_held()   # in-flight device work may alias the bufs
             pipe.MAXQ = _round_up(int(o.need_maxq * 1.5) + 8, 32)
             pipe.RLP = _round_up(int(o.need_rlp * 1.5) + 144, 128)
             pipe.NG32 = 32 * _round_up(pipe.MAXQ * 4, 128) // 128
@@ -442,6 +502,7 @@ def decompress_e2e(archive: bytes, opts: DecodeOpts | None = None,
         fp = np.asarray(jnp.stack(res))
         f1 = int(fp[0]) & 0xFFFFFFFF
         f2 = int(fp[1]) & 0xFFFFFFFF
+        pipe.release()   # readback synced: device no longer reads the bufs
         if _phases is not None:
             _phases["total"] = time.time() - t0
         return f1, f2, w.n_blocks, w.decompressed_size
@@ -454,6 +515,7 @@ def decompress_e2e(archive: bytes, opts: DecodeOpts | None = None,
         for j in range(min(dispatch, nb - done)):
             parts.append(host[j].reshape(-1)[:totals_np[j]])
         done += dispatch
+    pipe.release()   # every group output materialized: bufs are free
     data = b"".join(p.tobytes() for p in parts)
     if len(data) != w.decompressed_size:
         raise ZxcError(ERROR_CORRUPT_DATA, "footer size mismatch")
