@@ -218,8 +218,30 @@ def _resolve_extras(mask_a: np.ndarray, mask_b: np.ndarray,
     return a, b
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class DeferredSection:
+    """An entropy-coded literal section kept as wire bytes for DEVICE
+    decode (ops/pivco_device.py): H2D ships the compressed run bytes
+    instead of the expanded symbols. ``payload`` excludes the 128-byte
+    lengths header (the tree is host-built either way — it is per-section
+    metadata, not bulk)."""
+    payload: np.ndarray   # u8 node-run bytes
+    n: int                # symbol count
+    tree: object          # huffman.PivcoTree
+
+    def __len__(self):    # lets size bookkeeping treat it like the array
+        return self.n
+
+    def decode(self) -> np.ndarray:
+        return huffman.decode_payload(self.payload, self.n, self.tree)
+
+
 def _decode_literal_section(enc_lit: int, stream: np.ndarray, required_size: int,
-                            dst_capacity: int, dict_tree) -> np.ndarray:
+                            dst_capacity: int, dict_tree,
+                            defer_entropy: bool = False) -> np.ndarray:
     if enc_lit == C.ENC_RAW:
         return stream
     if required_size > dst_capacity:
@@ -231,18 +253,29 @@ def _decode_literal_section(enc_lit: int, stream: np.ndarray, required_size: int
     if enc_lit == C.ENC_HUFFMAN:
         if required_size == 0:
             return np.zeros(0, np.uint8)
+        if defer_entropy:
+            if len(stream) < C.HUF_TABLE_SIZE:
+                raise ZxcError(ERROR_CORRUPT_DATA,
+                               "section smaller than lengths header")
+            tree = huffman.build_tree_packed(
+                bytes(stream[:C.HUF_TABLE_SIZE]))
+            return DeferredSection(stream[C.HUF_TABLE_SIZE:],
+                                   required_size, tree)
         return huffman.decode_section(stream, required_size)
     if enc_lit == C.ENC_HUFFMAN_DICT:
         if dict_tree is None:
             raise ZxcError(ERROR_DICT_REQUIRED, "enc_lit=3 without dictionary table")
         if required_size == 0:
             return np.zeros(0, np.uint8)
+        if defer_entropy:
+            return DeferredSection(stream, required_size, dict_tree)
         return huffman.decode_payload(stream, required_size, dict_tree)
     raise ZxcError(ERROR_CORRUPT_DATA, f"bad enc_lit {enc_lit}")
 
 
 def parse_block_glo(payload: np.ndarray, dst_capacity: int,
-                    dict_tree=None) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+                    dict_tree=None, defer_entropy: bool = False
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Phase 1 only: GLO payload -> (ll, ml, off, literals) int64/uint8 arrays.
 
     Shared by the host expander below and the device batch planner
@@ -266,7 +299,8 @@ def parse_block_glo(payload: np.ndarray, dst_capacity: int,
     extras = payload[p:p + sz_ext]
 
     literals = _decode_literal_section(gh.enc_lit, lit_stream, raw_lit,
-                                       dst_capacity, dict_tree)
+                                       dst_capacity, dict_tree,
+                                       defer_entropy)
 
     n_seq = gh.n_sequences
     expected_off = n_seq if gh.enc_off == 1 else 2 * n_seq
@@ -338,11 +372,14 @@ def decode_block_ghi(payload: np.ndarray, dst_capacity: int,
 
 
 def parse_block(block_type: int, payload: np.ndarray, dst_capacity: int,
-                dict_tree=None) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+                dict_tree=None, defer_entropy: bool = False
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Uniform phase-1 parse for any data block type.
 
     RAW blocks become the degenerate (no sequences, all-literal) case, so the
-    device expansion kernel handles mixed-type batches uniformly.
+    device expansion kernel handles mixed-type batches uniformly. With
+    ``defer_entropy``, PivCo literal sections come back as
+    :class:`DeferredSection` for device-side decode.
     """
     if block_type == C.BLOCK_RAW:
         if len(payload) > dst_capacity:
@@ -350,7 +387,8 @@ def parse_block(block_type: int, payload: np.ndarray, dst_capacity: int,
         z = np.zeros(0, np.int64)
         return z, z.copy(), z.copy(), payload
     if block_type == C.BLOCK_GLO:
-        return parse_block_glo(payload, dst_capacity, dict_tree)
+        return parse_block_glo(payload, dst_capacity, dict_tree,
+                               defer_entropy)
     if block_type == C.BLOCK_GHI:
         return parse_block_ghi(payload, dst_capacity)
     raise ZxcError(ERROR_BAD_BLOCK_TYPE, f"type {block_type}")

@@ -79,7 +79,10 @@ class FramePlan:
         import os
         from concurrent.futures import ThreadPoolExecutor
         from .. import runtime
-        if not runtime.available():
+        from ..codec.block_decode import DeferredSection
+        if not runtime.available() or any(
+                isinstance(l, DeferredSection) for l in self.lit):
+            # deferred sections have no host literal bytes to resolve from
             self.pieces = [None] * self.n_blocks
             return
         if workers is None:
@@ -97,8 +100,13 @@ class FramePlan:
                 self.pieces = list(ex.map(one, range(self.n_blocks)))
 
 
-def plan_frame(archive: bytes, opts: DecodeOpts | None = None) -> FramePlan:
-    """Walk the frame, parse every block's sections on host (phase 1)."""
+def plan_frame(archive: bytes, opts: DecodeOpts | None = None,
+               defer_entropy: bool = False) -> FramePlan:
+    """Walk the frame, parse every block's sections on host (phase 1).
+
+    ``defer_entropy`` keeps PivCo literal sections as wire bytes
+    (:class:`DeferredSection`) so the device entropy kernel decodes them —
+    H2D ships compressed runs instead of expanded symbols."""
     if len(archive) < C.FILE_HEADER_SIZE + C.FILE_FOOTER_SIZE:
         raise ZxcError(ERROR_SRC_TOO_SMALL)
     fh = headers.read_file_header(archive)
@@ -157,15 +165,17 @@ def plan_frame(archive: bytes, opts: DecodeOpts | None = None) -> FramePlan:
         btype, p_off, p_size = span
         payload = buf[p_off:p_off + p_size]
         ll, ml, off, lit = block_decode.parse_block(
-            btype, payload, fh.block_size, dict_tree)
+            btype, payload, fh.block_size, dict_tree, defer_entropy)
         lit_used = int(ll.sum())
         if lit_used > len(lit):
             raise ZxcError(ERROR_OVERFLOW, "literal stream exhausted")
         total = int((ll + ml).sum()) + len(lit) - lit_used
         if total > fh.block_size:
             raise ZxcError(ERROR_OVERFLOW, "decoded size exceeds capacity")
+        if not isinstance(lit, block_decode.DeferredSection):
+            lit = np.ascontiguousarray(lit)
         return (ll.astype(np.int32), ml.astype(np.int32),
-                off.astype(np.int32), np.ascontiguousarray(lit), total)
+                off.astype(np.int32), lit, total)
 
     if len(spans) > 3:
         import os as _os
@@ -199,6 +209,7 @@ def _pad_batch(plan: FramePlan, idx: range, S: int, L: int, B: int | None = None
 
     Rows past len(idx) are empty blocks (n_seq=0, lit_len=0) so the final
     chunk of a frame reuses the same compiled shape."""
+    from ..codec.block_decode import DeferredSection
     if B is None:
         B = len(idx)
     ll = np.zeros((B, S), np.int32)
@@ -213,7 +224,10 @@ def _pad_batch(plan: FramePlan, idx: range, S: int, L: int, B: int | None = None
         ll[j, :s] = plan.ll[i]
         ml[j, :s] = plan.ml[i]
         off[j, :s] = plan.off[i]
-        lit[j, :l] = plan.lit[i]
+        if not isinstance(plan.lit[i], DeferredSection):
+            lit[j, :l] = plan.lit[i]
+        # deferred rows stay zero on host: the device entropy kernel
+        # fills them (decode_plan_device)
         n_seq[j] = s
         lit_len[j] = l
     return ll, ml, off, lit, n_seq, lit_len
@@ -298,7 +312,26 @@ def decode_plan_device(plan: FramePlan, batch: int = DEFAULT_BATCH,
     for base in range(0, nb, Bsz):
         idx = range(base, min(base + Bsz, nb))
         host = _pad_batch(plan, idx, S, L, B=Bsz)
-        dev = tuple(jax.device_put(a, device) for a in host)
+        from ..codec.block_decode import DeferredSection
+        deferred = [(j, plan.lit[i]) for j, i in enumerate(idx)
+                    if isinstance(plan.lit[i], DeferredSection)]
+        dev = list(jax.device_put(a, device) for a in host)
+        if deferred:
+            # device entropy decode: the batch's PivCo literal sections
+            # decode on device from their wire bytes, then merge into the
+            # literal rows (H2D shipped compressed runs, not symbols)
+            from . import pivco_device
+            rows = [j for j, _ in deferred]
+            secs = [s.payload for _, s in deferred]
+            plans = [pivco_device.plan_section(s.payload, s.n, s.tree)
+                     for _, s in deferred]
+            args, _, RSEC, FLAT, rounds = pivco_device.pad_plans(
+                secs, plans, L=L)
+            pk = pivco_device.routing_kernel(
+                L, RSEC, FLAT, max(rounds, 12))
+            sec_out = pk(*tuple(jax.device_put(a, device) for a in args))
+            dev[3] = jnp.asarray(dev[3]).at[jnp.asarray(rows)].set(
+                sec_out[:len(rows)])
         out, total, err = kern(*dev, *dict_args)
         err_np = np.asarray(err)[:len(idx)]
         if err_np.any():
@@ -323,12 +356,18 @@ def _null_ctx():
 
 def decompress(archive: bytes, opts: DecodeOpts | None = None,
                batch: int = DEFAULT_BATCH, device=None,
-               use_pieces: bool = True, use_serial: bool = False) -> bytes:
+               use_pieces: bool = True, use_serial: bool = False,
+               device_entropy: bool = False) -> bytes:
     """One-shot frame decode with the hot path on the TPU.
 
     ``use_serial`` routes through the Pallas copy-engine kernel (fastest,
     but each new (block, piece-bucket) shape pays a long Mosaic compile —
     meant for steady-shape production streams, not ad-hoc archives).
+
+    ``device_entropy`` decodes PivCo literal sections ON DEVICE from their
+    wire bytes (ops/pivco_device.py) instead of on host — H2D ships
+    compressed runs. Implies the chase expansion path (the host piece
+    resolver needs literal values).
     """
     from .. import profiling
     ph = profiling.phases()
@@ -336,8 +375,11 @@ def decompress(archive: bytes, opts: DecodeOpts | None = None,
     def _phase(name):
         return ph.phase(name) if ph is not None else _null_ctx()
 
+    if device_entropy:
+        use_pieces = False
+        use_serial = False
     with _phase("plan"):
-        plan = plan_frame(archive, opts)
+        plan = plan_frame(archive, opts, defer_entropy=device_entropy)
     if use_serial:
         from .. import runtime
         from . import pallas_decode
