@@ -1205,6 +1205,7 @@ def v12_kernel(block: int, MAXQ: int, RLP: int, interpret: bool = False):
 
     def call(qs, qbase, pctrl, tq, lit8):
         litb = lit8.astype(jnp.bfloat16)
+        tq = tq.astype(jnp.int32)
         B = pctrl.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,          # qs, qbase
@@ -1320,6 +1321,7 @@ def v14_kernel(block: int, MAXQ: int, RLP: int, interpret: bool = False):
 
     def call(qs, qbase, pctrl, tq, lit8):
         litb = lit8.astype(jnp.bfloat16)
+        tq = tq.astype(jnp.int32)
         B = pctrl.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -1546,6 +1548,7 @@ def v15_kernel(block: int, MAXQ: int, RLP: int, interpret: bool = False):
 
     def call(qs, qbase, pctrl, tq, lit8):
         litb = lit8.astype(jnp.bfloat16)
+        tq = tq.astype(jnp.int32)
         B = pctrl.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -1680,6 +1683,7 @@ def v16_kernel(block: int, MAXQ: int, RLP: int, interpret: bool = False):
 
     def call(qs, qbase, pctrl, tq, lit8):
         litb = lit8.astype(jnp.bfloat16)
+        tq = tq.astype(jnp.int32)
         B = pctrl.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -2125,6 +2129,7 @@ def v20_kernel(block: int, MAXQ: int, RLP: int, K: int = 2,
 
     def call(qs, qbase, pctrl, tq, lit8):
         litb = lit8.astype(jnp.bfloat16)
+        tq = tq.astype(jnp.int32)
         B = pctrl.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -2277,6 +2282,7 @@ def v21_kernel(block: int, MAXQ: int, RLP: int, K: int = 2,
 
     def call(qs, qbase, pctrl, tq, lit8):
         litb = lit8.astype(jnp.bfloat16)
+        tq = tq.astype(jnp.int32)
         B = pctrl.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

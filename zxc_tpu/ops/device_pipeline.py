@@ -153,7 +153,7 @@ def _alloc_group(B: int, NST: int, MAXQ: int, NG32: int, RLP: int,
         qs=np.zeros((B, NST + 1), np.int32),
         qbase=np.zeros((B, MAXQ), np.int32),
         pctrl=np.full((B, K * NG32, 128), 1 << 7, np.int32),
-        tq=np.zeros((B, MAXQ, 128), np.int32),
+        tq=np.zeros((B, MAXQ, 128), np.uint8),
         lit8=np.zeros((B, RLP, 128), np.uint8),
         totals=np.zeros(B, np.int32),
     )
@@ -231,8 +231,13 @@ class DevicePipeline:
 
     # -- shape discovery ---------------------------------------------------
     def size_shapes(self, sample: int | None = None,
-                    margin: float = 1.3) -> None:
-        """Prep a sample of blocks into scratch to pick MAXQ/RLP."""
+                    margin: float = 1.1) -> None:
+        """Prep a sample of blocks into scratch to pick MAXQ/RLP.
+
+        The sample spreads over the whole frame, so the estimated max is
+        close to the true max and the margin can stay thin — padding rows
+        ship over H2D, so every margin point is inflation (the overflow
+        retry path covers the rare miss)."""
         w = self.walk
         nb = w.n_blocks
         if nb == 0:
@@ -240,7 +245,7 @@ class DevicePipeline:
             self.NG32 = 32 * _round_up(self.MAXQ * 4, 128) // 128
             return
         if sample is None:
-            sample = min(self.B, nb)
+            sample = min(max(self.B, 96), nb)
         # generous scratch: piece floor is ~8 bytes/op so a 64 KiB block
         # caps out near block/8/128 quads plus chunk fragmentation
         MAXQ0 = w.block_size // 128 + 256
@@ -264,7 +269,7 @@ class DevicePipeline:
             _pool_release(buf, 1, self.NST, MAXQ0, NG320, RLP0, self.K,
                           cap=2)
         self.MAXQ = _round_up(int(max_nq * margin) + 8, 32)
-        self.RLP = _round_up(int(max_need * margin) + 144, 128)
+        self.RLP = _round_up(int(max_need * margin) + 16, 128)
         self.NG32 = 32 * _round_up(self.MAXQ * 4, 128) // 128
 
     def _prep_into(self, i: int, buf: GroupBuffers, j: int, MAXQ: int,

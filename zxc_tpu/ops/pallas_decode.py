@@ -257,6 +257,10 @@ def v13_kernel(block: int, MAXQ: int, RLP: int, interpret: bool = False):
 
     def call(qs, qbase, pctrl, tq, lit8):
         litb = lit8.astype(jnp.bfloat16)
+        # tq may ship as u8 (tgt < 128: quarters its H2D) and widens to
+        # i32 in XLA before the kernel — Mosaic's i8 sublane packing
+        # cannot prove dynamic row alignment, and the lowering is fragile
+        tq = tq.astype(jnp.int32)
         B = pctrl.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -463,7 +467,7 @@ def pack_blocks_v19(pieces_list, lit_list, totals, block: int,
     qs = np.zeros((B, NST + 1), np.int32)
     qbase = np.zeros((B, MAXQ), np.int32)
     pctrl = np.full((B, K * NG32, 128), 1 << 7, np.int32)
-    tq = np.zeros((B, MAXQ, 128), np.int32)
+    tq = np.zeros((B, MAXQ, 128), np.uint8)   # tgt < 128: u8 quarters H2D
     lit8 = np.zeros((B, RLP, 128), np.uint8)
     for j, ((qs_t, quads), lit) in enumerate(zip(blocks, lit_list)):
         qs[j, :len(qs_t)] = qs_t
@@ -578,6 +582,10 @@ def v19_kernel(block: int, MAXQ: int, RLP: int, K: int = 2,
 
     def call(qs, qbase, pctrl, tq, lit8):
         litb = lit8.astype(jnp.bfloat16)
+        # tq may ship as u8 (tgt < 128: quarters its H2D) and widens to
+        # i32 in XLA before the kernel — Mosaic's i8 sublane packing
+        # cannot prove dynamic row alignment, and the lowering is fragile
+        tq = tq.astype(jnp.int32)
         B = pctrl.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

@@ -3668,7 +3668,7 @@ int64_t zxch_lane_ops(const int32_t *po, const int32_t *pc,
 //   qs    (NST+1,)        per-128-row-supertile quad prefix
 //   qbase (MAXQ,)         per-quad 16-aligned source-window base row
 //   pctrl (K*NG32, 128)   per-slot packed control, one plane per sub-op
-//   tq    (MAXQ, 128)     per-slot target rows
+//   tq    (MAXQ, 128) u8  per-slot target rows (tgt < 128)
 //   lit8  (RLP, 128)      dict ++ literals ++ resolver-materialized bytes
 //
 // Layouts are BYTE-IDENTICAL to ops/pallas_decode.pack_blocks_v19 (asserted
@@ -3739,7 +3739,7 @@ int64_t zxch_v19_prep_block(
     const uint8_t *pl, uint64_t plen, int block_type, uint64_t block_size,
     const uint8_t *dict, uint64_t n_dict, const uint8_t *dict_cl,
     int K, int quad_align,
-    int32_t *qs, int32_t *qbase, int32_t *pctrl, int32_t *tq, uint8_t *lit8,
+    int32_t *qs, int32_t *qbase, int32_t *pctrl, uint8_t *tq, uint8_t *lit8,
     int64_t MAXQ, int64_t NG32, int64_t RLP,
     int64_t *out_nq, int64_t *out_maxrow, int64_t *out_litrows) {
   if (block_size % 16384 || K < 1 || K > 4) return -1;
@@ -4032,7 +4032,7 @@ int64_t zxch_v19_prep_block(
       // scatter this quad
       qbase[nq] = base;
       if (base + 128 > maxrow) maxrow = base + 128;
-      int32_t *tqrow = tq + nq * 128;
+      uint8_t *tqrow = tq + nq * 128;
       const int64_t qn = j - i;
       for (int64_t c = 0; c < 128; c++) {
         const int64_t bat = 4 * nq + (c >> 5);
@@ -4046,7 +4046,7 @@ int64_t zxch_v19_prep_block(
           for (int k = 1; k < K; k++)
             cell[(int64_t)k * NG32 * 128] =
                 ct[k * 3 + 0] | (ct[k * 3 + 1] << 7) | (ct[k * 3 + 2] << 14);
-          tqrow[c] = T.stgt[s_];
+          tqrow[c] = (uint8_t)T.stgt[s_];
         } else {
           cell[0] = 1 << 7;
           for (int k = 1; k < K; k++) cell[(int64_t)k * NG32 * 128] = 1 << 7;
@@ -4061,7 +4061,7 @@ int64_t zxch_v19_prep_block(
       if (nq >= MAXQ) { *out_nq = nq + 1; return -10; }
       qbase[nq] = 0;
       if (maxrow < 128) maxrow = 128;
-      int32_t *tqrow = tq + nq * 128;
+      uint8_t *tqrow = tq + nq * 128;
       for (int64_t c = 0; c < 128; c++) {
         const int64_t bat = 4 * nq + (c >> 5);
         int32_t *cell = pctrl + ((bat >> 7) * 32 + (c & 31)) * 128
@@ -4077,7 +4077,7 @@ int64_t zxch_v19_prep_block(
       if (nq >= MAXQ) { *out_nq = nq + 1; return -10; }
       qbase[nq] = 0;
       if (maxrow < 128) maxrow = 128;
-      int32_t *tqrow = tq + nq * 128;
+      uint8_t *tqrow = tq + nq * 128;
       for (int64_t c = 0; c < 128; c++) {
         const int64_t bat = 4 * nq + (c >> 5);
         int32_t *cell = pctrl + ((bat >> 7) * 32 + (c & 31)) * 128
