@@ -102,6 +102,63 @@ int main(void) {
     subprocess.run([str(exe)], check=True, timeout=120)
 
 
+def test_c_abi_archival_levels(tmp_path):
+    """Levels 6-7 through the plain int64 C ABI (VERDICT round-2 item 5:
+    zxch_simple_compress used to clamp to 5). Every binding can now
+    produce and consume archival frames; the archives must round-trip
+    and (checked in test_runtime_native) match the Python path's bytes."""
+    so = _ensure_so()
+    main = tmp_path / "main.c"
+    main.write_text(r'''
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+int64_t zxch_compress_bound(uint64_t, uint64_t);
+int64_t zxch_simple_compress(const uint8_t*, uint64_t, int, uint64_t,
+                             int, int, uint8_t*, uint64_t);
+int64_t zxch_simple_decompress_bound(const uint8_t*, uint64_t);
+int64_t zxch_simple_decompress(const uint8_t*, uint64_t, uint8_t*,
+                               uint64_t, const uint8_t*, uint64_t,
+                               const uint8_t*, int);
+int64_t zxch_get_decompressed_size(const uint8_t*, uint64_t);
+int main(void) {
+    enum { N = 300000 };
+    uint8_t *data = malloc(N);
+    /* zipfish bytes + text + runs: forces Huffman literal AND (at L7)
+       Huffman token sections into the auction */
+    for (int i = 0; i < N / 2; i++) {
+        int r = (i * 2654435761u) >> 20;
+        data[i] = (uint8_t)(r % 7 ? (r % 3 ? 'e' : ' ') : (r % 251));
+    }
+    memset(data + N / 2, 'x', N / 4);
+    for (int i = 3 * N / 4; i < N; i++)
+        data[i] = (uint8_t)("compression test corpus "[i % 24]);
+    int64_t cap = zxch_compress_bound(N, 65536);
+    uint8_t *arc = malloc(cap);
+    for (int level = 5; level <= 7; level++) {
+        int64_t w = zxch_simple_compress(data, N, level, 65536, 1, 0,
+                                         arc, cap);
+        if (w <= 0) return 10 + level;
+        if (w >= N / 2) return 20 + level;  /* must actually compress */
+        if (zxch_get_decompressed_size(arc, w) != N) return 30 + level;
+        int64_t bound = zxch_simple_decompress_bound(arc, w);
+        uint8_t *back = malloc(bound);
+        if (zxch_simple_decompress(arc, w, back, bound, 0, 0, 0, 1) != N)
+            return 40 + level;
+        if (memcmp(back, data, N)) return 50 + level;
+        free(back);
+    }
+    return 0;
+}
+''')
+    exe = tmp_path / "abi_archival_test"
+    subprocess.run(
+        ["gcc", "-O1", str(main), so, "-o", str(exe),
+         f"-Wl,-rpath,{os.path.dirname(so)}"],
+        check=True, capture_output=True)
+    subprocess.run([str(exe)], check=True, timeout=120)
+
+
 @pytest.mark.skipif(shutil.which("npm") is None, reason="node/npm absent")
 def test_node_binding(tmp_path):
     _ensure_so()

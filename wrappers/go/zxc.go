@@ -43,7 +43,7 @@ func (e Error) Error() string {
 
 // CompressOptions configures Compress (options-pattern, reference parity).
 type CompressOptions struct {
-	Level     int    // 1..5 (0 = default 3)
+	Level     int    // 1..7 (0 = default 3; 6-7 = archival)
 	BlockSize uint64 // power of two 4KB..2MB (0 = 512KB default)
 	Checksum  bool
 	Seekable  bool

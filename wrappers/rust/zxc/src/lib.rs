@@ -50,8 +50,8 @@ fn check(rc: i64) -> Result<i64, Error> {
 /// Compression options (builder-style struct, zero value = defaults).
 #[derive(Debug, Clone)]
 pub struct CompressOptions {
-    /// 1..=5 (the C-ABI fast levels; archival 6-7 live in the Python
-    /// surface).
+    /// 1..=7 (1-5 fast GHI/GLO; 6-7 archival DP optimal parse with
+    /// Huffman literal/token sections, native since round 3).
     pub level: i32,
     /// Power of two 4 KiB..2 MiB; 0 selects the 512 KiB default.
     pub block_size: u64,

@@ -241,24 +241,25 @@ def compress(data: bytes, opts: EncodeOpts | None = None) -> bytes:
         dict_id = compute_dict_id(opts.dict_content, opts.dict_huf)
 
     arr = np.frombuffer(data, np.uint8)
-    if level < 6:
-        # fully-native frame loop (byte-identical; zxch_compress_frame);
-        # a dictionary rides along as the parse window prefix + the
-        # shared-table literal candidate
-        from .. import runtime
-        from . import block_encode
-        params = block_encode.level_params(level)
-        nat = runtime.compress_frame(
-            arr, level, params.n_candidates, params.lazy,
-            params.sufficient_len, params.step_base, params.step_shift,
-            params.cover_base, block_size, C.block_size_code(block_size),
-            opts.checksum, opts.seekable, params.min_emit,
-            dict_buf=None if dict_state is None else dict_state.content,
-            dict_cl=None if dict_state is None or dict_state.tree is None
-            else dict_state.tree.code_len,
-            dict_id=dict_id)
-        if nat is not None:
-            return nat
+    # fully-native frame loop at EVERY level (byte-identical;
+    # zxch_compress_frame — levels 6-7 route through the native DP
+    # optimal parse + Huffman auction since round 3); a dictionary rides
+    # along as the parse window prefix + the shared-table literal
+    # candidate. The Python block loop below is the oracle/fallback.
+    from .. import runtime
+    from . import block_encode
+    params = block_encode.level_params(level)
+    nat = runtime.compress_frame(
+        arr, level, params.n_candidates, params.lazy,
+        params.sufficient_len, params.step_base, params.step_shift,
+        params.cover_base, block_size, C.block_size_code(block_size),
+        opts.checksum, opts.seekable, params.min_emit,
+        dict_buf=None if dict_state is None else dict_state.content,
+        dict_cl=None if dict_state is None or dict_state.tree is None
+        else dict_state.tree.code_len,
+        dict_id=dict_id)
+    if nat is not None:
+        return nat
     out = bytearray()
     out += headers.write_file_header(block_size, opts.checksum, dict_id)
     global_hash = 0

@@ -11,6 +11,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <cstddef>
 #include <cstdlib>
 #include <vector>
@@ -1848,21 +1849,18 @@ extern "C" int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
 extern "C" int64_t zxch_pivco_size(const uint8_t *data, uint64_t n,
                                    const uint8_t *code_len);
 
-int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
-                        int max_probes, int lazy, int sufficient_len,
-                        int step_base, int step_shift, int cover_base,
-                        int min_emit, const uint8_t *dict_cl, uint8_t *out,
+// GLO payload emission from a finished parse. Shared by the fast-level
+// encoder (find_parse feeds it; premiums 8/8, 8-bit lit trees, RAW
+// tokens — byte-identical with the pre-refactor emitter) and the
+// archival levels 6-7 (premiums 1/4 per block_encode._prem_*, lit trees
+// capped at the level's max code length, and — at ULTRA — a Huffman
+// token-section candidate, reference zxc_compress.c:1665-1688).
+static int64_t glo_emit(const uint8_t *data, uint64_t start, uint64_t P,
+                        const int32_t *mp, const int32_t *ml,
+                        const int32_t *mo, int64_t nseq,
+                        const uint8_t *dict_cl, int prem_rle, int prem_huf,
+                        int lit_cap_len, int tok_huf_cap, uint8_t *out,
                         uint64_t cap) {
-  uint64_t P = n - start;
-  uint64_t max_seq = P / 5 + 8;
-  int32_t *mp = new int32_t[max_seq];
-  int32_t *ml = new int32_t[max_seq];
-  int32_t *mo = new int32_t[max_seq];
-  int64_t nseq = zxch_find_parse(data, n, start, max_probes, lazy,
-                                 sufficient_len, step_base, step_shift,
-                                 cover_base, min_emit, mp, ml, mo, max_seq);
-  if (nseq < 0) { delete[] mp; delete[] ml; delete[] mo; return -10; }
-
   uint64_t lit_total = P;
   uint64_t n_ext_bytes = 0;
   int64_t max_off = 1;
@@ -1906,7 +1904,7 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
     rle_buf = new uint8_t[2 * lit_total + 8];
     rle_len = ghi_rle_encode(lit_buf, lit_total, rle_buf, 2 * lit_total + 8);
     if (rle_len >= 0) {
-      int64_t j = rle_len + (int64_t)((lit_total * 8) >> 8);  // prem_rle=8
+      int64_t j = rle_len + (int64_t)((lit_total * (uint64_t)prem_rle) >> 8);
       if (j < best_j) {
         enc_lit = 1;
         lit_sec = (uint64_t)rle_len;
@@ -1928,16 +1926,17 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
     uint64_t freq[256];
     zxch_hist4(lit_buf, lit_total, freq);
     if (lit_total >= 139) {
-      if (zxch_build_code_lengths(freq, 8, inline_cl) > 1) {
+      if (zxch_build_code_lengths(freq, lit_cap_len, inline_cl) > 1) {
         uint64_t bits = 0;
         for (int s2 = 0; s2 < 256; s2++) bits += freq[s2] * inline_cl[s2];
         // sound skip: per-node byte rounding only adds to bits/8
         int64_t bound = 128 + (int64_t)(bits >> 3)
-                        + (int64_t)((lit_total * 8) >> 8);
+                        + (int64_t)((lit_total * (uint64_t)prem_huf) >> 8);
         if (bound < best_j) {
           int64_t hn = zxch_pivco_size(lit_buf, lit_total, inline_cl);
           int64_t j = hn >= 0
-              ? 128 + hn + (int64_t)((lit_total * 8) >> 8) : best_j;
+              ? 128 + hn + (int64_t)((lit_total * (uint64_t)prem_huf) >> 8)
+              : best_j;
           if (hn >= 0 && j < best_j) {
             enc_lit = 2;
             lit_sec = (uint64_t)(128 + hn);
@@ -1953,7 +1952,7 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
       if (all) {
         int64_t hn = zxch_pivco_size(lit_buf, lit_total, dict_cl);
         int64_t j = hn >= 0
-            ? hn + (int64_t)((lit_total * 8) >> 8) : best_j;
+            ? hn + (int64_t)((lit_total * (uint64_t)prem_huf) >> 8) : best_j;
         if (hn >= 0 && j < best_j) {
           enc_lit = 3;
           lit_sec = (uint64_t)hn;
@@ -1966,8 +1965,7 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
       int64_t hn = zxch_pivco_encode(lit_buf, lit_total, inline_cl,
                                      huf_buf + 128, 2 * lit_total + 4096);
       if (hn < 0 || (uint64_t)(128 + hn) != lit_sec) {  // can't happen
-        delete[] huf_buf; delete[] mp; delete[] ml; delete[] mo;
-        delete[] lit_buf; delete[] rle_buf;
+        delete[] huf_buf; delete[] lit_buf; delete[] rle_buf;
         return -10;
       }
       for (int b2 = 0; b2 < 128; b2++)
@@ -1978,18 +1976,60 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
       int64_t hn = zxch_pivco_encode(lit_buf, lit_total, dict_cl, huf_buf,
                                      2 * lit_total + 4096);
       if (hn < 0 || (uint64_t)hn != lit_sec) {  // can't happen
-        delete[] huf_buf; delete[] mp; delete[] ml; delete[] mo;
-        delete[] lit_buf; delete[] rle_buf;
+        delete[] huf_buf; delete[] lit_buf; delete[] rle_buf;
         return -10;
       }
     }
   }
 
-  uint64_t need = 16 + 4 * 8 + lit_sec + (uint64_t)nseq + off_bytes +
+  // token section candidate (ULTRA): Huffman over token bytes, gated by
+  // the same premium rule as the Python auction (_glo_payload)
+  int enc_tok = 0;
+  uint64_t tok_sec = (uint64_t)nseq;
+  uint8_t *tokh_buf = nullptr;
+  if (tok_huf_cap > 0 && nseq >= 139) {
+    uint8_t *tok_tmp = new uint8_t[nseq];
+    int64_t cursor = 0;
+    for (int64_t i = 0; i < nseq; i++) {
+      int64_t llv = mp[i] - cursor;
+      int64_t mlb = ml[i] - 5;
+      cursor = mp[i] + ml[i];
+      uint32_t tl = llv < 15 ? (uint32_t)llv : 15u;
+      uint32_t tm = mlb < 15 ? (uint32_t)mlb : 15u;
+      tok_tmp[i] = (uint8_t)((tl << 4) | tm);
+    }
+    uint64_t tfreq[256];
+    zxch_hist4(tok_tmp, (uint64_t)nseq, tfreq);
+    uint8_t tcl[256];
+    if (zxch_build_code_lengths(tfreq, tok_huf_cap, tcl) > 1) {
+      int64_t tn = zxch_pivco_size(tok_tmp, (uint64_t)nseq, tcl);
+      if (tn >= 0 && 128 + tn + (int64_t)(((uint64_t)nseq
+                                           * (uint64_t)prem_huf) >> 8)
+                         < nseq) {
+        tokh_buf = new uint8_t[2 * (uint64_t)nseq + 4096 + 128];
+        int64_t hn = zxch_pivco_encode(tok_tmp, (uint64_t)nseq, tcl,
+                                       tokh_buf + 128,
+                                       2 * (uint64_t)nseq + 4096);
+        if (hn == tn) {
+          for (int b2 = 0; b2 < 128; b2++)
+            tokh_buf[b2] = (uint8_t)((tcl[2 * b2] & 0x0F)
+                                     | (tcl[2 * b2 + 1] << 4));
+          enc_tok = 2;
+          tok_sec = (uint64_t)(128 + tn);
+        } else {
+          delete[] tokh_buf;
+          tokh_buf = nullptr;
+        }
+      }
+    }
+    delete[] tok_tmp;
+  }
+
+  uint64_t need = 16 + 4 * 8 + lit_sec + tok_sec + off_bytes +
                   n_ext_bytes;
   if (need > cap) {
-    delete[] mp; delete[] ml; delete[] mo; delete[] lit_buf;
-    delete[] rle_buf; delete[] huf_buf;
+    delete[] lit_buf; delete[] rle_buf; delete[] huf_buf;
+    delete[] tokh_buf;
     return -10;
   }
 
@@ -1998,14 +2038,14 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
   u = (uint32_t)nseq; memcpy(w, &u, 4);
   u = (uint32_t)lit_total; memcpy(w + 4, &u, 4);
   w[8] = (uint8_t)enc_lit;  // enc_lit RAW/RLE
-  w[9] = 0;                 // enc_litlen RAW
+  w[9] = (uint8_t)enc_tok;  // enc_litlen RAW/HUFFMAN
   w[10] = 0;
   w[11] = use8 ? 1 : 0;     // enc_off
   memset(w + 12, 0, 4);
   w += 16;
   uint64_t d;
   d = lit_sec | ((uint64_t)lit_total << 32); memcpy(w, &d, 8);
-  d = (uint64_t)nseq | ((uint64_t)nseq << 32); memcpy(w + 8, &d, 8);
+  d = tok_sec | ((uint64_t)nseq << 32); memcpy(w + 8, &d, 8);
   d = off_bytes | (off_bytes << 32); memcpy(w + 16, &d, 8);
   d = n_ext_bytes | (n_ext_bytes << 32); memcpy(w + 24, &d, 8);
   w += 32;
@@ -2016,16 +2056,19 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
   w += lit_sec;
 
   uint8_t *tok_w = w;
-  uint8_t *off_w = w + nseq;
+  if (enc_tok == 2) memcpy(tok_w, tokh_buf, tok_sec);
+  uint8_t *off_w = w + tok_sec;
   uint8_t *ext_w = off_w + off_bytes;
   int64_t cursor = 0;
   for (int64_t i = 0; i < nseq; i++) {
     int64_t llv = mp[i] - cursor;
     int64_t mlb = ml[i] - 5;
     cursor = mp[i] + ml[i];
-    uint32_t tl = llv < 15 ? (uint32_t)llv : 15u;
-    uint32_t tm = mlb < 15 ? (uint32_t)mlb : 15u;
-    tok_w[i] = (uint8_t)((tl << 4) | tm);
+    if (enc_tok == 0) {
+      uint32_t tl = llv < 15 ? (uint32_t)llv : 15u;
+      uint32_t tm = mlb < 15 ? (uint32_t)mlb : 15u;
+      tok_w[i] = (uint8_t)((tl << 4) | tm);
+    }
     uint32_t ob = (uint32_t)(mo[i] - 1);
     if (use8) off_w[i] = (uint8_t)ob;
     else { off_w[2 * i] = (uint8_t)(ob & 0xFF); off_w[2 * i + 1] = (uint8_t)(ob >> 8); }
@@ -2048,9 +2091,176 @@ int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
              *ext_w++ = (uint8_t)((v >> 13) & 0xFF); }
     }
   }
-  delete[] mp; delete[] ml; delete[] mo; delete[] lit_buf; delete[] rle_buf;
-  delete[] huf_buf;
+  delete[] lit_buf; delete[] rle_buf;
+  delete[] huf_buf; delete[] tokh_buf;
   return (int64_t)need;
+}
+
+int64_t zxch_encode_glo(const uint8_t *data, uint64_t n, uint64_t start,
+                        int max_probes, int lazy, int sufficient_len,
+                        int step_base, int step_shift, int cover_base,
+                        int min_emit, const uint8_t *dict_cl, uint8_t *out,
+                        uint64_t cap) {
+  uint64_t P = n - start;
+  uint64_t max_seq = P / 5 + 8;
+  int32_t *mp = new int32_t[max_seq];
+  int32_t *ml = new int32_t[max_seq];
+  int32_t *mo = new int32_t[max_seq];
+  int64_t nseq = zxch_find_parse(data, n, start, max_probes, lazy,
+                                 sufficient_len, step_base, step_shift,
+                                 cover_base, min_emit, mp, ml, mo, max_seq);
+  int64_t r = nseq < 0 ? -10
+      : glo_emit(data, start, P, mp, ml, mo, nseq, dict_cl,
+                 /*prem_rle=*/8, /*prem_huf=*/8, /*lit_cap_len=*/8,
+                 /*tok_huf_cap=*/0, out, cap);
+  delete[] mp; delete[] ml; delete[] mo;
+  return r;
+}
+
+// Archival GLO encode (levels 6-7): per-position finder -> lazy pre-pass
+// literal histogram -> DP optimal parse (+ the ULTRA re-priced and
+// 8-bit-only candidate parses) -> premium-priced section auction with
+// Huffman literal/token candidates. Mirrors the Python path
+// (block_encode._build_sequences levels >= 6 + _glo_payload) step for
+// step so the archives are byte-identical; the behavior contract is the
+// reference's optimal pipeline (zxc_lz77_optimal_parse_glo,
+// zxc_compress.c:809-1072 + level-7 token Huffman :1665-1688).
+int64_t zxch_encode_glo_opt(const uint8_t *data, uint64_t n, uint64_t start,
+                            int level, int max_probes,
+                            const uint8_t *dict_cl, uint8_t *out,
+                            uint64_t cap) {
+  const int maxlen = level >= 7 ? 11 : 8;
+  const int tok_bits = level >= 7 ? 5 : 8;
+  uint64_t P = n - start;
+  if (P == 0) return -10;
+  int32_t *lens = new int32_t[P];
+  int32_t *offs = new int32_t[P];
+  zxch_find_matches(data, n, start, max_probes, lens, offs);
+
+  uint64_t max_seq = P / 5 + 8;
+  int32_t *mp = new int32_t[max_seq];
+  int32_t *ml = new int32_t[max_seq];
+  int32_t *mo = new int32_t[max_seq];
+  auto cleanup = [&]() {
+    delete[] lens; delete[] offs; delete[] mp; delete[] ml; delete[] mo;
+  };
+
+  // literal-cost model: POST-LZ literal histogram of a first-pass lazy
+  // parse (the reference samples instead, zxc_opt_estimate_lit_bits)
+  uint16_t cost[256];
+  {
+    int64_t g = zxch_lazy_parse(lens, offs, P, 1, 5, mp, ml, mo, max_seq);
+    if (g < 0) { cleanup(); return -10; }
+    uint64_t freq[256];
+    memset(freq, 0, sizeof(freq));
+    int64_t cursor = 0;
+    for (int64_t i = 0; i < g; i++) {
+      for (int64_t q = cursor; q < mp[i]; q++) freq[data[start + q]]++;
+      cursor = mp[i] + ml[i];
+    }
+    for (int64_t q = cursor; q < (int64_t)P; q++) freq[data[start + q]]++;
+    uint8_t cl[256];
+    if (zxch_build_code_lengths(freq, maxlen, cl) > 0) {
+      for (int s2 = 0; s2 < 256; s2++)
+        cost[s2] = cl[s2] ? cl[s2] : (uint16_t)(maxlen + 2);
+    } else {
+      for (int s2 = 0; s2 < 256; s2++) cost[s2] = 8;
+    }
+  }
+
+  // candidate parses: pass 1, (ULTRA) re-priced pass 2, 8-bit-only
+  struct Cand { int32_t *p, *l, *o; int64_t n; };
+  Cand cands[3];
+  int n_cands = 0;
+  int64_t n1 = zxch_optimal_parse(lens, offs, P, data + start, cost,
+                                  tok_bits, 0, nullptr, mp, ml, mo, max_seq);
+  if (n1 < 0) { cleanup(); return -10; }
+  cands[n_cands++] = {mp, ml, mo, n1};
+
+  int32_t *mp2 = nullptr, *ml2 = nullptr, *mo2 = nullptr;
+  if (level >= 7 && n1 >= 64) {
+    // re-price match tokens with the ACTUAL candidate token tree,
+    // marginalized over the LL nibble (block_encode.py:461-497)
+    uint64_t tfreq[256];
+    memset(tfreq, 0, sizeof(tfreq));
+    double pll[16] = {0};
+    int64_t cursor = 0;
+    for (int64_t i = 0; i < n1; i++) {
+      int64_t llv = mp[i] - cursor;
+      int64_t mlb = ml[i] - 5;
+      cursor = mp[i] + ml[i];
+      int nl = llv < 15 ? (int)llv : 15;
+      int nm = mlb < 15 ? (int)mlb : 15;
+      tfreq[(nl << 4) | nm]++;
+      pll[nl] += 1.0;
+    }
+    uint8_t tcl[256];
+    if (zxch_build_code_lengths(tfreq, 8, tcl) > 0) {
+      double tot = 0;
+      for (int l2 = 0; l2 < 16; l2++) tot += pll[l2];
+      if (tot < 1.0) tot = 1.0;
+      uint16_t tok16[16];
+      for (int m2 = 0; m2 < 16; m2++) {
+        double e = 0;
+        for (int l2 = 0; l2 < 16; l2++)
+          e += (pll[l2] / tot)
+               * (tcl[(l2 << 4) | m2] ? tcl[(l2 << 4) | m2] : 10.0);
+        tok16[m2] = (uint16_t)nearbyint(e);
+      }
+      mp2 = new int32_t[max_seq];
+      ml2 = new int32_t[max_seq];
+      mo2 = new int32_t[max_seq];
+      int64_t n2 = zxch_optimal_parse(lens, offs, P, data + start, cost,
+                                      tok_bits, 0, tok16, mp2, ml2, mo2,
+                                      max_seq);
+      int differs = n2 >= 0 && (n2 != n1
+          || memcmp(mp2, mp, n1 * 4) || memcmp(ml2, ml, n1 * 4)
+          || memcmp(mo2, mo, n1 * 4));
+      if (differs) {
+        cands[n_cands++] = {mp2, ml2, mo2, n2};
+      }
+    }
+  }
+
+  int any16 = 0;
+  for (int c2 = 0; c2 < n_cands && !any16; c2++)
+    for (int64_t i = 0; i < cands[c2].n; i++)
+      if (cands[c2].o[i] > 256) { any16 = 1; break; }
+  int32_t *mp8 = nullptr, *ml8 = nullptr, *mo8 = nullptr;
+  if (any16) {
+    mp8 = new int32_t[max_seq];
+    ml8 = new int32_t[max_seq];
+    mo8 = new int32_t[max_seq];
+    int64_t n8 = zxch_optimal_parse(lens, offs, P, data + start, cost,
+                                    tok_bits, 1, nullptr, mp8, ml8, mo8,
+                                    max_seq);
+    if (n8 >= 0) cands[n_cands++] = {mp8, ml8, mo8, n8};
+  }
+
+  // auction: smallest payload wins (first candidate keeps ties, matching
+  // Python's min())
+  const int tok_cap = level >= 7 ? maxlen : 0;
+  int64_t best = -10;
+  static thread_local std::vector<uint8_t> alt;
+  for (int c2 = 0; c2 < n_cands; c2++) {
+    if (c2 == 0) {
+      best = glo_emit(data, start, P, cands[0].p, cands[0].l, cands[0].o,
+                      cands[0].n, dict_cl, 1, 4, maxlen, tok_cap, out, cap);
+      continue;
+    }
+    if (alt.size() < cap) alt.resize(cap);
+    int64_t sz = glo_emit(data, start, P, cands[c2].p, cands[c2].l,
+                          cands[c2].o, cands[c2].n, dict_cl, 1, 4, maxlen,
+                          tok_cap, alt.data(), cap);
+    if (sz >= 0 && (best < 0 || sz < best)) {
+      memcpy(out, alt.data(), (size_t)sz);
+      best = sz;
+    }
+  }
+  cleanup();
+  delete[] mp2; delete[] ml2; delete[] mo2;
+  delete[] mp8; delete[] ml8; delete[] mo8;
+  return best;
 }
 
 }  // extern "C"
@@ -2491,7 +2701,20 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
     uint64_t pcap = cap - w - BH - 8;
     int64_t psz;
     int btype;
-    if (level >= 2) {
+    if (level >= 6) {
+      // archival levels: DP optimal parse + premium auction (the Python
+      // L6/7 path runs no hufflit competitor — the GLO auction's
+      // all-literal Huffman case covers it)
+      if (dict_len) {
+        memcpy(cat + dict_len, data + pos, len);
+        psz = zxch_encode_glo_opt(cat, dict_len + len, dict_len, level,
+                                  max_probes, dict_cl, payload, pcap);
+      } else {
+        psz = zxch_encode_glo_opt(data + pos, len, 0, level, max_probes,
+                                  dict_cl, payload, pcap);
+      }
+      btype = 1;  // GLO
+    } else if (level >= 2) {
       // Levels 2-5 ride GLO (round-2c): the GLO sections beat GHI
       // packing at the same greedy parse on every gate corpus AND emit
       // faster; a GLO block at any level is wire-legal (block types
@@ -3379,14 +3602,14 @@ int64_t zxch_compress_bound(uint64_t n, uint64_t block_size) {
   return (int64_t)(16 + 12 + n + nb * (8 + 4 + 64) + n / 4 + 4 * nb + 4096);
 }
 
-// One-call frame encode at `level` (1-7 clamped; levels 6-7 fall back to
-// 5 in this C-only surface — the archival DP/Huffman pipeline lives in
-// the Python package). block_size 0 selects the 512 KB default.
+// One-call frame encode at `level` (1-7; levels 6-7 run the native
+// archival pipeline — DP optimal parse + Huffman literal/token
+// candidates). block_size 0 selects the 512 KB default.
 int64_t zxch_simple_compress(const uint8_t *data, uint64_t n, int level,
                              uint64_t block_size, int checksum, int seekable,
                              uint8_t *dst, uint64_t dst_cap) {
   if (level < 1) level = 1;
-  if (level > 5) level = 5;  // C-ABI surface: fast levels only
+  if (level > 7) level = 7;
   if (block_size == 0) block_size = 512 * 1024;
   if (block_size & (block_size - 1)) return -14;
   int code = 0;
@@ -3394,9 +3617,10 @@ int64_t zxch_simple_compress(const uint8_t *data, uint64_t n, int level,
   if (code < 12 || code > 21) return -14;
   // level-param table mirror (codec/block_encode.py level_params)
   struct Par { int probes, lazy, suff, sb, ss, cover, min_emit; };
-  static const Par tab[5] = {{2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
+  static const Par tab[7] = {{2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
                              {5, 1, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
-                             {64, 1, 256, 1, 0, 2, 5}};
+                             {64, 1, 256, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
+                             {192, 1, 0, 1, 0, 1, 5}};
   Par p = tab[level - 1];
   return zxch_compress_frame(data, n, level, p.probes, p.lazy, p.suff,
                              p.sb, p.ss, p.cover, p.min_emit,
@@ -3431,7 +3655,7 @@ int64_t zxch_simple_compress_dict(const uint8_t *data, uint64_t n,
                                   const uint8_t *dict_cl256,
                                   uint8_t *dst, uint64_t dst_cap) {
   if (level < 1) level = 1;
-  if (level > 5) level = 5;
+  if (level > 7) level = 7;
   if (block_size == 0) block_size = 512 * 1024;
   if (block_size & (block_size - 1)) return -14;
   if (n_dict > (1ull << 20)) return -17;  // DICT_TOO_LARGE (1 MiB cap)
@@ -3439,9 +3663,10 @@ int64_t zxch_simple_compress_dict(const uint8_t *data, uint64_t n,
   while ((1ull << code) < block_size) code++;
   if (code < 12 || code > 21) return -14;
   struct Par { int probes, lazy, suff, sb, ss, cover, min_emit; };
-  static const Par tab[5] = {{2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
+  static const Par tab[7] = {{2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
                              {5, 1, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
-                             {64, 1, 256, 1, 0, 2, 5}};
+                             {64, 1, 256, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
+                             {192, 1, 0, 1, 0, 1, 5}};
   Par p = tab[level - 1];
   uint8_t packed[128];
   const uint8_t *huf = nullptr;
