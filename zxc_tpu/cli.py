@@ -146,8 +146,9 @@ def _gather_inputs(args, log: Log) -> list[str]:
             else:
                 out.append(f)
         files = out
+    files = [None if f == "-" else f for f in files]   # "-" = stdin
     for f in files:
-        if not os.path.exists(f):
+        if f is not None and not os.path.exists(f):
             raise ZxcError(-11, f"no such file: {f}")
     return files
 
@@ -185,6 +186,8 @@ def cmd_compress(args, log: Log) -> int:
                        dict_content=d.content if d else None,
                        dict_huf=d.huf_lengths if d else None)
     files = _gather_inputs(args, log) or [None]
+    if args.output and len(files) > 1:
+        raise ZxcError(-12, "-o cannot combine with multiple inputs")
     for src in files:
         data = _read(src)
         t0 = time.time()
@@ -230,7 +233,10 @@ def cmd_compress(args, log: Log) -> int:
         ratio = len(out) / max(len(data), 1) * 100
         log.info(f"{src or 'stdin'}: {len(data)} -> {len(out)} bytes "
                  f"({ratio:.2f}%) in {dt:.3f}s")
-        if src is not None and dst is not None and not args.keep:
+        # auto-deletion applies only when the output name is auto-derived
+        # (reference: -o keeps the input, tests/test_cli.sh section 28.1)
+        if (src is not None and dst is not None and not args.keep
+                and not args.output):
             os.unlink(src)
     return 0
 
@@ -240,7 +246,16 @@ def cmd_decompress(args, log: Log) -> int:
     dopts = DecodeOpts(checksum=args.checksum,
                        dict_content=d.content if d else None,
                        dict_huf=d.huf_lengths if d else None)
+    # positional OUTPUT-FILE: `zxc -d INPUT OUTPUT` (reference
+    # tests/test_cli.sh section 28.3) — two positionals where the second
+    # does not exist and no -o/-m means the second names the output
+    if (len(args.files) == 2 and not args.multiple and not args.output
+            and os.path.exists(args.files[0])
+            and not os.path.exists(args.files[1])):
+        args.output = args.files.pop()
     files = _gather_inputs(args, log) or [None]
+    if args.output and len(files) > 1:
+        raise ZxcError(-12, "-o cannot combine with multiple inputs")
     for src in files:
         blob = _read(src)
         t0 = time.time()
@@ -256,25 +271,54 @@ def cmd_decompress(args, log: Log) -> int:
             raise ZxcError(-11, f"cannot derive output name for {src}")
         _write(dst, out, args.force, log)
         log.info(f"{src or 'stdin'}: {len(blob)} -> {len(out)} bytes in {dt:.3f}s")
-        if src is not None and dst is not None and not args.keep:
+        if (src is not None and dst is not None and not args.keep
+                and not args.output):
             os.unlink(src)
     return 0
 
 
 def cmd_list(args, log: Log) -> int:
+    rc = 0
     for src in _gather_inputs(args, log):
-        blob = _read(src)
-        if len(blob) >= 4 and int.from_bytes(blob[:4], "little") == C.DICT_MAGIC:
-            d = Dictionary.load(blob)
-            print(f"{src}: zxc dictionary, id=0x{d.id:08x}, "
-                  f"content={len(d.content)} bytes, shared-table=yes")
+        try:
+            blob = _read(src)
+            if (len(blob) >= 4
+                    and int.from_bytes(blob[:4], "little") == C.DICT_MAGIC):
+                d = Dictionary.load(blob)
+                if args.json:
+                    print(json.dumps({"file": src, "type": "dictionary",
+                                      "id": f"0x{d.id:08x}",
+                                      "content_bytes": len(d.content)}))
+                else:
+                    print(f"{src}: zxc dictionary, id=0x{d.id:08x}, "
+                          f"content={len(d.content)} bytes, shared-table=yes")
+                continue
+            from .format import headers as H
+            fh = H.read_file_header(blob)
+            size, ghash = H.read_file_footer(blob)
+            n_blocks = sum(1 for _ in frame.iter_blocks(blob))
+            sek = H.parse_seek_table(blob)
+        except (ZxcError, OSError) as e:
+            # JSON list reports failing entries inline and exits nonzero
+            # (reference tests/test_cli.sh "JSON list with a failing entry")
+            if args.json:
+                print(json.dumps({"file": src, "error": str(e)}))
+            else:
+                log.info(f"{src}: not a zxc archive ({e})")
+            rc = 1
             continue
-        fh = frame.headers.read_file_header(blob) if False else None
-        from .format import headers as H
-        fh = H.read_file_header(blob)
-        size, ghash = H.read_file_footer(blob)
-        n_blocks = sum(1 for _ in frame.iter_blocks(blob))
-        sek = H.parse_seek_table(blob)
+        if args.json:
+            print(json.dumps({
+                "file": src, "type": "archive",
+                "format_version": C.FORMAT_VERSION,
+                "block_size": fh.block_size, "blocks": n_blocks,
+                "decompressed": size, "compressed": len(blob),
+                "ratio_pct": round(len(blob) / max(size, 1) * 100, 2),
+                "checksums": bool(fh.has_checksum),
+                "global_hash": f"0x{ghash:08x}",
+                "dict_id": f"0x{fh.dict_id:08x}" if fh.dict_id else None,
+                "seekable": len(sek) if sek else 0}))
+            continue
         print(f"{src}: zxc v{C.FORMAT_VERSION} archive")
         print(f"  block size:      {fh.block_size}")
         print(f"  blocks:          {n_blocks}")
@@ -286,7 +330,7 @@ def cmd_list(args, log: Log) -> int:
         print(f"  dictionary id:   "
               f"{'0x%08x' % fh.dict_id if fh.dict_id else 'none'}")
         print(f"  seekable:        {'yes (%d entries)' % len(sek) if sek else 'no'}")
-    return 0
+    return rc
 
 
 def cmd_test(args, log: Log) -> int:
@@ -361,6 +405,12 @@ def cmd_train(args, log: Log) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     args = _parser().parse_args(argv)
+    # `unzxc` alias: invoked under that name, the default mode flips to
+    # decompression (reference: unzxc symlink, tests/test_cli.sh)
+    if (not args.decompress and not args.compress and not args.list
+            and not args.test and args.bench is None and not args.train
+            and os.path.basename(sys.argv[0] or "").startswith("unzxc")):
+        args.decompress = True
     log = Log(args.verbose, args.quiet)
     if args.version:
         print(f"zxc {VERSION} (zxc_tpu, format v{C.FORMAT_VERSION})")
