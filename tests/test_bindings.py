@@ -102,6 +102,17 @@ int main(void) {
     subprocess.run([str(exe)], check=True, timeout=120)
 
 
+def test_binding_checks():
+    """CI-shaped no-toolchain verification (tools/binding_check.py):
+    FFI symbol audit of every wrapper against the built .so + N-API
+    addon syntax check against the vendored shim. What stays unverified
+    without node/go/cargo is documented in the tool's docstring."""
+    _ensure_so()
+    subprocess.run([sys.executable,
+                    os.path.join(_REPO, "tools", "binding_check.py")],
+                   check=True, timeout=120)
+
+
 def test_c_abi_archival_levels(tmp_path):
     """Levels 6-7 through the plain int64 C ABI (VERDICT round-2 item 5:
     zxch_simple_compress used to clamp to 5). Every binding can now

@@ -10,6 +10,7 @@
 #include <stdlib.h>
 #include <string.h>
 
+#include <stdio.h>
 #include "zxc_host.h"
 
 static napi_value throw_code(napi_env env, int64_t code) {
