@@ -147,6 +147,30 @@ int64_t zxch_seekable_range(const uint8_t *src, uint64_t n, uint64_t offset,
                             const uint8_t *dict, uint64_t n_dict,
                             const uint8_t *dict_cl256);
 
+/* -- push streaming (zxc_pstream parity; reentrant, sticky errors) -- */
+/* level 1-7, block_size 0 = 512 KiB default; NULL on bad args.       */
+void *zxch_cstream_new(int level, uint64_t block_size, int checksum,
+                       int seekable);
+/* Push n bytes, drain up to cap produced bytes; returns produced or a
+ * negative ZXC error. *consumed gets the input bytes taken.          */
+int64_t zxch_cstream_compress(void *h, const uint8_t *src, uint64_t n,
+                              uint8_t *dst, uint64_t cap,
+                              uint64_t *consumed);
+/* Flush final block + EOF + seek table + footer; call till finished. */
+int64_t zxch_cstream_end(void *h, uint8_t *dst, uint64_t cap);
+int zxch_cstream_finished(void *h);
+uint64_t zxch_cstream_in_size(void *h);   /* recommended push size    */
+uint64_t zxch_cstream_out_size(void *h);  /* recommended drain size   */
+void zxch_cstream_free(void *h);
+
+void *zxch_dstream_new(int verify);
+int64_t zxch_dstream_decompress(void *h, const uint8_t *src, uint64_t n,
+                                uint8_t *dst, uint64_t cap,
+                                uint64_t *consumed);
+int zxch_dstream_finished(void *h);
+uint64_t zxch_dstream_out_size(void *h);
+void zxch_dstream_free(void *h);
+
 #ifdef __cplusplus
 }
 #endif

@@ -258,3 +258,108 @@ func SeekableRangeDict(archive []byte, offset, length uint64, d *Dictionary) ([]
 	}
 	return dst[:w], nil
 }
+
+// CStream is a push (caller-driven) streaming compressor — the
+// zxc_cstream_t parity surface. Feed input with Compress, then call End
+// until Finished. Dictionaries are unsupported on the push path.
+type CStream struct{ h unsafe.Pointer }
+
+// NewCStream creates a push compressor (level 1..7; blockSize 0 = 512 KiB).
+func NewCStream(level int, blockSize uint64, checksum, seekable bool) (*CStream, error) {
+	h := C.zxch_cstream_new(C.int(level), C.uint64_t(blockSize),
+		boolInt(checksum), boolInt(seekable))
+	if h == nil {
+		return nil, Error(-14)
+	}
+	return &CStream{h}, nil
+}
+
+// Compress consumes all of src and returns any produced archive bytes.
+func (s *CStream) Compress(src []byte) ([]byte, error) {
+	cap := uint64(C.zxch_cstream_out_size(s.h))
+	out := []byte{}
+	buf := make([]byte, cap)
+	var consumed C.uint64_t
+	pos := 0
+	for {
+		var sp *C.uint8_t
+		if pos < len(src) {
+			sp = ptr(src[pos:])
+		}
+		n := int64(C.zxch_cstream_compress(s.h, sp,
+			C.uint64_t(len(src)-pos), ptr(buf), C.uint64_t(cap), &consumed))
+		if n < 0 {
+			return nil, Error(n)
+		}
+		out = append(out, buf[:n]...)
+		pos += int(consumed)
+		if pos >= len(src) && uint64(n) < cap {
+			return out, nil
+		}
+	}
+}
+
+// End flushes the final partial block, EOF, seek table and footer.
+func (s *CStream) End() ([]byte, error) {
+	cap := uint64(C.zxch_cstream_out_size(s.h))
+	out := []byte{}
+	buf := make([]byte, cap)
+	for C.zxch_cstream_finished(s.h) == 0 {
+		n := int64(C.zxch_cstream_end(s.h, ptr(buf), C.uint64_t(cap)))
+		if n < 0 {
+			return nil, Error(n)
+		}
+		out = append(out, buf[:n]...)
+		if n == 0 {
+			break
+		}
+	}
+	return out, nil
+}
+
+// Finished reports whether the footer was emitted and fully drained.
+func (s *CStream) Finished() bool { return C.zxch_cstream_finished(s.h) != 0 }
+
+// Close frees the native stream state.
+func (s *CStream) Close() { C.zxch_cstream_free(s.h); s.h = nil }
+
+// DStream is the push streaming decompressor (zxc_dstream_t parity).
+type DStream struct{ h unsafe.Pointer }
+
+// NewDStream creates a push decompressor; verify enables checksums.
+func NewDStream(verify bool) *DStream {
+	return &DStream{C.zxch_dstream_new(boolInt(verify))}
+}
+
+// Decompress consumes all of src and returns any decoded bytes.
+func (s *DStream) Decompress(src []byte) ([]byte, error) {
+	out := []byte{}
+	var consumed C.uint64_t
+	first := true
+	for {
+		cap := uint64(C.zxch_dstream_out_size(s.h))
+		buf := make([]byte, cap)
+		var sp *C.uint8_t
+		var sn C.uint64_t
+		if first && len(src) > 0 {
+			sp = ptr(src)
+			sn = C.uint64_t(len(src))
+		}
+		n := int64(C.zxch_dstream_decompress(s.h, sp, sn, ptr(buf),
+			C.uint64_t(cap), &consumed))
+		if n < 0 {
+			return nil, Error(n)
+		}
+		out = append(out, buf[:n]...)
+		first = false
+		if uint64(n) < cap {
+			return out, nil
+		}
+	}
+}
+
+// Finished reports whether the footer was consumed and output drained.
+func (s *DStream) Finished() bool { return C.zxch_dstream_finished(s.h) != 0 }
+
+// Close frees the native stream state.
+func (s *DStream) Close() { C.zxch_dstream_free(s.h); s.h = nil }

@@ -39,8 +39,65 @@ function decompressDict(archive, dict, opts = {}) {
                               verify);
 }
 
+
+/** Push streaming compressor (zxc_cstream parity). */
+class CStream {
+  constructor(opts = {}) {
+    const { level = 3, blockSize = 0, checksum = false,
+            seekable = false } = opts;
+    this.h = addon.cstreamNew(level, blockSize, checksum, seekable);
+    this.done = false;
+  }
+  /** Consumes all of data; returns produced archive bytes (Buffer). */
+  compress(data) {
+    const parts = [];
+    let out = addon.cstreamCompress(this.h, Buffer.from(data));
+    parts.push(out);
+    while (out.length > 0) {                   // drain the backlog
+      out = addon.cstreamCompress(this.h, Buffer.alloc(0));
+      parts.push(out);
+    }
+    return Buffer.concat(parts);
+  }
+  /** Flushes the final block, EOF, seek table and footer. */
+  end() {
+    const parts = [];
+    while (!addon.cstreamFinished(this.h)) {
+      const out = addon.cstreamEnd(this.h);
+      parts.push(out);
+      if (out.length === 0) break;
+    }
+    this.done = true;
+    return Buffer.concat(parts);
+  }
+  close() { addon.cstreamFree(this.h); this.h = 0; }
+}
+
+/** Push streaming decompressor (zxc_dstream parity). */
+class DStream {
+  constructor(opts = {}) {
+    const { verify = false } = opts;
+    this.h = addon.dstreamNew(verify);
+  }
+  /** Consumes all of data; returns decoded bytes (Buffer). */
+  decompress(data) {
+    const parts = [];
+    let out = addon.dstreamDecompress(this.h, Buffer.from(data));
+    parts.push(out);
+    while (out.length > 0) {
+      out = addon.dstreamDecompress(this.h, Buffer.alloc(0));
+      parts.push(out);
+    }
+    return Buffer.concat(parts);
+  }
+  finished() { return addon.dstreamFinished(this.h); }
+  close() { addon.dstreamFree(this.h); this.h = 0; }
+}
+
 module.exports = {
   compress,
+  CStream,
+  DStream,
   decompress,
   compressDict,
   decompressDict,

@@ -282,6 +282,157 @@ static napi_value SeekableRangeDict(napi_env env, napi_callback_info info) {
   return out;
 }
 
+
+/* -- push streaming (zxc_pstream parity): thin handle-based surface.
+   Handles are pointer bits in a JS number (< 2^53, exact). The JS
+   facade (index.js) loops the drains. */
+
+static napi_value CstreamNew(napi_env env, napi_callback_info info) {
+  size_t argc = 4;
+  napi_value argv[4];
+  napi_get_cb_info(env, info, &argc, argv, NULL, NULL);
+  int64_t level = 3, bs = 0;
+  bool checksum = false, seekable = false;
+  if (argc > 0) napi_get_value_int64(env, argv[0], &level);
+  if (argc > 1) napi_get_value_int64(env, argv[1], &bs);
+  if (argc > 2) napi_get_value_bool(env, argv[2], &checksum);
+  if (argc > 3) napi_get_value_bool(env, argv[3], &seekable);
+  void *h = zxch_cstream_new((int)level, (uint64_t)bs, checksum, seekable);
+  if (!h) {
+    napi_throw_error(env, NULL, "zxc: bad stream parameters");
+    return NULL;
+  }
+  napi_value out;
+  napi_create_int64(env, (int64_t)(intptr_t)h, &out);
+  return out;
+}
+
+static napi_value CstreamCompress(napi_env env, napi_callback_info info) {
+  size_t argc = 2;
+  napi_value argv[2];
+  napi_get_cb_info(env, info, &argc, argv, NULL, NULL);
+  int64_t hh = 0;
+  napi_get_value_int64(env, argv[0], &hh);
+  void *h = (void *)(intptr_t)hh;
+  void *src = NULL;
+  size_t n = 0;
+  napi_get_buffer_info(env, argv[1], &src, &n);
+  uint64_t cap = zxch_cstream_out_size(h);
+  uint8_t *tmp = malloc(cap ? cap : 1);
+  uint64_t consumed = 0;
+  int64_t w = zxch_cstream_compress(h, src, n, tmp, cap, &consumed);
+  if (w < 0) {
+    free(tmp);
+    return throw_code(env, w);
+  }
+  void *dst;
+  napi_value out;
+  napi_create_buffer_copy(env, (size_t)w, tmp, &dst, &out);
+  free(tmp);
+  return out;
+}
+
+static napi_value CstreamEnd(napi_env env, napi_callback_info info) {
+  size_t argc = 1;
+  napi_value argv[1];
+  napi_get_cb_info(env, info, &argc, argv, NULL, NULL);
+  int64_t hh = 0;
+  napi_get_value_int64(env, argv[0], &hh);
+  void *h = (void *)(intptr_t)hh;
+  uint64_t cap = zxch_cstream_out_size(h);
+  uint8_t *tmp = malloc(cap ? cap : 1);
+  int64_t w = zxch_cstream_end(h, tmp, cap);
+  if (w < 0) {
+    free(tmp);
+    return throw_code(env, w);
+  }
+  void *dst;
+  napi_value out;
+  napi_create_buffer_copy(env, (size_t)w, tmp, &dst, &out);
+  free(tmp);
+  return out;
+}
+
+static napi_value CstreamFinished(napi_env env, napi_callback_info info) {
+  size_t argc = 1;
+  napi_value argv[1];
+  napi_get_cb_info(env, info, &argc, argv, NULL, NULL);
+  int64_t hh = 0;
+  napi_get_value_int64(env, argv[0], &hh);
+  napi_value out;
+  napi_get_boolean(env, zxch_cstream_finished((void *)(intptr_t)hh) != 0,
+                   &out);
+  return out;
+}
+
+static napi_value CstreamFree(napi_env env, napi_callback_info info) {
+  size_t argc = 1;
+  napi_value argv[1];
+  napi_get_cb_info(env, info, &argc, argv, NULL, NULL);
+  int64_t hh = 0;
+  napi_get_value_int64(env, argv[0], &hh);
+  zxch_cstream_free((void *)(intptr_t)hh);
+  return NULL;
+}
+
+static napi_value DstreamNew(napi_env env, napi_callback_info info) {
+  size_t argc = 1;
+  napi_value argv[1];
+  napi_get_cb_info(env, info, &argc, argv, NULL, NULL);
+  bool verify = false;
+  if (argc > 0) napi_get_value_bool(env, argv[0], &verify);
+  napi_value out;
+  napi_create_int64(env, (int64_t)(intptr_t)zxch_dstream_new(verify), &out);
+  return out;
+}
+
+static napi_value DstreamDecompress(napi_env env, napi_callback_info info) {
+  size_t argc = 2;
+  napi_value argv[2];
+  napi_get_cb_info(env, info, &argc, argv, NULL, NULL);
+  int64_t hh = 0;
+  napi_get_value_int64(env, argv[0], &hh);
+  void *h = (void *)(intptr_t)hh;
+  void *src = NULL;
+  size_t n = 0;
+  napi_get_buffer_info(env, argv[1], &src, &n);
+  uint64_t cap = zxch_dstream_out_size(h);
+  uint8_t *tmp = malloc(cap ? cap : 1);
+  uint64_t consumed = 0;
+  int64_t w = zxch_dstream_decompress(h, src, n, tmp, cap, &consumed);
+  if (w < 0) {
+    free(tmp);
+    return throw_code(env, w);
+  }
+  void *dst;
+  napi_value out;
+  napi_create_buffer_copy(env, (size_t)w, tmp, &dst, &out);
+  free(tmp);
+  return out;
+}
+
+static napi_value DstreamFinished(napi_env env, napi_callback_info info) {
+  size_t argc = 1;
+  napi_value argv[1];
+  napi_get_cb_info(env, info, &argc, argv, NULL, NULL);
+  int64_t hh = 0;
+  napi_get_value_int64(env, argv[0], &hh);
+  napi_value out;
+  napi_get_boolean(env, zxch_dstream_finished((void *)(intptr_t)hh) != 0,
+                   &out);
+  return out;
+}
+
+static napi_value DstreamFree(napi_env env, napi_callback_info info) {
+  size_t argc = 1;
+  napi_value argv[1];
+  napi_get_cb_info(env, info, &argc, argv, NULL, NULL);
+  int64_t hh = 0;
+  napi_get_value_int64(env, argv[0], &hh);
+  zxch_dstream_free((void *)(intptr_t)hh);
+  return NULL;
+}
+
 static napi_value Init(napi_env env, napi_value exports) {
   napi_value fn;
 #define EXPORT(name, f)                                    \
@@ -295,6 +446,15 @@ static napi_value Init(napi_env env, napi_value exports) {
   EXPORT("frameInfo", FrameInfo);
   EXPORT("seekableRange", SeekableRange);
   EXPORT("seekableRangeDict", SeekableRangeDict);
+  EXPORT("cstreamNew", CstreamNew);
+  EXPORT("cstreamCompress", CstreamCompress);
+  EXPORT("cstreamEnd", CstreamEnd);
+  EXPORT("cstreamFinished", CstreamFinished);
+  EXPORT("cstreamFree", CstreamFree);
+  EXPORT("dstreamNew", DstreamNew);
+  EXPORT("dstreamDecompress", DstreamDecompress);
+  EXPORT("dstreamFinished", DstreamFinished);
+  EXPORT("dstreamFree", DstreamFree);
 #undef EXPORT
   return exports;
 }

@@ -6,6 +6,41 @@
 #![allow(non_camel_case_types)]
 
 extern "C" {
+    pub fn zxch_cstream_new(
+        level: i32,
+        block_size: u64,
+        checksum: i32,
+        seekable: i32,
+    ) -> *mut core::ffi::c_void;
+    pub fn zxch_cstream_compress(
+        h: *mut core::ffi::c_void,
+        src: *const u8,
+        n: u64,
+        dst: *mut u8,
+        cap: u64,
+        consumed: *mut u64,
+    ) -> i64;
+    pub fn zxch_cstream_end(
+        h: *mut core::ffi::c_void,
+        dst: *mut u8,
+        cap: u64,
+    ) -> i64;
+    pub fn zxch_cstream_finished(h: *mut core::ffi::c_void) -> i32;
+    pub fn zxch_cstream_in_size(h: *mut core::ffi::c_void) -> u64;
+    pub fn zxch_cstream_out_size(h: *mut core::ffi::c_void) -> u64;
+    pub fn zxch_cstream_free(h: *mut core::ffi::c_void);
+    pub fn zxch_dstream_new(verify: i32) -> *mut core::ffi::c_void;
+    pub fn zxch_dstream_decompress(
+        h: *mut core::ffi::c_void,
+        src: *const u8,
+        n: u64,
+        dst: *mut u8,
+        cap: u64,
+        consumed: *mut u64,
+    ) -> i64;
+    pub fn zxch_dstream_finished(h: *mut core::ffi::c_void) -> i32;
+    pub fn zxch_dstream_out_size(h: *mut core::ffi::c_void) -> u64;
+    pub fn zxch_dstream_free(h: *mut core::ffi::c_void);
     pub fn zxch_rapidhash32(data: *const u8, len: usize, seed: u64) -> u32;
     pub fn zxch_frame_info(
         src: *const u8,

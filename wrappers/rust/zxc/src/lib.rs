@@ -291,6 +291,104 @@ pub fn seekable_range(archive: &[u8], offset: u64, length: u64)
     Ok(dst)
 }
 
+
+/// Push (pull-free) streaming compressor — `zxc_cstream_t` parity.
+/// Reentrant: feed input with [`CStream::compress`], then call
+/// [`CStream::end`] until [`CStream::finished`]. No dictionaries (the
+/// push path has no dict_id handshake).
+pub struct CStream(*mut core::ffi::c_void);
+
+impl CStream {
+    pub fn new(opts: &CompressOptions) -> Result<Self, Error> {
+        let h = unsafe {
+            sys::zxch_cstream_new(opts.level, opts.block_size,
+                                  opts.checksum as i32,
+                                  opts.seekable as i32)
+        };
+        if h.is_null() { return Err(Error(-14)); }
+        Ok(CStream(h))
+    }
+
+    /// Consumes all of `src`, appends produced archive bytes to `out`.
+    pub fn compress(&mut self, src: &[u8], out: &mut Vec<u8>)
+        -> Result<(), Error> {
+        let cap = unsafe { sys::zxch_cstream_out_size(self.0) } as usize;
+        let mut buf = vec![0u8; cap];
+        let mut consumed = 0u64;
+        let mut pos = 0usize;
+        loop {
+            let n = check(unsafe {
+                sys::zxch_cstream_compress(
+                    self.0, src[pos..].as_ptr(), (src.len() - pos) as u64,
+                    buf.as_mut_ptr(), cap as u64, &mut consumed)
+            })? as usize;
+            out.extend_from_slice(&buf[..n]);
+            pos += consumed as usize;
+            if pos >= src.len() && n < cap { return Ok(()); }
+        }
+    }
+
+    /// Flushes the tail (final block, EOF, seek table, footer).
+    pub fn end(&mut self, out: &mut Vec<u8>) -> Result<(), Error> {
+        let cap = unsafe { sys::zxch_cstream_out_size(self.0) } as usize;
+        let mut buf = vec![0u8; cap];
+        while unsafe { sys::zxch_cstream_finished(self.0) } == 0 {
+            let n = check(unsafe {
+                sys::zxch_cstream_end(self.0, buf.as_mut_ptr(), cap as u64)
+            })? as usize;
+            out.extend_from_slice(&buf[..n]);
+            if n == 0 { break; }
+        }
+        Ok(())
+    }
+
+    pub fn finished(&self) -> bool {
+        unsafe { sys::zxch_cstream_finished(self.0) != 0 }
+    }
+}
+
+impl Drop for CStream {
+    fn drop(&mut self) { unsafe { sys::zxch_cstream_free(self.0) } }
+}
+
+/// Push streaming decompressor — `zxc_dstream_t` parity.
+pub struct DStream(*mut core::ffi::c_void);
+
+impl DStream {
+    pub fn new(verify: bool) -> Self {
+        DStream(unsafe { sys::zxch_dstream_new(verify as i32) })
+    }
+
+    /// Consumes all of `src`, appends decoded bytes to `out`.
+    pub fn decompress(&mut self, src: &[u8], out: &mut Vec<u8>)
+        -> Result<(), Error> {
+        let mut consumed = 0u64;
+        let mut first = true;
+        loop {
+            let cap = unsafe { sys::zxch_dstream_out_size(self.0) } as usize;
+            let mut buf = vec![0u8; cap];
+            let (ptr, len) = if first { (src.as_ptr(), src.len() as u64) }
+                             else { (core::ptr::null(), 0u64) };
+            let n = check(unsafe {
+                sys::zxch_dstream_decompress(self.0, ptr, len,
+                                             buf.as_mut_ptr(), cap as u64,
+                                             &mut consumed)
+            })? as usize;
+            out.extend_from_slice(&buf[..n]);
+            first = false;
+            if n < cap { return Ok(()); }
+        }
+    }
+
+    pub fn finished(&self) -> bool {
+        unsafe { sys::zxch_dstream_finished(self.0) != 0 }
+    }
+}
+
+impl Drop for DStream {
+    fn drop(&mut self) { unsafe { sys::zxch_dstream_free(self.0) } }
+}
+
 #[cfg(test)]
 mod tests {
     use super::*;

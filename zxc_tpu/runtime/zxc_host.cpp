@@ -4376,3 +4376,420 @@ int64_t zxch_v19_prep_block(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Push-streaming C ABI (reference zxc_pstream.c parity): reentrant,
+// caller-driven state machines over the native block codecs, so every
+// language binding gets cstream/dstream without the Python layer. Byte-
+// identical with codec/pstream.py (which equals the one-shot frame
+// bytes): same per-block dispatch as zxch_compress_frame, same wire.
+// Dictionaries are rejected — the push path has no dict_id handshake
+// (reference zxc_pstream.h:123-137). Sticky errors: once a call fails,
+// every later call returns the same code.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PsPar { int probes, lazy, suff, sb, ss, cover, min_emit; };
+static const PsPar kPsTab[7] = {
+    {2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
+    {5, 1, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
+    {64, 1, 256, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
+    {192, 1, 0, 1, 0, 1, 5}};
+
+struct ZxchCStream {
+  int level = 3;
+  uint64_t bs = 512 * 1024;
+  int checksum = 0;
+  int seekable = 0;
+  std::vector<uint8_t> acc;      // partial input block
+  std::vector<uint8_t> pend;     // encoded bytes awaiting drain
+  uint64_t pend_pos = 0;
+  std::vector<uint32_t> seek_sizes;
+  uint64_t total_in = 0;
+  uint32_t ghash = 0;
+  bool ended = false;
+  int err = 0;
+};
+
+// encode one chunk (block header + payload + optional checksum) onto
+// s->pend — the zxch_compress_frame per-block dispatch, no dict
+int cs_encode_chunk(ZxchCStream *s, const uint8_t *data, uint64_t len) {
+  PsPar p = kPsTab[s->level - 1];
+  const uint64_t BH = 8;
+  uint64_t pcap = len + len / 4 + 4096 + 256;
+  size_t base = s->pend.size();
+  s->pend.resize(base + BH + pcap + 4);
+  uint8_t *payload = s->pend.data() + base + BH;
+  int64_t psz;
+  int btype;
+  if (s->level >= 6) {
+    psz = zxch_encode_glo_opt(data, len, 0, s->level, p.probes, nullptr,
+                              payload, pcap);
+    btype = 1;
+  } else if (s->level >= 2) {
+    psz = zxch_encode_glo(data, len, 0, p.probes, p.lazy, p.suff, p.sb,
+                          p.ss, p.cover, p.min_emit, nullptr, payload,
+                          pcap);
+    btype = 1;
+    uint64_t budget = len > BH ? len - BH : 0;
+    if (psz >= 0 && (uint64_t)psz < budget) budget = (uint64_t)psz;
+    static thread_local std::vector<uint8_t> hlbuf;
+    if (hlbuf.size() < len + 1024) hlbuf.resize(len + 1024);
+    int64_t hl = zxch_encode_hufflit(data, len, hlbuf.data(), hlbuf.size(),
+                                     budget);
+    if (hl >= 0 && (uint64_t)hl <= pcap) {
+      memcpy(payload, hlbuf.data(), (size_t)hl);
+      psz = hl;
+    }
+  } else {
+    uint64_t max_seq = len / 5 + 8;
+    zxch_parse_scratch(max_seq);
+    int64_t nseq = zxch_find_parse(data, len, 0, p.probes, p.lazy, p.suff,
+                                   p.sb, p.ss, p.cover, p.min_emit, g_mp,
+                                   g_ml, g_mo, max_seq);
+    uint64_t lit_total = 0, n_ext = 0;
+    int64_t ghi_need = nseq >= 0
+        ? (int64_t)zxch_ghi_size(g_mp, g_ml, nseq, len, &lit_total, &n_ext)
+        : -10;
+    uint64_t budget = len > BH ? len - BH : 0;
+    if (ghi_need >= 0 && (uint64_t)ghi_need < budget)
+      budget = (uint64_t)ghi_need;
+    int64_t hl = zxch_encode_hufflit(data, len, payload, pcap, budget);
+    if (hl >= 0) {
+      psz = hl;
+      btype = 1;
+    } else if (ghi_need >= 0 && (uint64_t)ghi_need <= pcap) {
+      psz = zxch_emit_ghi(data, 0, len, g_mp, g_ml, g_mo, nseq, lit_total,
+                          n_ext, payload);
+      btype = 2;
+    } else {
+      psz = -10;
+      btype = 2;
+    }
+  }
+  if (psz < 0 || (uint64_t)(BH + psz) >= len) {
+    memcpy(payload, data, len);   // RAW fallback (expansion rule)
+    psz = (int64_t)len;
+    btype = 0;
+  }
+  uint8_t *bh = s->pend.data() + base;
+  memset(bh, 0, BH);
+  bh[0] = (uint8_t)btype;
+  bh[3] = (uint8_t)(psz & 0xFF);
+  bh[4] = (uint8_t)((psz >> 8) & 0xFF);
+  bh[5] = (uint8_t)((psz >> 16) & 0xFF);
+  bh[6] = (uint8_t)((psz >> 24) & 0xFF);
+  bh[7] = zxch_hash8(bh);
+  uint64_t chunk = BH + (uint64_t)psz;
+  if (s->checksum) {
+    uint32_t cs = zxch_rapidhash32(s->pend.data() + base + BH,
+                                   (size_t)psz, 0);
+    memcpy(s->pend.data() + base + chunk, &cs, 4);
+    chunk += 4;
+    s->ghash = ((s->ghash << 1) | (s->ghash >> 31)) ^ cs;
+  }
+  s->seek_sizes.push_back((uint32_t)chunk);
+  s->pend.resize(base + chunk);
+  return 0;
+}
+
+uint64_t ps_drain(std::vector<uint8_t> &pend, uint64_t &pos, uint8_t *dst,
+                  uint64_t cap) {
+  uint64_t avail = pend.size() - pos;
+  uint64_t take = avail < cap ? avail : cap;
+  memcpy(dst, pend.data() + pos, take);
+  pos += take;
+  if (pos == pend.size()) {
+    pend.clear();
+    pos = 0;
+  }
+  return take;
+}
+
+}  // namespace
+
+extern "C" {
+
+// level 1-7; block_size 0 selects the 512 KiB default. NULL on bad args.
+void *zxch_cstream_new(int level, uint64_t block_size, int checksum,
+                       int seekable) {
+  if (level < 1) level = 1;
+  if (level > 7) level = 7;
+  if (block_size == 0) block_size = 512 * 1024;
+  if (block_size & (block_size - 1)) return nullptr;
+  int code = 0;
+  while ((1ull << code) < block_size) code++;
+  if (code < 12 || code > 21) return nullptr;
+  ZxchCStream *s = new ZxchCStream();
+  s->level = level;
+  s->bs = block_size;
+  s->checksum = checksum ? 1 : 0;
+  s->seekable = seekable ? 1 : 0;
+  // file header goes out first (headers.py:20 layout)
+  s->pend.resize(16, 0);
+  s->pend[0] = 0xF5; s->pend[1] = 0x2E; s->pend[2] = 0xB0; s->pend[3] = 0x9C;
+  s->pend[4] = 7;
+  s->pend[5] = (uint8_t)code;
+  s->pend[6] = s->checksum ? 0x80 : 0;
+  uint16_t h16 = zxch_hash16(s->pend.data());
+  s->pend[14] = (uint8_t)(h16 & 0xFF);
+  s->pend[15] = (uint8_t)(h16 >> 8);
+  return s;
+}
+
+// Push up to n bytes and drain up to cap produced bytes. *consumed gets
+// the input bytes taken (always all of them — accumulation is
+// unbounded only per block). Returns produced bytes or a negative ZXC
+// error (sticky).
+int64_t zxch_cstream_compress(void *h, const uint8_t *src, uint64_t n,
+                              uint8_t *dst, uint64_t cap,
+                              uint64_t *consumed) {
+  ZxchCStream *s = (ZxchCStream *)h;
+  if (consumed) *consumed = 0;
+  if (s->err) return s->err;
+  if (s->ended) { s->err = -6; return s->err; }   // compress after end
+  uint64_t done = 0;
+  while (done < n) {
+    uint64_t room = s->bs - s->acc.size();
+    uint64_t take = n - done < room ? n - done : room;
+    s->acc.insert(s->acc.end(), src + done, src + done + take);
+    done += take;
+    if (s->acc.size() == s->bs) {
+      int rc = cs_encode_chunk(s, s->acc.data(), s->bs);
+      if (rc) { s->err = rc; return rc; }
+      s->acc.clear();
+    }
+  }
+  s->total_in += done;
+  if (consumed) *consumed = done;
+  return (int64_t)ps_drain(s->pend, s->pend_pos, dst, cap);
+}
+
+// Flush the final partial block, EOF, optional seek table and footer;
+// call until zxch_cstream_finished. Returns produced bytes or error.
+int64_t zxch_cstream_end(void *h, uint8_t *dst, uint64_t cap) {
+  ZxchCStream *s = (ZxchCStream *)h;
+  if (s->err) return s->err;
+  if (!s->ended) {
+    s->ended = true;
+    if (!s->acc.empty()) {
+      int rc = cs_encode_chunk(s, s->acc.data(), s->acc.size());
+      if (rc) { s->err = rc; return rc; }
+      s->acc.clear();
+    }
+    size_t base = s->pend.size();
+    s->pend.resize(base + 8, 0);
+    uint8_t *eof = s->pend.data() + base;
+    eof[0] = 0xFF;  // BLOCK_EOF
+    eof[7] = zxch_hash8(eof);
+    if (s->seekable && !s->seek_sizes.empty()) {
+      uint64_t n = s->seek_sizes.size();
+      size_t sb = s->pend.size();
+      s->pend.resize(sb + 8 + 4 * n, 0);
+      uint8_t *sh = s->pend.data() + sb;
+      uint64_t payload = 4 * n;   // u32 sizes only (headers.py:138)
+      sh[0] = 0xFE;  // BLOCK_SEK
+      sh[3] = (uint8_t)(payload & 0xFF);
+      sh[4] = (uint8_t)((payload >> 8) & 0xFF);
+      sh[5] = (uint8_t)((payload >> 16) & 0xFF);
+      sh[6] = (uint8_t)((payload >> 24) & 0xFF);
+      sh[7] = zxch_hash8(sh);
+      memcpy(sh + 8, s->seek_sizes.data(), 4 * n);
+    }
+    size_t fb = s->pend.size();
+    s->pend.resize(fb + 12);
+    memcpy(s->pend.data() + fb, &s->total_in, 8);
+    uint32_t gh = s->checksum ? s->ghash : 0;
+    memcpy(s->pend.data() + fb + 8, &gh, 4);
+  }
+  return (int64_t)ps_drain(s->pend, s->pend_pos, dst, cap);
+}
+
+int zxch_cstream_finished(void *h) {
+  ZxchCStream *s = (ZxchCStream *)h;
+  return s->ended && s->pend.empty() && !s->err;
+}
+
+uint64_t zxch_cstream_in_size(void *h) {
+  return ((ZxchCStream *)h)->bs;
+}
+
+uint64_t zxch_cstream_out_size(void *h) {
+  ZxchCStream *s = (ZxchCStream *)h;
+  return 8 + s->bs + s->bs / 4 + 4096 + 4;
+}
+
+void zxch_cstream_free(void *h) { delete (ZxchCStream *)h; }
+
+}  // extern "C"
+
+// -- decompressor -----------------------------------------------------------
+
+namespace {
+
+struct ZxchDStream {
+  int verify = 0;
+  std::vector<uint8_t> buf;    // undigested input
+  std::vector<uint8_t> out;    // decoded bytes awaiting drain
+  uint64_t out_pos = 0;
+  int state = 0;               // 0 hdr, 1 block-hdr, 2 payload, 3 after-eof, 4 done
+  uint64_t bs = 0;
+  int has_ck = 0;
+  int btype = 0;
+  uint64_t comp = 0;
+  uint64_t produced = 0;
+  uint32_t ghash = 0;
+  int err = 0;
+};
+
+// one state transition if enough input; 1 = progressed, 0 = need bytes,
+// <0 = error
+int ds_step(ZxchDStream *s) {
+  std::vector<uint8_t> &b = s->buf;
+  if (s->state == 0) {
+    if (b.size() < 16) return 0;
+    uint64_t bs;
+    int ck;
+    uint32_t did;
+    int rc = zxch_frame_info(b.data(), 16 + 12, &bs, &ck, &did);
+    // frame_info wants header+footer present; validate the header alone
+    if (rc == -3) {
+      uint8_t tmp[16];
+      memcpy(tmp, b.data(), 16);
+      uint32_t magic;
+      memcpy(&magic, tmp, 4);
+      if (magic != 0x9CB02EF5u) return -4;
+      if (tmp[4] != 7) return -5;
+      uint8_t code = tmp[5];
+      uint16_t stored;
+      memcpy(&stored, tmp + 14, 2);
+      tmp[14] = tmp[15] = 0;
+      if (stored != zxch_hash16(tmp) || (tmp[6] & 0x0F) != 0) return -6;
+      if (code < 12 || code > 21) return -14;
+      bs = 1ull << code;
+      ck = (tmp[6] & 0x80) != 0;
+      did = 0;
+      if (tmp[6] & 0x40) memcpy(&did, tmp + 7, 4);
+    } else if (rc) {
+      return rc;
+    }
+    if (did != 0) return -15;  // DICT_REQUIRED: push path has no dicts
+    s->bs = bs;
+    s->has_ck = ck;
+    b.erase(b.begin(), b.begin() + 16);
+    s->state = 1;
+    return 1;
+  }
+  if (s->state == 1) {
+    if (b.size() < 8) return 0;
+    if (zxch_hash8(b.data()) != b[7]) return -6;
+    s->btype = b[0];
+    uint32_t csz;
+    memcpy(&csz, b.data() + 3, 4);
+    s->comp = csz;
+    b.erase(b.begin(), b.begin() + 8);
+    if (s->btype == 0xFF) {            // EOF
+      if (s->comp != 0) return -6;
+      s->state = 3;
+      return 1;
+    }
+    if (s->btype > 2) return -13;      // data blocks: RAW/GLO/GHI
+    if (s->comp > 8 + s->bs + s->bs / 4 + 4096 + 4) return -8;
+    s->state = 2;
+    return 1;
+  }
+  if (s->state == 2) {
+    uint64_t tail = s->has_ck ? 4 : 0;
+    uint64_t need = s->comp + tail;
+    if (b.size() < need) return 0;
+    uint32_t stored = 0;
+    if (tail) {
+      memcpy(&stored, b.data() + s->comp, 4);
+      if (s->verify) {
+        if (zxch_rapidhash32(b.data(), (size_t)s->comp, 0) != stored)
+          return -7;  // BAD_CHECKSUM
+        s->ghash = ((s->ghash << 1) | (s->ghash >> 31)) ^ stored;
+      }
+    }
+    size_t base = s->out.size();
+    s->out.resize(base + s->bs + 64);
+    int64_t n = zxch_decode_block(s->btype, b.data(), s->comp,
+                                  s->out.data() + base, s->bs, nullptr, 0,
+                                  nullptr);
+    if (n < 0) return (int)n;
+    s->out.resize(base + (uint64_t)n);
+    s->produced += (uint64_t)n;
+    b.erase(b.begin(), b.begin() + need);
+    s->state = 1;
+    return 1;
+  }
+  if (s->state == 3) {
+    if (b.size() >= 8 && zxch_hash8(b.data()) == b[7] && b[0] == 0xFE) {
+      uint32_t csz;                     // optional SEK block: skip it
+      memcpy(&csz, b.data() + 3, 4);
+      if (b.size() < 8 + (uint64_t)csz) return 0;
+      b.erase(b.begin(), b.begin() + 8 + csz);
+      return 1;
+    }
+    if (b.size() < 12) return 0;
+    if (b.size() != 12) {
+      if (b.size() < 8) return 0;
+      return -8;                        // unexpected bytes after EOF
+    }
+    uint64_t size;
+    uint32_t gh;
+    memcpy(&size, b.data(), 8);
+    memcpy(&gh, b.data() + 8, 4);
+    if (size != s->produced) return -8;
+    if (s->verify && s->has_ck && gh != s->ghash) return -7;
+    b.clear();
+    s->state = 4;
+    return 1;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void *zxch_dstream_new(int verify) {
+  ZxchDStream *s = new ZxchDStream();
+  s->verify = verify ? 1 : 0;
+  return s;
+}
+
+// Push up to n bytes, drain up to cap decoded bytes. Returns produced
+// bytes or a negative ZXC error (sticky). *consumed gets input taken
+// (all of it, or none after an error / past the footer).
+int64_t zxch_dstream_decompress(void *h, const uint8_t *src, uint64_t n,
+                                uint8_t *dst, uint64_t cap,
+                                uint64_t *consumed) {
+  ZxchDStream *s = (ZxchDStream *)h;
+  if (consumed) *consumed = 0;
+  if (s->err) return s->err;
+  if (s->state == 4 && n) { s->err = -8; return s->err; }
+  if (n) s->buf.insert(s->buf.end(), src, src + n);
+  if (consumed) *consumed = n;
+  int rc;
+  while (s->state != 4 && (rc = ds_step(s)) != 0) {
+    if (rc < 0) { s->err = rc; return rc; }
+  }
+  return (int64_t)ps_drain(s->out, s->out_pos, dst, cap);
+}
+
+// 1 when the footer was consumed and every decoded byte was drained.
+int zxch_dstream_finished(void *h) {
+  ZxchDStream *s = (ZxchDStream *)h;
+  return s->state == 4 && s->out.empty() && !s->err;
+}
+
+uint64_t zxch_dstream_out_size(void *h) {
+  ZxchDStream *s = (ZxchDStream *)h;
+  return (s->bs ? s->bs : 512 * 1024) + 64;
+}
+
+void zxch_dstream_free(void *h) { delete (ZxchDStream *)h; }
+
+}  // extern "C"
