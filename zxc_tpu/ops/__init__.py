@@ -7,4 +7,5 @@ from .encode import (compress_device, find_matches_device,  # noqa: F401
                      find_matches_device_lcp, parse_compact_walk)
 from . import pallas_encode  # noqa: F401
 from . import device_pipeline  # noqa: F401
+from . import pivco_device  # noqa: F401
 from .device_pipeline import decompress_e2e  # noqa: F401
