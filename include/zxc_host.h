@@ -171,6 +171,23 @@ int zxch_dstream_finished(void *h);
 uint64_t zxch_dstream_out_size(void *h);
 void zxch_dstream_free(void *h);
 
+/* -- reusable contexts (zxc_create_cctx/dctx parity): sticky options,
+ * dictionary attached once (id + table unpack amortized). ------------ */
+void *zxch_cctx_new(void);
+int zxch_cctx_set(void *h, int level, uint64_t block_size, int checksum,
+                  int seekable);
+int zxch_cctx_attach_dict(void *h, const uint8_t *dict, uint64_t n,
+                          const uint8_t *packed128);
+int64_t zxch_cctx_compress(void *h, const uint8_t *src, uint64_t n,
+                           uint8_t *dst, uint64_t cap);
+void zxch_cctx_free(void *h);
+void *zxch_dctx_new(int verify);
+int zxch_dctx_attach_dict(void *h, const uint8_t *dict, uint64_t n,
+                          const uint8_t *packed128);
+int64_t zxch_dctx_decompress(void *h, const uint8_t *src, uint64_t n,
+                             uint8_t *dst, uint64_t cap);
+void zxch_dctx_free(void *h);
+
 #ifdef __cplusplus
 }
 #endif

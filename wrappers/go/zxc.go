@@ -363,3 +363,96 @@ func (s *DStream) Finished() bool { return C.zxch_dstream_finished(s.h) != 0 }
 
 // Close frees the native stream state.
 func (s *DStream) Close() { C.zxch_dstream_free(s.h); s.h = nil }
+
+// Cctx is a reusable compression context: sticky options plus a
+// dictionary attached once (zxc_create_cctx parity).
+type Cctx struct{ h unsafe.Pointer }
+
+// NewCctx creates a context with sticky options.
+func NewCctx(o CompressOptions) (*Cctx, error) {
+	h := C.zxch_cctx_new()
+	if o.Level == 0 {
+		o.Level = 3
+	}
+	rc := int64(C.zxch_cctx_set(h, C.int(o.Level), C.uint64_t(o.BlockSize),
+		boolInt(o.Checksum), boolInt(o.Seekable)))
+	if rc < 0 {
+		C.zxch_cctx_free(h)
+		return nil, Error(rc)
+	}
+	return &Cctx{h}, nil
+}
+
+// AttachDict copies the dictionary into the context (packed128 is the
+// .zxd 128-byte shared table, or nil for content-only).
+func (c *Cctx) AttachDict(dict, packed128 []byte) error {
+	var tp *C.uint8_t
+	if packed128 != nil {
+		tp = ptr(packed128)
+	}
+	rc := int64(C.zxch_cctx_attach_dict(c.h, ptr(dict),
+		C.uint64_t(len(dict)), tp))
+	if rc < 0 {
+		return Error(rc)
+	}
+	return nil
+}
+
+// Compress encodes one frame under the context's sticky options.
+func (c *Cctx) Compress(data []byte) ([]byte, error) {
+	cap := int64(C.zxch_compress_bound(C.uint64_t(len(data)), 0))
+	if cap < 0 {
+		return nil, Error(cap)
+	}
+	dst := make([]byte, cap)
+	w := int64(C.zxch_cctx_compress(c.h, ptr(data), C.uint64_t(len(data)),
+		ptr(dst), C.uint64_t(cap)))
+	if w < 0 {
+		return nil, Error(w)
+	}
+	return dst[:w], nil
+}
+
+// Close frees the native context.
+func (c *Cctx) Close() { C.zxch_cctx_free(c.h); c.h = nil }
+
+// Dctx is a reusable decompression context (zxc_create_dctx parity).
+type Dctx struct{ h unsafe.Pointer }
+
+// NewDctx creates a decode context; verify enables checksum checks.
+func NewDctx(verify bool) *Dctx {
+	return &Dctx{C.zxch_dctx_new(boolInt(verify))}
+}
+
+// AttachDict copies the dictionary into the context.
+func (d *Dctx) AttachDict(dict, packed128 []byte) error {
+	var tp *C.uint8_t
+	if packed128 != nil {
+		tp = ptr(packed128)
+	}
+	rc := int64(C.zxch_dctx_attach_dict(d.h, ptr(dict),
+		C.uint64_t(len(dict)), tp))
+	if rc < 0 {
+		return Error(rc)
+	}
+	return nil
+}
+
+// Decompress decodes one frame under the context's sticky options.
+func (d *Dctx) Decompress(archive []byte) ([]byte, error) {
+	bound := int64(C.zxch_simple_decompress_bound(ptr(archive),
+		C.uint64_t(len(archive))))
+	if bound < 0 {
+		return nil, Error(bound)
+	}
+	dst := make([]byte, bound+1)
+	w := int64(C.zxch_dctx_decompress(d.h, ptr(archive),
+		C.uint64_t(len(archive)), ptr(dst), C.uint64_t(bound)))
+	if w < 0 {
+		return nil, Error(w)
+	}
+	return dst[:w], nil
+}
+
+// Close frees the native context.
+func (d *Dctx) Close() { C.zxch_dctx_free(d.h); d.h = nil }

@@ -6,6 +6,43 @@
 #![allow(non_camel_case_types)]
 
 extern "C" {
+    pub fn zxch_cctx_new() -> *mut core::ffi::c_void;
+    pub fn zxch_cctx_set(
+        h: *mut core::ffi::c_void,
+        level: i32,
+        block_size: u64,
+        checksum: i32,
+        seekable: i32,
+    ) -> i32;
+    pub fn zxch_cctx_attach_dict(
+        h: *mut core::ffi::c_void,
+        dict: *const u8,
+        n: u64,
+        packed128: *const u8,
+    ) -> i32;
+    pub fn zxch_cctx_compress(
+        h: *mut core::ffi::c_void,
+        src: *const u8,
+        n: u64,
+        dst: *mut u8,
+        cap: u64,
+    ) -> i64;
+    pub fn zxch_cctx_free(h: *mut core::ffi::c_void);
+    pub fn zxch_dctx_new(verify: i32) -> *mut core::ffi::c_void;
+    pub fn zxch_dctx_attach_dict(
+        h: *mut core::ffi::c_void,
+        dict: *const u8,
+        n: u64,
+        packed128: *const u8,
+    ) -> i32;
+    pub fn zxch_dctx_decompress(
+        h: *mut core::ffi::c_void,
+        src: *const u8,
+        n: u64,
+        dst: *mut u8,
+        cap: u64,
+    ) -> i64;
+    pub fn zxch_dctx_free(h: *mut core::ffi::c_void);
     pub fn zxch_cstream_new(
         level: i32,
         block_size: u64,

@@ -389,6 +389,94 @@ impl Drop for DStream {
     fn drop(&mut self) { unsafe { sys::zxch_dstream_free(self.0) } }
 }
 
+
+/// Reusable compression context: sticky options + dictionary attached
+/// once (`zxc_create_cctx` parity — the id/table work amortizes over
+/// many frames).
+pub struct Cctx(*mut core::ffi::c_void);
+
+impl Cctx {
+    pub fn new(opts: &CompressOptions) -> Result<Self, Error> {
+        let h = unsafe { sys::zxch_cctx_new() };
+        let rc = unsafe {
+            sys::zxch_cctx_set(h, opts.level, opts.block_size,
+                               opts.checksum as i32, opts.seekable as i32)
+        };
+        if rc < 0 {
+            unsafe { sys::zxch_cctx_free(h) };
+            return Err(Error(rc as i64));
+        }
+        Ok(Cctx(h))
+    }
+
+    /// Attach a dictionary (`packed128` = the .zxd 128-byte table).
+    pub fn attach_dict(&mut self, dict: &[u8], packed128: Option<&[u8; 128]>)
+        -> Result<(), Error> {
+        let rc = unsafe {
+            sys::zxch_cctx_attach_dict(
+                self.0, dict.as_ptr(), dict.len() as u64,
+                packed128.map_or(core::ptr::null(), |t| t.as_ptr()))
+        };
+        if rc < 0 { Err(Error(rc as i64)) } else { Ok(()) }
+    }
+
+    pub fn compress(&mut self, data: &[u8]) -> Result<Vec<u8>, Error> {
+        let cap = check(unsafe {
+            sys::zxch_compress_bound(data.len() as u64, 0)
+        })? as usize;
+        let mut dst = vec![0u8; cap];
+        let w = check(unsafe {
+            sys::zxch_cctx_compress(self.0, data.as_ptr(),
+                                    data.len() as u64, dst.as_mut_ptr(),
+                                    cap as u64)
+        })? as usize;
+        dst.truncate(w);
+        Ok(dst)
+    }
+}
+
+impl Drop for Cctx {
+    fn drop(&mut self) { unsafe { sys::zxch_cctx_free(self.0) } }
+}
+
+/// Reusable decompression context (`zxc_create_dctx` parity).
+pub struct Dctx(*mut core::ffi::c_void);
+
+impl Dctx {
+    pub fn new(verify: bool) -> Self {
+        Dctx(unsafe { sys::zxch_dctx_new(verify as i32) })
+    }
+
+    pub fn attach_dict(&mut self, dict: &[u8], packed128: Option<&[u8; 128]>)
+        -> Result<(), Error> {
+        let rc = unsafe {
+            sys::zxch_dctx_attach_dict(
+                self.0, dict.as_ptr(), dict.len() as u64,
+                packed128.map_or(core::ptr::null(), |t| t.as_ptr()))
+        };
+        if rc < 0 { Err(Error(rc as i64)) } else { Ok(()) }
+    }
+
+    pub fn decompress(&mut self, archive: &[u8]) -> Result<Vec<u8>, Error> {
+        let cap = check(unsafe {
+            sys::zxch_simple_decompress_bound(archive.as_ptr(),
+                                              archive.len() as u64)
+        })? as usize;
+        let mut dst = vec![0u8; cap];
+        let w = check(unsafe {
+            sys::zxch_dctx_decompress(self.0, archive.as_ptr(),
+                                      archive.len() as u64,
+                                      dst.as_mut_ptr(), cap as u64)
+        })? as usize;
+        dst.truncate(w);
+        Ok(dst)
+    }
+}
+
+impl Drop for Dctx {
+    fn drop(&mut self) { unsafe { sys::zxch_dctx_free(self.0) } }
+}
+
 #[cfg(test)]
 mod tests {
     use super::*;

@@ -4793,3 +4793,137 @@ uint64_t zxch_dstream_out_size(void *h) {
 void zxch_dstream_free(void *h) { delete (ZxchDStream *)h; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Reusable-context C ABI (zxc_create_cctx/dctx + sticky options parity,
+// zxc_dispatch.c:1257-1560): a context holds sticky encode/decode
+// options and an attached dictionary — the dict id and the unpacked
+// shared-table lengths are computed ONCE at attach (the reference's
+// tree-at-attach, zxc_common.c:500), so per-frame calls skip that work.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ZxchCctx {
+  int level = 3;
+  uint64_t bs = 512 * 1024;
+  int checksum = 0;
+  int seekable = 0;
+  std::vector<uint8_t> dict;
+  std::vector<uint8_t> cl256;      // unpacked code lengths (256) or empty
+  uint32_t dict_id = 0;
+};
+
+struct ZxchDctx {
+  int verify = 0;
+  std::vector<uint8_t> dict;
+  std::vector<uint8_t> cl256;
+};
+
+int ctx_attach(std::vector<uint8_t> &dict, std::vector<uint8_t> &cl256,
+               const uint8_t *d, uint64_t n, const uint8_t *packed128) {
+  if (n > (1ull << 20)) return -17;
+  dict.assign(d, d + n);
+  cl256.clear();
+  if (packed128) {
+    cl256.resize(256);
+    for (int i = 0; i < 128; i++) {
+      cl256[2 * i] = (uint8_t)(packed128[i] & 0x0F);
+      cl256[2 * i + 1] = (uint8_t)(packed128[i] >> 4);
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void *zxch_cctx_new(void) { return new ZxchCctx(); }
+
+// Sticky options; 0 on success, negative ZXC error on bad parameters.
+int zxch_cctx_set(void *h, int level, uint64_t block_size, int checksum,
+                  int seekable) {
+  ZxchCctx *c = (ZxchCctx *)h;
+  if (level < 1) level = 1;
+  if (level > 7) level = 7;
+  if (block_size == 0) block_size = 512 * 1024;
+  if (block_size & (block_size - 1)) return -14;
+  int code = 0;
+  while ((1ull << code) < block_size) code++;
+  if (code < 12 || code > 21) return -14;
+  c->level = level;
+  c->bs = block_size;
+  c->checksum = checksum ? 1 : 0;
+  c->seekable = seekable ? 1 : 0;
+  return 0;
+}
+
+// Attach (copy) a dictionary; packed128 = the .zxd 128-byte shared
+// table (NULL for content-only). The id is computed here, once.
+int zxch_cctx_attach_dict(void *h, const uint8_t *dict, uint64_t n,
+                          const uint8_t *packed128) {
+  ZxchCctx *c = (ZxchCctx *)h;
+  if (!dict || !n) {
+    c->dict.clear();
+    c->cl256.clear();
+    c->dict_id = 0;
+    return 0;
+  }
+  int rc = ctx_attach(c->dict, c->cl256, dict, n, packed128);
+  if (rc) return rc;
+  c->dict_id = zxch_dict_id(dict, n, packed128);
+  return 0;
+}
+
+// One-shot frame encode under the context's sticky options.
+int64_t zxch_cctx_compress(void *h, const uint8_t *src, uint64_t n,
+                           uint8_t *dst, uint64_t cap) {
+  ZxchCctx *c = (ZxchCctx *)h;
+  static const PsPar tab[7] = {
+      {2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
+      {5, 1, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
+      {64, 1, 256, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
+      {192, 1, 0, 1, 0, 1, 5}};
+  PsPar p = tab[c->level - 1];
+  int code = 0;
+  while ((1ull << code) < c->bs) code++;
+  return zxch_compress_frame(
+      src, n, c->level, p.probes, p.lazy, p.suff, p.sb, p.ss, p.cover,
+      p.min_emit, c->bs, code, c->checksum, c->seekable,
+      c->dict.empty() ? nullptr : c->dict.data(), c->dict.size(),
+      c->cl256.empty() ? nullptr : c->cl256.data(), c->dict_id, dst, cap);
+}
+
+void zxch_cctx_free(void *h) { delete (ZxchCctx *)h; }
+
+void *zxch_dctx_new(int verify) {
+  ZxchDctx *d = new ZxchDctx();
+  d->verify = verify ? 1 : 0;
+  return d;
+}
+
+int zxch_dctx_attach_dict(void *h, const uint8_t *dict, uint64_t n,
+                          const uint8_t *packed128) {
+  ZxchDctx *d = (ZxchDctx *)h;
+  if (!dict || !n) {
+    d->dict.clear();
+    d->cl256.clear();
+    return 0;
+  }
+  return ctx_attach(d->dict, d->cl256, dict, n, packed128);
+}
+
+// One-shot frame decode under the context's sticky options.
+int64_t zxch_dctx_decompress(void *h, const uint8_t *src, uint64_t n,
+                             uint8_t *dst, uint64_t cap) {
+  ZxchDctx *d = (ZxchDctx *)h;
+  return zxch_simple_decompress(
+      src, n, dst, cap, d->dict.empty() ? nullptr : d->dict.data(),
+      d->dict.size(), d->cl256.empty() ? nullptr : d->cl256.data(),
+      d->verify);
+}
+
+void zxch_dctx_free(void *h) { delete (ZxchDctx *)h; }
+
+}  // extern "C"
