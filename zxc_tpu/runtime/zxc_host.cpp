@@ -1805,32 +1805,45 @@ static int64_t ghi_rle_encode(const uint8_t *lit, uint64_t n, uint8_t *out,
 // emitter for levels < 6 (RAW/RLE literal candidates only; Huffman
 // pricing starts at level 6 and stays on the Python path).
 // prem_rle = 8 below level 6. Returns payload size or -10.
-// 4-way-interleaved byte histogram (same treatment as zxch_pivco_core's
-// pass-1 counters): repeated bytes serialize a single-table histogram on
-// the store-to-load forwarding of freq[b], four partial tables break the
-// dependence. ~3x on text-like data; exact counts.
-// BOUND: the uint32 partial counters rely on n < 4 * 2^32. The format
+// Interleaved byte histogram: repeated bytes serialize a single-table
+// histogram on the store-to-load forwarding of freq[b]; eight partial
+// tables break the dependence, and two u64 loads per iteration replace
+// sixteen byte loads (~1.3x over the 4-way byte-load form, ~4x over a
+// single table on text-like data). Exact counts.
+// BOUND: the uint32 partial counters rely on n < 8 * 2^32. The format
 // caps blocks at 2 MiB (header codes 12..21, constants.py BLOCK_SIZES),
 // so per-lane counts stay far below overflow; a future format bump past
-// 16 GiB per block would need uint64 lanes again.
+// 32 GiB per block would need uint64 lanes again.
 static void zxch_hist4(const uint8_t *data, uint64_t n, uint64_t freq[256]) {
-  static_assert(2 * 1024 * 1024 / 4 < 0xFFFFFFFFull,
-                "hist4 u32 lanes sized for the 2 MiB max block");
-  static thread_local uint32_t f4[4][256];
-  if (n >= (4ull << 32)) {  // defensive: never reachable through the format
+  static_assert(2 * 1024 * 1024 / 8 < 0xFFFFFFFFull,
+                "hist u32 lanes sized for the 2 MiB max block");
+  static thread_local uint32_t f8[8][256];
+  if (n >= (8ull << 32)) {  // defensive: never reachable through the format
     memset(freq, 0, 256 * sizeof(uint64_t));
     for (uint64_t i = 0; i < n; i++) freq[data[i]]++;
     return;
   }
-  memset(f4, 0, sizeof(f4));
+  memset(f8, 0, sizeof(f8));
   uint64_t i = 0;
-  for (; i + 4 <= n; i += 4) {
-    f4[0][data[i]]++; f4[1][data[i + 1]]++;
-    f4[2][data[i + 2]]++; f4[3][data[i + 3]]++;
+  for (; i + 16 <= n; i += 16) {
+    uint64_t a, b;
+    memcpy(&a, data + i, 8);
+    memcpy(&b, data + i + 8, 8);
+    f8[0][a & 0xFF]++;         f8[1][(a >> 8) & 0xFF]++;
+    f8[2][(a >> 16) & 0xFF]++; f8[3][(a >> 24) & 0xFF]++;
+    f8[4][(a >> 32) & 0xFF]++; f8[5][(a >> 40) & 0xFF]++;
+    f8[6][(a >> 48) & 0xFF]++; f8[7][a >> 56]++;
+    f8[0][b & 0xFF]++;         f8[1][(b >> 8) & 0xFF]++;
+    f8[2][(b >> 16) & 0xFF]++; f8[3][(b >> 24) & 0xFF]++;
+    f8[4][(b >> 32) & 0xFF]++; f8[5][(b >> 40) & 0xFF]++;
+    f8[6][(b >> 48) & 0xFF]++; f8[7][b >> 56]++;
   }
-  for (; i < n; i++) f4[0][data[i]]++;
-  for (int s = 0; s < 256; s++)
-    freq[s] = (uint64_t)f4[0][s] + f4[1][s] + f4[2][s] + f4[3][s];
+  for (; i < n; i++) f8[0][data[i]]++;
+  for (int s = 0; s < 256; s++) {
+    uint64_t t = 0;
+    for (int k = 0; k < 8; k++) t += f8[k][s];
+    freq[s] = t;
+  }
 }
 
 // Exported RLE literal emitter (Python fast path for the L6/L7 GLO
@@ -1848,6 +1861,13 @@ extern "C" int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
                                      uint64_t cap);
 extern "C" int64_t zxch_pivco_size(const uint8_t *data, uint64_t n,
                                    const uint8_t *code_len);
+extern "C" int64_t zxch_pivco_encode_f(const uint8_t *data, uint64_t n,
+                                       const uint8_t *code_len,
+                                       const uint64_t *freq, uint8_t *out,
+                                       uint64_t cap);
+extern "C" int64_t zxch_pivco_size_f(const uint8_t *data, uint64_t n,
+                                     const uint8_t *code_len,
+                                     const uint64_t *freq);
 
 // GLO payload emission from a finished parse. Shared by the fast-level
 // encoder (find_parse feeds it; premiums 8/8, 8-bit lit trees, RAW
@@ -1933,7 +1953,7 @@ static int64_t glo_emit(const uint8_t *data, uint64_t start, uint64_t P,
         int64_t bound = 128 + (int64_t)(bits >> 3)
                         + (int64_t)((lit_total * (uint64_t)prem_huf) >> 8);
         if (bound < best_j) {
-          int64_t hn = zxch_pivco_size(lit_buf, lit_total, inline_cl);
+          int64_t hn = zxch_pivco_size_f(lit_buf, lit_total, inline_cl, freq);
           int64_t j = hn >= 0
               ? 128 + hn + (int64_t)((lit_total * (uint64_t)prem_huf) >> 8)
               : best_j;
@@ -1950,7 +1970,7 @@ static int64_t glo_emit(const uint8_t *data, uint64_t start, uint64_t P,
       for (int s2 = 0; s2 < 256; s2++)
         if (freq[s2] && !dict_cl[s2]) { all = 0; break; }
       if (all) {
-        int64_t hn = zxch_pivco_size(lit_buf, lit_total, dict_cl);
+        int64_t hn = zxch_pivco_size_f(lit_buf, lit_total, dict_cl, freq);
         int64_t j = hn >= 0
             ? hn + (int64_t)((lit_total * (uint64_t)prem_huf) >> 8) : best_j;
         if (hn >= 0 && j < best_j) {
@@ -1962,8 +1982,9 @@ static int64_t glo_emit(const uint8_t *data, uint64_t start, uint64_t P,
     }
     if (enc_lit == 2) {
       huf_buf = new uint8_t[2 * lit_total + 4096 + 128];
-      int64_t hn = zxch_pivco_encode(lit_buf, lit_total, inline_cl,
-                                     huf_buf + 128, 2 * lit_total + 4096);
+      int64_t hn = zxch_pivco_encode_f(lit_buf, lit_total, inline_cl,
+                                       freq, huf_buf + 128,
+                                       2 * lit_total + 4096);
       if (hn < 0 || (uint64_t)(128 + hn) != lit_sec) {  // can't happen
         delete[] huf_buf; delete[] lit_buf; delete[] rle_buf;
         return -10;
@@ -1973,8 +1994,8 @@ static int64_t glo_emit(const uint8_t *data, uint64_t start, uint64_t P,
                                 (inline_cl[2 * b2 + 1] << 4));
     } else if (enc_lit == 3) {
       huf_buf = new uint8_t[2 * lit_total + 4096];
-      int64_t hn = zxch_pivco_encode(lit_buf, lit_total, dict_cl, huf_buf,
-                                     2 * lit_total + 4096);
+      int64_t hn = zxch_pivco_encode_f(lit_buf, lit_total, dict_cl, freq,
+                                       huf_buf, 2 * lit_total + 4096);
       if (hn < 0 || (uint64_t)hn != lit_sec) {  // can't happen
         delete[] huf_buf; delete[] lit_buf; delete[] rle_buf;
         return -10;
@@ -2002,14 +2023,14 @@ static int64_t glo_emit(const uint8_t *data, uint64_t start, uint64_t P,
     zxch_hist4(tok_tmp, (uint64_t)nseq, tfreq);
     uint8_t tcl[256];
     if (zxch_build_code_lengths(tfreq, tok_huf_cap, tcl) > 1) {
-      int64_t tn = zxch_pivco_size(tok_tmp, (uint64_t)nseq, tcl);
+      int64_t tn = zxch_pivco_size_f(tok_tmp, (uint64_t)nseq, tcl, tfreq);
       if (tn >= 0 && 128 + tn + (int64_t)(((uint64_t)nseq
                                            * (uint64_t)prem_huf) >> 8)
                          < nseq) {
         tokh_buf = new uint8_t[2 * (uint64_t)nseq + 4096 + 128];
-        int64_t hn = zxch_pivco_encode(tok_tmp, (uint64_t)nseq, tcl,
-                                       tokh_buf + 128,
-                                       2 * (uint64_t)nseq + 4096);
+        int64_t hn = zxch_pivco_encode_f(tok_tmp, (uint64_t)nseq, tcl,
+                                         tfreq, tokh_buf + 128,
+                                         2 * (uint64_t)nseq + 4096);
         if (hn == tn) {
           for (int b2 = 0; b2 < 128; b2++)
             tokh_buf[b2] = (uint8_t)((tcl[2 * b2] & 0x0F)
@@ -2277,9 +2298,14 @@ extern "C" {
 // emit=0: price only — returns the exact payload size without touching
 // `out` (the auction's candidates cost a histogram pass instead of a
 // full per-byte pack; only the winner pays pass 2).
+// freq_in (optional): the caller's precomputed histogram of data[0..n).
+// Every auction already histograms its section to build code lengths, so
+// passing it here removes a redundant full-data pass from pass 1 (price
+// becomes O(256); emit keeps only the unavoidable pack pass).
 static int64_t zxch_pivco_core(const uint8_t *data, uint64_t n,
                                const uint8_t *code_len, uint8_t *out,
-                               uint64_t cap, int emit) {
+                               uint64_t cap, int emit,
+                               const uint64_t *freq_in) {
   const int MAXLEN = 11;
   const int MAXNODES = 1024;
   static thread_local int16_t child[MAXNODES][2];
@@ -2404,17 +2430,14 @@ static int64_t zxch_pivco_core(const uint8_t *data, uint64_t n,
   static thread_local uint64_t nbits_node[MAXNODES];
   for (int i = 0; i < n_nodes; i++) nbits_node[i] = 0;
   {
-    // 4-way partial counters: avoids serial dependence on one counter
-    static thread_local uint32_t f4[4][256];
-    memset(f4, 0, sizeof(f4));
-    uint64_t i = 0;
-    for (; i + 4 <= n; i += 4) {
-      f4[0][data[i]]++; f4[1][data[i + 1]]++;
-      f4[2][data[i + 2]]++; f4[3][data[i + 3]]++;
+    uint64_t own_freq[256];
+    const uint64_t *fr_tab = freq_in;
+    if (!fr_tab) {
+      zxch_hist4(data, n, own_freq);
+      fr_tab = own_freq;
     }
-    for (; i < n; i++) f4[0][data[i]]++;
     for (int sy = 0; sy < 256; sy++) {
-      uint64_t fr = (uint64_t)f4[0][sy] + f4[1][sy] + f4[2][sy] + f4[3][sy];
+      uint64_t fr = fr_tab[sy];
       if (!fr) continue;
       for (int k = 0; k < it_cnt[sy]; k++)
         nbits_node[it_node[sy][k]] += fr * it_nbits[sy][k];
@@ -2478,13 +2501,26 @@ static int64_t zxch_pivco_core(const uint8_t *data, uint64_t n,
 int64_t zxch_pivco_encode(const uint8_t *data, uint64_t n,
                           const uint8_t *code_len, uint8_t *out,
                           uint64_t cap) {
-  return zxch_pivco_core(data, n, code_len, out, cap, 1);
+  return zxch_pivco_core(data, n, code_len, out, cap, 1, nullptr);
 }
 
 // Exact encoded size (sum of per-node ceil-byte runs) without emitting.
 int64_t zxch_pivco_size(const uint8_t *data, uint64_t n,
                         const uint8_t *code_len) {
-  return zxch_pivco_core(data, n, code_len, nullptr, 0, 0);
+  return zxch_pivco_core(data, n, code_len, nullptr, 0, 0, nullptr);
+}
+
+// freq-aware forms: callers that already histogrammed the section (every
+// auction does, to build the code lengths) skip the redundant data pass.
+int64_t zxch_pivco_encode_f(const uint8_t *data, uint64_t n,
+                            const uint8_t *code_len, const uint64_t *freq,
+                            uint8_t *out, uint64_t cap) {
+  return zxch_pivco_core(data, n, code_len, out, cap, 1, freq);
+}
+
+int64_t zxch_pivco_size_f(const uint8_t *data, uint64_t n,
+                          const uint8_t *code_len, const uint64_t *freq) {
+  return zxch_pivco_core(data, n, code_len, nullptr, 0, 0, freq);
 }
 
 }  // extern "C"
@@ -2610,14 +2646,15 @@ static int64_t zxch_encode_hufflit(const uint8_t *data, uint64_t P,
   if (cap < FIXED + P + 64) return -1;
   // price exactly before paying the bit-packing pass: a losing candidate
   // costs only the histogram walk
-  int64_t paysz = zxch_pivco_size(data, P, cl);
+  int64_t paysz = zxch_pivco_size_f(data, P, cl, freq);
   if (paysz < 0 || FIXED + (uint64_t)paysz >= budget) return -1;
   uint8_t *w = out;
   // lengths header: two 4-bit lengths per byte, low nibble first
   uint8_t *lit_w = w + 16 + 32;
   for (int s = 0; s < 256; s += 2)
     lit_w[s / 2] = (uint8_t)((cl[s] & 0x0F) | (cl[s + 1] << 4));
-  int64_t esz = zxch_pivco_encode(data, P, cl, lit_w + 128, cap - FIXED);
+  int64_t esz = zxch_pivco_encode_f(data, P, cl, freq, lit_w + 128,
+                                    cap - FIXED);
   if (esz != paysz) return -1;  // can't happen
   uint64_t lit_sec = 128 + (uint64_t)paysz;
   uint64_t need = 16 + 32 + lit_sec;
