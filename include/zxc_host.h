@@ -141,6 +141,24 @@ int64_t zxch_simple_compress_dict(const uint8_t *data, uint64_t n, int level,
                                   int seekable, const uint8_t *dict,
                                   uint64_t n_dict, const uint8_t *dict_cl256,
                                   uint8_t *dst, uint64_t dst_cap);
+/* -- dictionary trainer (zxc_dict_train parity) -------------------- */
+/* Samples arrive flattened: `flat` = all sample bytes back to back,
+ * sizes[i] their lengths. Content selection only; returns the content
+ * length (<= min(target_size, 65535)) or a negative error.           */
+int64_t zxch_train_dict(const uint8_t *flat, const uint64_t *sizes,
+                        int n_samples, uint64_t target_size,
+                        uint8_t *out, uint64_t cap);
+/* Shared literal table trained on the post-LZ literal histogram of the
+ * samples (level-6 parse, dictionary attached); fills out_table[128]. */
+int64_t zxch_train_dict_huf(const uint8_t *flat, const uint64_t *sizes,
+                            int n_samples, const uint8_t *content,
+                            uint64_t content_len, uint8_t *out_table);
+/* One-shot trainer emitting a complete .zxd blob (header + content +
+ * table). cap of 16+65536+128 always suffices; returns the blob size. */
+int64_t zxch_dict_train(const uint8_t *flat, const uint64_t *sizes,
+                        int n_samples, uint64_t target_size,
+                        uint8_t *out, uint64_t cap);
+
 /* O(1) random-access range decode from a seekable archive.           */
 int64_t zxch_seekable_range(const uint8_t *src, uint64_t n, uint64_t offset,
                             uint64_t length, uint8_t *dst, uint64_t dst_cap,

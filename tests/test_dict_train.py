@@ -98,3 +98,60 @@ def test_trainer_rejects_empty():
         dict_train.train_dict([], 1024)
     with pytest.raises(ZxcError):
         dict_train.train_dict([b"abc"], 1024)  # all below KGRAM
+
+
+# -- native trainer (C ABI zxch_dict_train; reference zxc_dict_train) --
+
+def test_native_trainer_matches_python_selection():
+    """The native trainer picks the same segment multiset as the NumPy
+    trainer (order may differ: argsort tie order is unpinned) and an
+    identical shared table."""
+    from zxc_tpu import runtime
+    if runtime.lib() is None:
+        pytest.skip("native library unavailable")
+    samples = _samples(20, seed=7)
+    blob = runtime.dict_train(samples, 4096)
+    d = Dictionary.load(blob)
+    py_content = dict_train.train_dict(samples, 4096)
+    py_table = dict_train.train_dict_huf(samples, py_content)
+    segs = lambda c: sorted(c[i:i + 64] for i in range(0, len(c), 64))
+    assert len(d.content) == len(py_content)
+    assert segs(d.content) == segs(py_content)
+    assert d.huf_lengths == py_table
+
+
+def test_native_trained_dict_reference_interop():
+    """A natively-trained dict compresses smaller and its archives decode
+    through the reference C library."""
+    from zxc_tpu import runtime
+    if runtime.lib() is None:
+        pytest.skip("native library unavailable")
+    samples = _samples(20, seed=3)
+    d = Dictionary.load(runtime.dict_train(samples, 4096))
+    data = _samples(4, seed=99)[0]
+    plain = frame.compress(data, EncodeOpts(level=3, block_size=4096))
+    ours = frame.compress(data, EncodeOpts(
+        level=3, block_size=4096,
+        dict_content=d.content, dict_huf=d.huf_lengths))
+    assert len(ours) < len(plain)
+    assert frame.decompress(ours, DecodeOpts(
+        dict_content=d.content, dict_huf=d.huf_lengths)) == data
+    L = ref_oracle.lib()
+    dst = ctypes.create_string_buffer(len(data) + 16)
+    opts = ref_oracle.DecompressOpts()
+    buf = ctypes.create_string_buffer(d.content, len(d.content))
+    opts.dict = ctypes.cast(buf, ctypes.c_void_p)
+    opts.dict_size = len(d.content)
+    huf = ctypes.create_string_buffer(d.huf_lengths, 128)
+    opts.dict_huf = ctypes.cast(huf, ctypes.c_void_p)
+    n = L.zxc_decompress(ours, len(ours), dst, len(data) + 16,
+                         ctypes.byref(opts))
+    assert n == len(data) and dst.raw[:n] == data
+
+
+def test_native_trainer_rejects_bad_input():
+    from zxc_tpu import runtime
+    if runtime.lib() is None:
+        pytest.skip("native library unavailable")
+    with pytest.raises(ZxcError):
+        runtime.dict_train([b"abc"], 1024)  # all below KGRAM

@@ -39,6 +39,9 @@ napi_status napi_get_value_int64(napi_env, napi_value, int64_t *);
 napi_status napi_get_value_bool(napi_env, napi_value, bool *);
 napi_status napi_get_boolean(napi_env, bool, napi_value *);
 napi_status napi_create_object(napi_env, napi_value *);
+napi_status napi_is_array(napi_env, napi_value, bool *);
+napi_status napi_get_array_length(napi_env, napi_value, uint32_t *);
+napi_status napi_get_element(napi_env, napi_value, uint32_t, napi_value *);
 napi_status napi_create_function(napi_env, const char *, size_t,
                                  napi_callback, void *, napi_value *);
 napi_status napi_set_named_property(napi_env, napi_value, const char *,

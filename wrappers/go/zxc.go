@@ -183,6 +183,40 @@ func (d *Dictionary) ID() uint32 {
 		C.uint64_t(len(d.Content)), huf))
 }
 
+// TrainDictionary trains a dictionary from sample documents (reference
+// zxc_dict_train): k-gram coverage selection plus a shared literal table
+// trained on the samples' post-LZ literal histogram.
+func TrainDictionary(samples [][]byte, targetSize int) (*Dictionary, error) {
+	if len(samples) == 0 {
+		return nil, Error(-12)
+	}
+	var flat []byte
+	sizes := make([]uint64, len(samples))
+	for i, s := range samples {
+		flat = append(flat, s...)
+		sizes[i] = uint64(len(s))
+	}
+	cap64 := uint64(16 + 65536 + 128)
+	blob := make([]byte, cap64)
+	n := int64(C.zxch_dict_train(ptr(flat),
+		(*C.uint64_t)(unsafe.Pointer(&sizes[0])), C.int(len(samples)),
+		C.uint64_t(targetSize), ptr(blob), C.uint64_t(cap64)))
+	if n < 0 {
+		return nil, Error(n)
+	}
+	// .zxd layout: 16-byte header (content size LE at 6..8), content,
+	// 128-byte nibble-packed shared table
+	csz := int(blob[6]) | int(blob[7])<<8
+	content := append([]byte(nil), blob[16:16+csz]...)
+	packed := blob[16+csz : n]
+	codeLen := make([]byte, 256)
+	for i := 0; i < 128; i++ {
+		codeLen[2*i] = packed[i] & 0x0F
+		codeLen[2*i+1] = packed[i] >> 4
+	}
+	return &Dictionary{Content: content, CodeLen: codeLen}, nil
+}
+
 // CompressDict encodes data against a shared dictionary; the dict id is
 // stamped into the header and DecompressDict must receive the same dict.
 func CompressDict(data []byte, d *Dictionary, opts *CompressOptions) ([]byte, error) {

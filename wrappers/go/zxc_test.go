@@ -79,3 +79,28 @@ func TestDictionaryRoundtrip(t *testing.T) {
 		t.Fatal("decode without dict must fail")
 	}
 }
+
+func TestTrainDictionary(t *testing.T) {
+	var samples [][]byte
+	for i := 0; i < 12; i++ {
+		samples = append(samples, bytes.Repeat(
+			[]byte("json rows with common keys and payload "), 20+i))
+	}
+	dict, err := TrainDictionary(samples, 4096)
+	if err != nil || len(dict.Content) == 0 || len(dict.CodeLen) != 256 {
+		t.Fatalf("train: %v (%d content)", err, len(dict.Content))
+	}
+	data := samples[0]
+	plain, _ := Compress(data, &CompressOptions{Level: 3, BlockSize: 4096})
+	arc, err := CompressDict(data, dict, &CompressOptions{Level: 3, BlockSize: 4096})
+	if err != nil || len(arc) >= len(plain) {
+		t.Fatalf("trained dict must improve ratio: %v (%d vs %d)", err, len(arc), len(plain))
+	}
+	out, err := DecompressDict(arc, dict, true)
+	if err != nil || !bytes.Equal(out, data) {
+		t.Fatalf("trained dict roundtrip: %v", err)
+	}
+	if _, err := TrainDictionary(nil, 1024); err == nil {
+		t.Fatal("empty samples must fail")
+	}
+}

@@ -40,6 +40,24 @@ function decompressDict(archive, dict, opts = {}) {
 }
 
 
+/** Train a dictionary from sample documents (reference zxc_dict_train).
+ * Returns {content, codeLen} usable with compressDict/decompressDict. */
+function trainDict(samples, targetSize = 16384) {
+  const blob = addon.trainDict(samples.map((s) => Buffer.from(s)),
+                               targetSize);
+  // .zxd layout: 16-byte header (content size LE at 6..8), content,
+  // 128-byte nibble-packed shared table
+  const csz = blob.readUInt16LE(6);
+  const content = blob.subarray(16, 16 + csz);
+  const packed = blob.subarray(16 + csz, 16 + csz + 128);
+  const codeLen = Buffer.alloc(256);
+  for (let i = 0; i < 128; i++) {
+    codeLen[2 * i] = packed[i] & 0x0f;
+    codeLen[2 * i + 1] = packed[i] >> 4;
+  }
+  return { content, codeLen };
+}
+
 /** Push streaming compressor (zxc_cstream parity). */
 class CStream {
   constructor(opts = {}) {
@@ -100,6 +118,7 @@ module.exports = {
   DStream,
   decompress,
   compressDict,
+  trainDict,
   decompressDict,
   getDecompressedSize: (a) => addon.getDecompressedSize(Buffer.from(a)),
   frameInfo: (a) => addon.frameInfo(Buffer.from(a)),

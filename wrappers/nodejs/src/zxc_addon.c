@@ -433,6 +433,54 @@ static napi_value DstreamFree(napi_env env, napi_callback_info info) {
   return NULL;
 }
 
+/* trainDict(samples: Buffer[], targetSize=16384) -> Buffer (.zxd blob)
+ * (reference zxc_dict_train; the JS facade unpacks content + table) */
+static napi_value TrainDict(napi_env env, napi_callback_info info) {
+  size_t argc = 2;
+  napi_value args[2];
+  napi_get_cb_info(env, info, &argc, args, NULL, NULL);
+  bool is_array = false;
+  napi_is_array(env, args[0], &is_array);
+  if (!is_array) return throw_code(env, -12);
+  uint32_t n_samples = 0;
+  napi_get_array_length(env, args[0], &n_samples);
+  if (n_samples == 0) return throw_code(env, -12);
+  uint64_t *sizes = (uint64_t *)malloc(n_samples * sizeof(uint64_t));
+  uint8_t **ptrs = (uint8_t **)malloc(n_samples * sizeof(uint8_t *));
+  if (!sizes || !ptrs) { free(sizes); free(ptrs); return throw_code(env, -1); }
+  uint64_t total = 0;
+  for (uint32_t i = 0; i < n_samples; i++) {
+    napi_value el;
+    napi_get_element(env, args[0], i, &el);
+    size_t len;
+    if (!get_buffer(env, el, &ptrs[i], &len)) { free(sizes); free(ptrs); return NULL; }
+    sizes[i] = len;
+    total += len;
+  }
+  uint8_t *flat = (uint8_t *)malloc(total ? total : 1);
+  if (!flat) { free(sizes); free(ptrs); return throw_code(env, -1); }
+  uint64_t off = 0;
+  for (uint32_t i = 0; i < n_samples; i++) {
+    memcpy(flat + off, ptrs[i], sizes[i]);
+    off += sizes[i];
+  }
+  int64_t target = argc > 1 ? get_int(env, args[1], 16384) : 16384;
+  uint64_t cap = 16 + 65536 + 128;
+  uint8_t *dst = (uint8_t *)malloc(cap);
+  int64_t w = dst ? zxch_dict_train(flat, sizes, (int)n_samples,
+                                    (uint64_t)target, dst, cap)
+                  : -1;
+  free(flat); free(sizes); free(ptrs);
+  if (w < 0) {
+    free(dst);
+    return throw_code(env, w);
+  }
+  napi_value out;
+  napi_create_buffer_copy(env, (size_t)w, dst, NULL, &out);
+  free(dst);
+  return out;
+}
+
 static napi_value Init(napi_env env, napi_value exports) {
   napi_value fn;
 #define EXPORT(name, f)                                    \
@@ -441,6 +489,7 @@ static napi_value Init(napi_env env, napi_value exports) {
   EXPORT("compress", Compress);
   EXPORT("decompress", Decompress);
   EXPORT("compressDict", CompressDict);
+  EXPORT("trainDict", TrainDict);
   EXPORT("decompressDict", DecompressDict);
   EXPORT("getDecompressedSize", GetDecompressedSize);
   EXPORT("frameInfo", FrameInfo);

@@ -40,3 +40,19 @@ assert(zxc.decompressDict(darc, dict).equals(small));
 assert.throws(() => zxc.decompress(darc));
 
 console.log('zxc-tpu node binding: all tests passed');
+
+// dictionary trainer (reference zxc_dict_train parity)
+{
+  const samples = [];
+  for (let i = 0; i < 12; i++) {
+    samples.push(Buffer.alloc(800 + 40 * i,
+                              'json rows with common keys and payload '));
+  }
+  const trained = zxc.trainDict(samples, 4096);
+  assert(trained.content.length > 0 && trained.codeLen.length === 256);
+  const doc = samples[0];
+  const plain = zxc.compress(doc, { level: 3, blockSize: 4096 });
+  const witness = zxc.compressDict(doc, trained, { level: 3, blockSize: 4096 });
+  assert(witness.length < plain.length, 'trained dict must improve ratio');
+  assert(zxc.decompressDict(witness, trained).equals(doc));
+}

@@ -99,6 +99,14 @@ extern "C" {
         verify: i32,
     ) -> i64;
     pub fn zxch_compress_bound(n: u64, block_size: u64) -> i64;
+    pub fn zxch_dict_train(
+        flat: *const u8,
+        sizes: *const u64,
+        n_samples: i32,
+        target_size: u64,
+        out: *mut u8,
+        cap: u64,
+    ) -> i64;
     pub fn zxch_dict_id(content: *const u8, n: u64, huf128: *const u8)
         -> u32;
     pub fn zxch_simple_compress_dict(

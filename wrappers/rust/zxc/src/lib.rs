@@ -127,6 +127,38 @@ impl Dictionary {
             )
         }
     }
+
+    /// Train a dictionary from sample documents (reference
+    /// `zxc_dict_train`): k-gram coverage selection + a shared literal
+    /// table trained on the samples' post-LZ literal histogram.
+    pub fn train(samples: &[&[u8]], target_size: usize) -> Result<Dictionary, Error> {
+        let flat: Vec<u8> = samples.concat();
+        let sizes: Vec<u64> = samples.iter().map(|s| s.len() as u64).collect();
+        let cap = 16 + 65536 + 128;
+        let mut blob = vec![0u8; cap];
+        let n = unsafe {
+            sys::zxch_dict_train(
+                flat.as_ptr(),
+                sizes.as_ptr(),
+                samples.len() as i32,
+                target_size as u64,
+                blob.as_mut_ptr(),
+                cap as u64,
+            )
+        };
+        let n = check(n)? as usize;
+        // .zxd layout: 16-byte header (content size LE at 6..8),
+        // content, 128-byte nibble-packed shared table
+        let csz = u16::from_le_bytes([blob[6], blob[7]]) as usize;
+        let content = blob[16..16 + csz].to_vec();
+        let packed = &blob[16 + csz..n];
+        let mut code_len = vec![0u8; 256];
+        for i in 0..128 {
+            code_len[2 * i] = packed[i] & 0x0F;
+            code_len[2 * i + 1] = packed[i] >> 4;
+        }
+        Ok(Dictionary { content, code_len })
+    }
 }
 
 /// Frame encode against a shared dictionary (the dict id lands in the
@@ -520,6 +552,24 @@ mod tests {
         assert_eq!(decompress_dict(&arc, &dict, true).unwrap(), data);
         // decoding without the dictionary must fail (DICT_REQUIRED)
         assert!(decompress(&arc, true).is_err());
+    }
+
+    #[test]
+    fn dict_train() {
+        let samples: Vec<Vec<u8>> = (0..12)
+            .map(|i| b"json rows with common keys and payload ".repeat(20 + i))
+            .collect();
+        let refs: Vec<&[u8]> = samples.iter().map(|s| s.as_slice()).collect();
+        let dict = Dictionary::train(&refs, 4096).unwrap();
+        assert!(!dict.content.is_empty());
+        assert_eq!(dict.code_len.len(), 256);
+        let data = &samples[0];
+        let opts = CompressOptions { block_size: 4096, ..Default::default() };
+        let plain = compress(data, &opts).unwrap();
+        let arc = compress_dict(data, &dict, &opts).unwrap();
+        assert!(arc.len() < plain.len(), "trained dict must improve ratio");
+        assert_eq!(decompress_dict(&arc, &dict, true).unwrap(), *data);
+        assert!(Dictionary::train(&[], 1024).is_err());
     }
 
     #[test]

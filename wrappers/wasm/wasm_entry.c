@@ -80,6 +80,19 @@ WASM_EXPORT int32_t zxcw_decompress_dict(const uint8_t *src, uint32_t n,
   return w > 0x7FFFFFFF ? -10 : (int32_t)w;
 }
 
+/* dictionary trainer: samples flattened by the JS loader; emits a
+ * complete .zxd blob (16B header + content + 128B table) */
+WASM_EXPORT int32_t zxcw_dict_train(const uint8_t *flat,
+                                    const uint32_t *sizes32,
+                                    int32_t n_samples, uint32_t target_size,
+                                    uint8_t *dst, uint32_t cap) {
+  uint64_t sizes[256];
+  if (n_samples <= 0 || n_samples > 256) return -12;
+  for (int32_t i = 0; i < n_samples; i++) sizes[i] = sizes32[i];
+  int64_t w = zxch_dict_train(flat, sizes, n_samples, target_size, dst, cap);
+  return w > 0x7FFFFFFF ? -10 : (int32_t)w;
+}
+
 /* magic sniff for detectZxc() in the JS loader */
 WASM_EXPORT int32_t zxcw_detect(const uint8_t *src, uint32_t n) {
   uint64_t bs;

@@ -130,7 +130,21 @@ def train_dict_huf(samples: list[bytes], content: bytes) -> bytes:
 
 
 def dict_train(samples: list[bytes], target_size: int = 16384) -> Dictionary:
-    """One-shot trainer (zxc_dict_train analog): content + shared table."""
+    """One-shot trainer (zxc_dict_train analog): content + shared table.
+
+    Prefers the native trainer (zxch_dict_train — same algorithm, same
+    gram hash/scoring/coverage rules; segment tie order may differ from
+    the NumPy argsort, which is unpinned). Falls back to the in-process
+    NumPy implementation when the native library is unavailable."""
+    try:
+        from .. import runtime
+        blob = runtime.dict_train(samples, target_size)
+        if blob is not None:
+            return Dictionary.load(blob)
+    except ImportError:
+        pass
+    except ZxcError:
+        raise
     content = train_dict(samples, target_size)
     table = train_dict_huf(samples, content)
     return Dictionary(content, table)

@@ -193,6 +193,12 @@ def lib() -> ctypes.CDLL | None:
                                       ci, vp, vp, u64]
         L.zxch_pivco_encode.restype = i64
         L.zxch_pivco_encode.argtypes = [vp, u64, vp, vp, u64]
+        L.zxch_dict_train.restype = i64
+        L.zxch_dict_train.argtypes = [vp, vp, ci, u64, vp, u64]
+        L.zxch_train_dict.restype = i64
+        L.zxch_train_dict.argtypes = [vp, vp, ci, u64, vp, u64]
+        L.zxch_train_dict_huf.restype = i64
+        L.zxch_train_dict_huf.argtypes = [vp, vp, ci, vp, u64, vp]
         L.zxch_rle_encode_lit.restype = i64
         L.zxch_rle_encode_lit.argtypes = [vp, u64, vp, u64]
         L.zxch_compress_frame.restype = i64
@@ -635,6 +641,26 @@ def lane_ops(po, pc, ps, pk, total: int):
         return None
     nb = int(nb)
     return rows[:nb], roll[:nb], s[:nb], e[:nb], tile_start
+
+
+def dict_train(samples: list[bytes], target_size: int = 16384) -> bytes | None:
+    """Native one-shot dictionary trainer: returns a serialized .zxd blob
+    (header + content + 128-byte shared table) or None when the native
+    library is unavailable. Raises ZxcError on trainer-reported errors."""
+    L = lib()
+    if L is None or not samples:
+        return None
+    flat = b"".join(samples)
+    sizes = np.array([len(s) for s in samples], np.uint64)
+    cap = 16 + 65536 + 128
+    out = ctypes.create_string_buffer(cap)
+    rc = L.zxch_dict_train(
+        ctypes.c_char_p(flat), sizes.ctypes.data_as(ctypes.c_void_p),
+        len(samples), target_size, ctypes.cast(out, ctypes.c_void_p), cap)
+    if rc < 0:
+        from ..errors import ZxcError
+        raise ZxcError(int(rc), "native dict train")
+    return out.raw[:int(rc)]
 
 
 def compress_frame(data: np.ndarray, level: int, max_probes: int,

@@ -4964,3 +4964,256 @@ int64_t zxch_dctx_decompress(void *h, const uint8_t *src, uint64_t n,
 void zxch_dctx_free(void *h) { delete (ZxchDctx *)h; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Dictionary trainer (reference: zxc_train_dict zxc_dict.c:337-495,
+// zxc_train_dict_huf :529-622; algorithm mirror of codec/dict_train.py):
+// sampled 5-gram frequency table -> greedy coverage-scored 64-byte segment
+// selection -> reverse placement so the hottest bytes sit closest to the
+// window; the shared literal table is trained on the REAL post-LZ literal
+// histogram of the samples run through the level-6 parse with the trained
+// dictionary attached. Exposed through the C ABI so every binding can
+// train dictionaries (the reference's bindings all reach zxc_dict_train).
+// Samples arrive flattened: `flat` = all sample bytes back to back,
+// `sizes[i]` their lengths.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// trainer-internal 5-byte gram hash folded to 20 bits (dict_train.py
+// _gram_hash: xorshift64*-style mix; independent of the wire format)
+inline uint32_t train_gram_hash(const uint8_t *p) {
+  uint64_t v = (uint64_t)p[0] | ((uint64_t)p[1] << 8) | ((uint64_t)p[2] << 16)
+             | ((uint64_t)p[3] << 24) | ((uint64_t)p[4] << 32);
+  v *= 0x9E3779B97F4A7C15ull;
+  v ^= v >> 29;
+  v *= 0xBF58476D1CE4E5B9ull;
+  v ^= v >> 32;
+  return (uint32_t)(v >> 44);  // top 20 of the 64-bit mix
+}
+
+}  // namespace
+
+extern "C" {
+
+// Select dictionary content from samples. Returns content length (<=
+// min(target_size, 65535)) or a negative ZXC error code.
+int64_t zxch_train_dict(const uint8_t *flat, const uint64_t *sizes,
+                        int n_samples, uint64_t target_size,
+                        uint8_t *out, uint64_t cap) {
+  const int KGRAM = 5, SEGMENT = 64, BITS = 20;
+  if (!flat || !sizes || !out || n_samples <= 0 || target_size == 0)
+    return -12;  // NULL_INPUT
+  if (target_size > 65535) target_size = 65535;
+
+  // 1. global gram frequency table
+  std::vector<int64_t> table(1u << BITS, 0);
+  std::vector<uint64_t> off((size_t)n_samples);
+  uint64_t cum = 0;
+  bool any = false;
+  for (int i = 0; i < n_samples; i++) {
+    off[(size_t)i] = cum;
+    cum += sizes[i];
+    if (sizes[i] >= (uint64_t)KGRAM) any = true;
+  }
+  if (!any) return -12;
+  for (int i = 0; i < n_samples; i++) {
+    if (sizes[i] < (uint64_t)KGRAM) continue;
+    const uint8_t *a = flat + off[(size_t)i];
+    uint64_t nh = sizes[i] - (KGRAM - 1);
+    for (uint64_t p = 0; p < nh; p++) table[train_gram_hash(a + p)]++;
+  }
+
+  // 2. score 64-byte segments: sum of gram frequencies, each distinct
+  // gram counted once per segment (coverage, not raw repetition)
+  struct Seg { const uint8_t *data; uint32_t gram_off, n_grams;
+               int64_t score; };
+  std::vector<Seg> segs;
+  std::vector<uint32_t> gram_pool;
+  uint32_t tmp[SEGMENT];
+  for (int i = 0; i < n_samples; i++) {
+    if (sizes[i] < (uint64_t)KGRAM) continue;
+    const uint8_t *a = flat + off[(size_t)i];
+    uint64_t nh = sizes[i] - (KGRAM - 1);
+    uint64_t n_seg = sizes[i] / SEGMENT;
+    for (uint64_t k = 0; k < n_seg; k++) {
+      uint64_t lo = k * SEGMENT;
+      uint64_t hi = lo + SEGMENT < nh ? lo + SEGMENT : nh;
+      if (hi <= lo) continue;
+      uint32_t m = 0;
+      for (uint64_t p = lo; p < hi; p++) tmp[m++] = train_gram_hash(a + p);
+      std::sort(tmp, tmp + m);
+      uint32_t u = (uint32_t)(std::unique(tmp, tmp + m) - tmp);
+      int64_t score = 0;
+      for (uint32_t q = 0; q < u; q++) score += table[tmp[q]];
+      segs.push_back({a + lo, (uint32_t)gram_pool.size(), u, score});
+      gram_pool.insert(gram_pool.end(), tmp, tmp + u);
+    }
+  }
+  if (segs.empty()) return -12;
+
+  // 3. greedy selection with coverage discount, walked highest-score
+  // first (stable ascending sort iterated in reverse: deterministic tie
+  // order); exact-duplicate segments skipped
+  std::vector<uint32_t> order(segs.size());
+  for (size_t i = 0; i < segs.size(); i++) order[i] = (uint32_t)i;
+  std::stable_sort(order.begin(), order.end(), [&](uint32_t x, uint32_t y) {
+    return segs[x].score < segs[y].score;
+  });
+  std::vector<bool> covered(1u << BITS, false);
+  std::vector<uint64_t> seen;  // rapidhash64 of the 64 raw bytes
+  std::vector<const uint8_t *> chosen;
+  uint64_t total = 0;
+  for (size_t oi = order.size(); oi-- > 0;) {
+    if (total >= target_size) break;
+    const Seg &s = segs[order[oi]];
+    uint32_t fresh = 0;
+    for (uint32_t q = 0; q < s.n_grams; q++)
+      if (!covered[gram_pool[s.gram_off + q]]) fresh++;
+    if ((uint64_t)fresh * 4 < s.n_grams) continue;  // mostly redundant
+    uint64_t sig = zxch_rapidhash64(s.data, SEGMENT, 0x5E67);
+    bool dup = false;
+    for (uint64_t v : seen)
+      if (v == sig) { dup = true; break; }
+    if (dup && seen.size() < (1u << 16)) {
+      // hash said duplicate: confirm byte-wise against every chosen
+      // segment (collisions must not drop content)
+      bool really = false;
+      for (const uint8_t *c : chosen)
+        if (!memcmp(c, s.data, SEGMENT)) { really = true; break; }
+      if (really) continue;
+    } else if (dup) {
+      continue;
+    }
+    seen.push_back(sig);
+    for (uint32_t q = 0; q < s.n_grams; q++)
+      covered[gram_pool[s.gram_off + q]] = true;
+    chosen.push_back(s.data);
+    total += SEGMENT;
+  }
+  if (chosen.empty()) chosen.push_back(segs[order.back()].data);
+
+  // 4. reverse placement (hottest last), tail-trimmed to target
+  uint64_t full_len = (uint64_t)chosen.size() * SEGMENT;
+  uint64_t out_len = full_len < target_size ? full_len : target_size;
+  if (out_len > cap) return -2;  // DST_TOO_SMALL
+  uint64_t skip = full_len - out_len;  // bytes dropped from the front
+  uint64_t w = 0;
+  for (size_t ci = chosen.size(); ci-- > 0;) {
+    const uint8_t *seg = chosen[ci];
+    uint64_t lo = 0, n = SEGMENT;
+    if (skip) {
+      uint64_t cut = skip < n ? skip : n;
+      lo += cut; n -= cut; skip -= cut;
+    }
+    if (n) { memcpy(out + w, seg + lo, n); w += n; }
+  }
+  return (int64_t)w;
+}
+
+// Shared literal table: level-6 parse of every sample block with the
+// dictionary window attached, literal histogram (+1 smoothing so decode
+// never hits a hole), 8-bit-capped package-merge lengths, nibble-packed
+// into out_table[128]. Returns 0 or a negative error.
+int64_t zxch_train_dict_huf(const uint8_t *flat, const uint64_t *sizes,
+                            int n_samples, const uint8_t *content,
+                            uint64_t content_len, uint8_t *out_table) {
+  if (!flat || !sizes || !out_table || n_samples <= 0) return -12;
+  if (content_len > 65535) return -17;  // DICT_TOO_LARGE
+  const uint64_t BS = 512 * 1024;  // BLOCK_SIZE_DEFAULT
+  const int L6_PROBES = 64;
+  uint64_t freq[256];
+  for (int s = 0; s < 256; s++) freq[s] = 1;  // smoothing
+  std::vector<uint8_t> full(content_len + BS);
+  if (content_len) memcpy(full.data(), content, content_len);
+  uint64_t cum = 0;
+  for (int i = 0; i < n_samples; i++) {
+    const uint8_t *a = flat + cum;
+    cum += sizes[i];
+    for (uint64_t pos = 0; pos < sizes[i]; pos += BS) {
+      uint64_t len = sizes[i] - pos < BS ? sizes[i] - pos : BS;
+      memcpy(full.data() + content_len, a + pos, len);
+      uint64_t n = content_len + len;
+      const uint8_t *blk = full.data() + content_len;
+      // level-6 first-candidate parse (mirror of zxch_encode_glo_opt's
+      // pass 1 / _build_sequences level>=6)
+      std::vector<int32_t> lens(len), offs(len);
+      zxch_find_matches(full.data(), n, content_len, L6_PROBES,
+                        lens.data(), offs.data());
+      uint64_t max_seq = len / 5 + 8;
+      std::vector<int32_t> mp(max_seq), ml(max_seq), mo(max_seq);
+      uint16_t cost[256];
+      int64_t g = zxch_lazy_parse(lens.data(), offs.data(), len, 1, 5,
+                                  mp.data(), ml.data(), mo.data(), max_seq);
+      if (g < 0) return -10;
+      {
+        uint64_t f1[256];
+        memset(f1, 0, sizeof(f1));
+        int64_t cursor = 0;
+        for (int64_t q = 0; q < g; q++) {
+          for (int64_t t = cursor; t < mp[(size_t)q]; t++) f1[blk[t]]++;
+          cursor = mp[(size_t)q] + ml[(size_t)q];
+        }
+        for (int64_t t = cursor; t < (int64_t)len; t++) f1[blk[t]]++;
+        uint8_t cl1[256];
+        if (zxch_build_code_lengths(f1, 8, cl1) > 0) {
+          for (int s2 = 0; s2 < 256; s2++)
+            cost[s2] = cl1[s2] ? cl1[s2] : (uint16_t)10;
+        } else {
+          for (int s2 = 0; s2 < 256; s2++) cost[s2] = 8;
+        }
+      }
+      int64_t ns = zxch_optimal_parse(lens.data(), offs.data(), len, blk,
+                                      cost, 8, 0, nullptr, mp.data(),
+                                      ml.data(), mo.data(), max_seq);
+      if (ns < 0) return -10;
+      int64_t cursor = 0;
+      for (int64_t q = 0; q < ns; q++) {
+        for (int64_t t = cursor; t < mp[(size_t)q]; t++) freq[blk[t]]++;
+        cursor = mp[(size_t)q] + ml[(size_t)q];
+      }
+      for (int64_t t = cursor; t < (int64_t)len; t++) freq[blk[t]]++;
+    }
+  }
+  uint8_t cl[256];
+  if (zxch_build_code_lengths(freq, 8, cl) <= 0) return -10;
+  for (int s = 0; s < 256; s += 2)
+    out_table[s / 2] = (uint8_t)((cl[s] & 0x0F) | (cl[s + 1] << 4));
+  return 0;
+}
+
+// One-shot trainer emitting a complete .zxd blob (16-byte header +
+// content + 128-byte shared table; dictionary.py Dictionary.save /
+// FORMAT.md section 12). Returns the blob size or a negative error.
+int64_t zxch_dict_train(const uint8_t *flat, const uint64_t *sizes,
+                        int n_samples, uint64_t target_size,
+                        uint8_t *out, uint64_t cap) {
+  uint8_t content[65536];
+  int64_t cl_len = zxch_train_dict(flat, sizes, n_samples, target_size,
+                                   content, sizeof(content));
+  if (cl_len < 0) return cl_len;
+  uint8_t table[128];
+  int64_t rc = zxch_train_dict_huf(flat, sizes, n_samples, content,
+                                   (uint64_t)cl_len, table);
+  if (rc < 0) return rc;
+  uint64_t need = 16 + (uint64_t)cl_len + 128;
+  if (cap < need) return -2;
+  uint32_t id = zxch_dict_id(content, (uint64_t)cl_len, table);
+  uint8_t hdr[16];
+  memset(hdr, 0, 16);
+  uint32_t magic = 0x9CB0D1C7u;
+  memcpy(hdr, &magic, 4);
+  hdr[4] = 1;                      // DICT_FORMAT_VERSION
+  hdr[5] = 0;                      // CHECKSUM_RAPIDHASH
+  uint16_t csz = (uint16_t)cl_len;
+  memcpy(hdr + 6, &csz, 2);
+  memcpy(hdr + 8, &id, 4);
+  uint16_t h16 = zxch_hash16(hdr);  // bytes 12..15 still zero
+  memcpy(hdr + 14, &h16, 2);
+  memcpy(out, hdr, 16);
+  memcpy(out + 16, content, (size_t)cl_len);
+  memcpy(out + 16 + cl_len, table, 128);
+  return (int64_t)need;
+}
+
+}  // extern "C"
