@@ -3162,7 +3162,87 @@ int64_t decode_gnr_block(int is_glo, const uint8_t *pl, uint64_t plen,
   const uint64_t wlim = block_size > 640 ? block_size - 640 : 0;
   const uint64_t rlim = n_lit > 300 ? n_lit - 300 : 0;
   while (i < n_seq) {
-    if (w >= WIN64) {
+    if (w < WIN64) {
+      // SAFE-phase bursts (reference SAFE 4x ladder, zxc_decompress.c:
+      // 890-911): identical batch shape with one extra per-sequence
+      // offset-validation test (o > w breaks to the checked path, which
+      // produces the exact error / dict semantics). Without this the
+      // first 64 KiB of every block pays the one-at-a-time checked loop.
+      if (is_glo) {
+        if (enc_off == 1) {
+          while (i < n_seq && w < wlim && r < rlim) {
+            uint64_t cap_w = (wlim - w) / 33;
+            uint64_t cap_r = (rlim - r) / 14;
+            uint64_t nb = n_seq - i;
+            if (cap_w < nb) nb = cap_w;
+            if (cap_r < nb) nb = cap_r;
+            if (!nb) break;
+            uint64_t end = i + nb;
+            int esc = 0;
+            for (; i < end; i++) {
+              uint32_t t = tok[i];
+              uint64_t l = t >> 4, m = t & 15;
+              uint64_t o = (uint64_t)sec_c[i] + 1;
+              if (l == 15 || m == 15 || o > w + l) { esc = 1; break; }
+              copy_literals(out + w, lit + r, l, lit_wild);
+              w += l; r += l;
+              copy_match(out + w, o, m + 5);
+              w += m + 5;
+            }
+            if (esc) break;
+          }
+        } else {
+          while (i < n_seq && w < wlim && r < rlim) {
+            uint64_t cap_w = (wlim - w) / 33;
+            uint64_t cap_r = (rlim - r) / 14;
+            uint64_t nb = n_seq - i;
+            if (cap_w < nb) nb = cap_w;
+            if (cap_r < nb) nb = cap_r;
+            if (!nb) break;
+            uint64_t end = i + nb;
+            int esc = 0;
+            for (; i < end; i++) {
+              uint32_t t = tok[i];
+              uint64_t l = t >> 4, m = t & 15;
+              uint64_t o = rd16le(sec_c + 2 * i) + 1;
+              if (l == 15 || m == 15 || o > w + l) { esc = 1; break; }
+              copy_literals(out + w, lit + r, l, lit_wild);
+              w += l; r += l;
+              copy_match(out + w, o, m + 5);
+              w += m + 5;
+            }
+            if (esc) break;
+          }
+        }
+      } else {
+        const uint64_t wlimg = block_size > 1300 ? block_size - 1300 : 0;
+        const uint64_t rlimg = n_lit > 560 ? n_lit - 560 : 0;
+        while (i + 2 <= n_seq && w < wlimg && r < rlimg && w < WIN64) {
+          const uint64_t i0 = i, w0 = w, r0 = r;
+          uint64_t wd2;
+          memcpy(&wd2, sec_b + 4 * i, 8);
+          int fail = 0;
+#pragma GCC unroll 2
+          for (int k = 0; k < 2; k++) {
+            uint32_t wd = (uint32_t)(wd2 >> (32 * k));
+            uint64_t l = wd >> 24, m = (wd >> 16) & 0xFF;
+            uint64_t o = (wd & 0xFFFF) + 1;
+            if (l == 255 || m == 255 || o > w + l) { fail = 1; break; }
+            copy_literals32(out + w, lit + r, l, lit_wild);
+            w += l;
+            r += l;
+            copy_match(out + w, o, m + 5);
+            w += m + 5;
+          }
+          if (__builtin_expect(fail, 0)) {
+            i = i0; w = w0; r = r0;
+            break;
+          }
+          i += 2;
+        }
+      }
+      if (i >= n_seq) break;
+    } else {
       if (is_glo) {
         if (enc_off == 1) {
           // bound the iterations that cannot hit the w/r capacity
@@ -3255,66 +3335,57 @@ int64_t decode_gnr_block(int is_glo, const uint8_t *pl, uint64_t plen,
           }
         }
       } else {
-        // GHI words: max advance per sequence inside the burst is
-        // 254 lit + 258 match, so bound with those
+        // GHI pair batch (reference 4x-batch shape, zxc_decompress.c:
+        // 469-543): one u64 load carries two sequence words; varint
+        // escapes handled INLINE under UNLIKELY with exact capacity
+        // checks and a whole-batch rollback on failure (re-emission
+        // through the checked path is idempotent: the output bytes are a
+        // pure function of (i, w, r, e)). Inline advance per batch
+        // <= 2*(254+259) = 1026 < 1300 margin, literals <= 508 < 560.
         const uint64_t wlimg = block_size > 1300 ? block_size - 1300 : 0;
         const uint64_t rlimg = n_lit > 560 ? n_lit - 560 : 0;
-        while (i < n_seq && w < wlimg && r < rlimg) {
-          uint64_t cap_w = (wlimg - w) / 512;
-          uint64_t cap_r = (rlimg - r) / 254;
-          uint64_t nb = n_seq - i;
-          if (cap_w < nb) nb = cap_w;
-          if (cap_r < nb) nb = cap_r;
-          if (!nb) {
-            uint32_t wd;
-            memcpy(&wd, sec_b + 4 * i, 4);
+        while (i + 2 <= n_seq && w < wlimg && r < rlimg) {
+          const uint64_t i0 = i, w0 = w, r0 = r, e0 = e;
+          uint64_t wd2;
+          memcpy(&wd2, sec_b + 4 * i, 8);
+          __builtin_prefetch(lit + r + 384);
+          int fail = 0;
+#pragma GCC unroll 2
+          for (int k = 0; k < 2; k++) {
+            uint32_t wd = (uint32_t)(wd2 >> (32 * k));
             uint64_t l = wd >> 24, m = (wd >> 16) & 0xFF;
-            if (l == 255 || m == 255) break;
             uint64_t o = (wd & 0xFFFF) + 1;
+            if (__builtin_expect(l == 255, 0)) {
+              uint64_t v;
+              int64_t c = dec_varint(sec_ext + e, sz_ext - e, &v);
+              if (c < 0 || r + 255 + v > rlimg || w + 255 + v > wlimg) {
+                fail = 1;
+                break;
+              }
+              e += (uint64_t)c;
+              l += v;
+            }
+            if (__builtin_expect(m == 255, 0)) {
+              uint64_t v;
+              int64_t c = dec_varint(sec_ext + e, sz_ext - e, &v);
+              if (c < 0 || w + l + 255 + v > wlimg) {
+                fail = 1;
+                break;
+              }
+              e += (uint64_t)c;
+              m += v;
+            }
             copy_literals32(out + w, lit + r, l, lit_wild);
-            w += l; r += l;
-            copy_match(out + w, o, m + 5);
-            w += m + 5;
-            i++;
-            continue;
-          }
-          uint64_t end = i + nb;
-          int esc = 0;
-          // 2x unroll: one 8-byte load carries two sequence words, and
-          // the escape test for the pair is a single mask compare (the
-          // same treatment the GLO-8bit burst got); the literal-stream
-          // prefetch mirrors the reference's FAST-loop PREFETCH
-          for (; i + 2 <= end; i += 2) {
-            uint64_t wd2;
-            memcpy(&wd2, sec_b + 4 * i, 8);
-            uint32_t w0 = (uint32_t)wd2, w1 = (uint32_t)(wd2 >> 32);
-            uint64_t l0 = w0 >> 24, m0 = (w0 >> 16) & 0xFF;
-            uint64_t l1 = w1 >> 24, m1 = (w1 >> 16) & 0xFF;
-            if (l0 == 255 || m0 == 255 || l1 == 255 || m1 == 255) break;
-            __builtin_prefetch(lit + r + 384);
-            uint64_t o0 = (w0 & 0xFFFF) + 1;
-            copy_literals32(out + w, lit + r, l0, lit_wild);
-            w += l0; r += l0;
-            copy_match(out + w, o0, m0 + 5);
-            w += m0 + 5;
-            uint64_t o1 = (w1 & 0xFFFF) + 1;
-            copy_literals32(out + w, lit + r, l1, lit_wild);
-            w += l1; r += l1;
-            copy_match(out + w, o1, m1 + 5);
-            w += m1 + 5;
-          }
-          for (; i < end; i++) {
-            uint32_t wd;
-            memcpy(&wd, sec_b + 4 * i, 4);
-            uint64_t l = wd >> 24, m = (wd >> 16) & 0xFF;
-            if (l == 255 || m == 255) { esc = 1; break; }
-            uint64_t o = (wd & 0xFFFF) + 1;
-            copy_literals32(out + w, lit + r, l, lit_wild);
-            w += l; r += l;
+            w += l;
+            r += l;
             copy_match(out + w, o, m + 5);
             w += m + 5;
           }
-          if (esc) break;
+          if (__builtin_expect(fail, 0)) {
+            i = i0; w = w0; r = r0; e = e0;
+            break;
+          }
+          i += 2;
         }
       }
       if (i >= n_seq) break;
