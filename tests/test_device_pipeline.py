@@ -166,3 +166,79 @@ def test_e2e_shape_overflow_retry():
     arc = frame.compress(data, EncodeOpts(level=3, block_size=BLOCK))
     out = DPL.decompress_e2e(arc, dispatch=2, interpret=True)
     assert out == data
+
+
+# ---------------------------------------------------------------------------
+# piece-plan hints (ops/hints.py): encode-time sidecar / first-decode cache
+# ---------------------------------------------------------------------------
+
+def test_hints_roundtrip(tmp_path):
+    from zxc_tpu.ops import hints as H
+    data = _mixed_body(11, 300_000)
+    arc = ref_oracle.ref_compress(data, level=3, block_size=64 * 1024)
+    path = str(tmp_path / "a.zxh")
+    H.write_hints(arc, path)
+    hf = H.HintFile(path, arc)
+    assert hf.geo.nb == 5 and hf.geo.block_size == 64 * 1024
+    # hint-path e2e must equal plaintext AND the cold-path fingerprints
+    out = DPL.decompress_e2e(arc, dispatch=4, interpret=True, hint=path)
+    assert out == data
+    cold = DPL.decompress_e2e(arc, dispatch=4, interpret=True,
+                              _collect="fingerprint")
+    warm = DPL.decompress_e2e(arc, dispatch=4, interpret=True, hint=hf,
+                              _collect="fingerprint")
+    assert cold == warm
+
+
+def test_hints_levels_and_selfencoded(tmp_path):
+    from zxc_tpu.ops import hints as H
+    data = _mixed_body(12, 200_000)
+    for lvl, enc in ((1, "ref"), (6, "ref"), (3, "self")):
+        arc = (ref_oracle.ref_compress(data, level=lvl,
+                                       block_size=64 * 1024)
+               if enc == "ref" else
+               frame.compress(data, EncodeOpts(level=lvl,
+                                               block_size=64 * 1024)))
+        path = str(tmp_path / f"l{lvl}{enc}.zxh")
+        H.write_hints(arc, path)
+        out = DPL.decompress_e2e(arc, dispatch=4, interpret=True,
+                                 hint=path)
+        assert out == data, (lvl, enc)
+
+
+def test_hints_reject_mismatch(tmp_path):
+    from zxc_tpu.ops import hints as H
+    from zxc_tpu.errors import ZxcError
+    data = _mixed_body(13, 120_000)
+    arc = ref_oracle.ref_compress(data, level=2, block_size=64 * 1024)
+    other = ref_oracle.ref_compress(data[:100_000], level=2,
+                                    block_size=64 * 1024)
+    path = str(tmp_path / "a.zxh")
+    H.write_hints(arc, path)
+    with pytest.raises(ZxcError):
+        H.HintFile(path, other)      # wrong archive
+    blob = bytearray(open(path, "rb").read())
+    blob[200] ^= 0xFF                # body corruption
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(ZxcError):
+        H.HintFile(path, arc)
+
+
+def test_hints_dict_archive(tmp_path):
+    from zxc_tpu.ops import hints as H
+    from zxc_tpu.codec import dict_train
+    rng = np.random.default_rng(7)
+    samples = [(b"common prefix " + rng.integers(0, 96, 300,
+                                                 dtype=np.uint8).tobytes())
+               for _ in range(50)]
+    d = dict_train.dict_train(samples, target_size=4096)
+    data = b"".join(samples)[:120_000]
+    arc = frame.compress(data, EncodeOpts(level=3, block_size=64 * 1024,
+                                          dict_content=d.content,
+                                          dict_huf=d.huf_lengths))
+    opts = DecodeOpts(dict_content=d.content, dict_huf=d.huf_lengths)
+    path = str(tmp_path / "d.zxh")
+    H.write_hints(arc, path, opts)
+    out = DPL.decompress_e2e(arc, opts, dispatch=4, interpret=True,
+                             hint=path)
+    assert out == data

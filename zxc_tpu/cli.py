@@ -107,6 +107,10 @@ def _parser() -> argparse.ArgumentParser:
                    default="auto")
     p.add_argument("--device", action="store_true",
                    help="decode through the TPU batch path")
+    p.add_argument("--hints", action="store_true",
+                   help="compress: also write the <out>.zxh piece-plan "
+                        "hint sidecar; decompress --device: use/create "
+                        "<in>.zxh (first decode caches it)")
     p.add_argument("--dict-size", type=int, default=16384,
                    help="target dictionary size for --train")
     p.add_argument("files", nargs="*", metavar="FILE")
@@ -171,9 +175,24 @@ def _write(path: str | None, data: bytes, force: bool, log: Log):
         f.write(data)
 
 
-def _decode(archive: bytes, opts: DecodeOpts, use_device: bool) -> bytes:
+def dopts_for_hints(eopts: EncodeOpts) -> DecodeOpts:
+    return DecodeOpts(checksum=False, dict_content=eopts.dict_content,
+                      dict_huf=eopts.dict_huf)
+
+
+def _decode(archive: bytes, opts: DecodeOpts, use_device: bool,
+            hint_path: str | None = None) -> bytes:
     if use_device:
         from . import ops
+        if hint_path:
+            # use the sidecar when valid; create it when absent (first
+            # decode caches); any mismatch falls back to the cold path
+            try:
+                if not os.path.exists(hint_path):
+                    ops.write_hints(archive, hint_path, opts)
+                return ops.decompress_e2e(archive, opts, hint=hint_path)
+            except ZxcError:
+                pass
         return ops.decompress(archive, opts)
     return frame.decompress(archive, opts)
 
@@ -230,6 +249,13 @@ def cmd_compress(args, log: Log) -> int:
         else:
             dst = args.output or (src + SUFFIX)
         _write(dst, out, args.force, log)
+        if args.hints and dst is not None:
+            from . import ops
+            try:
+                ops.write_hints(out, dst + ".zxh", dopts_for_hints(eopts))
+                log.info(f"{dst}.zxh: piece-plan hints written")
+            except Exception as e:  # hints are an optimization, not a gate
+                log.info(f"hints skipped: {e}")
         ratio = len(out) / max(len(data), 1) * 100
         log.info(f"{src or 'stdin'}: {len(data)} -> {len(out)} bytes "
                  f"({ratio:.2f}%) in {dt:.3f}s")
@@ -259,7 +285,8 @@ def cmd_decompress(args, log: Log) -> int:
     for src in files:
         blob = _read(src)
         t0 = time.time()
-        out = _decode(blob, dopts, args.device)
+        hp = (src + ".zxh") if (args.hints and src and args.device) else None
+        out = _decode(blob, dopts, args.device, hp)
         dt = time.time() - t0
         if args.stdout or src is None:
             dst = None

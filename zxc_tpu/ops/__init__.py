@@ -9,3 +9,5 @@ from . import pallas_encode  # noqa: F401
 from . import device_pipeline  # noqa: F401
 from . import pivco_device  # noqa: F401
 from .device_pipeline import decompress_e2e  # noqa: F401
+from . import hints  # noqa: F401
+from .hints import write_hints, HintFile  # noqa: F401

@@ -201,7 +201,8 @@ class DevicePipeline:
     complete. ``run`` returns per-group jax outputs (device-resident)."""
 
     def __init__(self, walk: FrameWalk, archive: bytes, K: int = 2,
-                 dispatch: int = 16, workers: int | None = None):
+                 dispatch: int = 16, workers: int | None = None,
+                 hint=None):
         if walk.block_size % 16384:
             raise ZxcError(ERROR_CORRUPT_DATA,
                            "e2e pipeline needs block_size % 16384 == 0")
@@ -215,6 +216,19 @@ class DevicePipeline:
         self.RLP = 0
         self.NG32 = 0
         self._held: list = []   # (buf, shape-key) pairs
+        # piece-plan hint (ops/hints.py): control slices ship verbatim
+        # from the mmap; host prep reduces to the lit8 build
+        self.hint = hint
+        if hint is not None:
+            g = hint.geo
+            if (g.block_size != walk.block_size or g.nb != walk.n_blocks):
+                raise ZxcError(ERROR_CORRUPT_DATA,
+                               "hint geometry does not match frame")
+            self.K = g.K
+            self.NST = g.NST
+            self.MAXQ = g.MAXQ
+            self.RLP = g.RLP
+            self.NG32 = g.NG32
 
     def release(self) -> None:
         """Return this pipeline's group buffers to the module pool. Only
@@ -240,6 +254,8 @@ class DevicePipeline:
         retry path covers the rare miss)."""
         w = self.walk
         nb = w.n_blocks
+        if self.hint is not None:
+            return   # geometry pinned by the hint file
         if nb == 0:
             self.MAXQ, self.RLP = 32, 128
             self.NG32 = 32 * _round_up(self.MAXQ * 4, 128) // 128
@@ -310,12 +326,30 @@ class DevicePipeline:
         self._held.extend((b, key) for b in bufs)
         in_flight: list = [None] * len(bufs)
 
+        hint = self.hint
+
         def prep_block(g: int, j: int):
             i = g * B + j
             buf = bufs[g % len(bufs)]
             if i >= nb:   # padding row: empty block
                 buf.qs[j] = 0
                 buf.totals[j] = 0
+                return
+            if hint is not None:
+                # hint path: control ships from the mmap; only lit8 is
+                # built here (archive literal decode + plan replay)
+                p0 = int(w.pos[i])
+                payload = self.src[p0:p0 + int(w.comp[i])]
+                lr = runtime.v19_lit8_load(
+                    payload, int(w.typ[i]), w.block_size,
+                    hint.plan_slice(i), int(hint.plan_off[i + 1]
+                                            - hint.plan_off[i]),
+                    int(hint.litlen[i]), buf.lit8[j], self.RLP,
+                    dict_buf=w.dict_buf, dict_cl=w.dict_cl)
+                if lr is None or lr < 0:
+                    raise ZxcError(int(lr or ERROR_CORRUPT_DATA),
+                                   "hint lit8 replay")
+                buf.totals[j] = int(hint.totals[i])
                 return
             total, nq, maxrow, litrows = self._prep_into(
                 i, buf, j, self.MAXQ, self.NG32, self.RLP)
@@ -353,10 +387,31 @@ class DevicePipeline:
                 # per-array puts: a PYTREE device_put takes a slow batched
                 # path on this backend (0.42 s vs 0.11 s for the same
                 # 160 MB, measured round 3) — put each leaf individually
-                dev_args = tuple(
-                    jax.device_put(a, device)
-                    for a in (buf.qs, buf.qbase, buf.pctrl, buf.tq,
-                              buf.lit8))
+                if hint is not None:
+                    i0, i1 = g * B, min((g + 1) * B, nb)
+                    if i1 - i0 == B:
+                        ctrl = (hint.qs[i0:i1], hint.qbase[i0:i1],
+                                hint.pctrl[i0:i1], hint.tq[i0:i1])
+                    else:  # tail group: pad with empty blocks (qs == 0)
+                        qs_p = np.zeros((B,) + hint.qs.shape[1:], np.int32)
+                        qb_p = np.zeros((B,) + hint.qbase.shape[1:],
+                                        np.int32)
+                        pc_p = np.full((B,) + hint.pctrl.shape[1:], 1 << 7,
+                                       np.int32)
+                        tq_p = np.zeros((B,) + hint.tq.shape[1:], np.uint8)
+                        qs_p[:i1 - i0] = hint.qs[i0:i1]
+                        qb_p[:i1 - i0] = hint.qbase[i0:i1]
+                        pc_p[:i1 - i0] = hint.pctrl[i0:i1]
+                        tq_p[:i1 - i0] = hint.tq[i0:i1]
+                        ctrl = (qs_p, qb_p, pc_p, tq_p)
+                    dev_args = tuple(
+                        jax.device_put(a, device)
+                        for a in ctrl + (buf.lit8,))
+                else:
+                    dev_args = tuple(
+                        jax.device_put(a, device)
+                        for a in (buf.qs, buf.qbase, buf.pctrl, buf.tq,
+                                  buf.lit8))
                 carry = consume(dev_args, buf.totals.copy(), g, carry)
                 in_flight[g % len(bufs)] = (dev_args, carry)
         return carry
@@ -420,7 +475,7 @@ def decompress_e2e(archive: bytes, opts: DecodeOpts | None = None,
                    dispatch: int = 16, K: int = 2, device=None,
                    workers: int | None = None, _collect: str = "bytes",
                    _phases: dict | None = None, interpret: bool = False,
-                   submit: str = "auto"):
+                   submit: str = "auto", hint=None):
     """One-shot end-to-end device decode (every phase on the clock).
 
     ``_collect``:
@@ -443,9 +498,14 @@ def decompress_e2e(archive: bytes, opts: DecodeOpts | None = None,
     t0 = time.time()
     if submit == "auto":
         submit = "batch" if _collect == "fingerprint" else "overlap"
+    if isinstance(hint, (str, bytes, os.PathLike)):
+        from .hints import HintFile
+        hint = HintFile(os.fspath(hint), archive)
     w = walk_frame(archive, opts)
     pipe = DevicePipeline(w, archive, K=K, dispatch=dispatch,
-                          workers=workers)
+                          workers=workers, hint=hint)
+    if hint is not None:
+        K = pipe.K
     NR = w.block_size // 128
     for attempt in range(4):
         try:
@@ -495,6 +555,9 @@ def decompress_e2e(archive: bytes, opts: DecodeOpts | None = None,
             res = pipe.run(consume, device=device, carry=carry0)
             break
         except ShapeOverflow as o:
+            if hint is not None:
+                raise ZxcError(ERROR_CORRUPT_DATA,
+                               "hint geometry overflow (corrupt hint?)")
             pipe.drop_held()   # in-flight device work may alias the bufs
             pipe.MAXQ = _round_up(int(o.need_maxq * 1.5) + 8, 32)
             pipe.RLP = _round_up(int(o.need_rlp * 1.5) + 144, 128)

@@ -209,6 +209,12 @@ def lib() -> ctypes.CDLL | None:
         L.zxch_v19_prep_block.argtypes = [vp, u64, ci, u64, vp, u64, vp,
                                           ci, ci, vp, vp, vp, vp, vp,
                                           i64, i64, i64, vp, vp, vp]
+        L.zxch_v19_prep_block_plan.restype = i64
+        L.zxch_v19_prep_block_plan.argtypes = (
+            L.zxch_v19_prep_block.argtypes + [vp, i64, vp, vp])
+        L.zxch_v19_lit8_load.restype = i64
+        L.zxch_v19_lit8_load.argtypes = [vp, u64, ci, u64, vp, u64, vp,
+                                         vp, i64, i64, vp, i64]
         _lib = L
         _install_fast_paths(L)
         _tried = True
@@ -846,3 +852,59 @@ def v19_prep_block(payload: np.ndarray, block_type: int, block_size: int,
         MAXQ, NG32, RLP,
         ctypes.byref(nq), ctypes.byref(maxrow), ctypes.byref(litrows))
     return int(total), int(nq.value), int(maxrow.value), int(litrows.value)
+
+
+def v19_prep_block_plan(payload: np.ndarray, block_type: int,
+                        block_size: int, qs_row: np.ndarray,
+                        qbase_row: np.ndarray, pctrl_row: np.ndarray,
+                        tq_row: np.ndarray, lit8_row: np.ndarray,
+                        MAXQ: int, NG32: int, RLP: int,
+                        plan: np.ndarray, K: int = 2, quad_align: int = 2,
+                        dict_buf: np.ndarray | None = None,
+                        dict_cl: np.ndarray | None = None):
+    """`v19_prep_block` PLUS the lit8 replay plan (encode-time piece-plan
+    hint, SURVEY.md §5): ``plan`` is an (N, 4) i32 array receiving
+    {kind, dst, src_or_byte, len} records. Returns (total, nq, maxrow,
+    litrows, n_plan, lit_len); total == -16 means plan too small."""
+    L = lib()
+    if L is None:
+        return None
+    pl = np.ascontiguousarray(payload, np.uint8)
+    d8, cl8, cl_ptr = _as_dict_args(dict_buf, dict_cl)
+    nq = ctypes.c_int64(0)
+    maxrow = ctypes.c_int64(0)
+    litrows = ctypes.c_int64(0)
+    n_plan = ctypes.c_int64(0)
+    litlen = ctypes.c_int64(0)
+    P = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    total = L.zxch_v19_prep_block_plan(
+        P(pl), len(pl), block_type, block_size,
+        d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr,
+        K, quad_align,
+        P(qs_row), P(qbase_row), P(pctrl_row), P(tq_row), P(lit8_row),
+        MAXQ, NG32, RLP,
+        ctypes.byref(nq), ctypes.byref(maxrow), ctypes.byref(litrows),
+        P(plan), len(plan), ctypes.byref(n_plan), ctypes.byref(litlen))
+    return (int(total), int(nq.value), int(maxrow.value),
+            int(litrows.value), int(n_plan.value), int(litlen.value))
+
+
+def v19_lit8_load(payload: np.ndarray, block_type: int, block_size: int,
+                  plan: np.ndarray, n_plan: int, lit_len: int,
+                  lit8_row: np.ndarray, RLP: int,
+                  dict_buf: np.ndarray | None = None,
+                  dict_cl: np.ndarray | None = None):
+    """Hint-replay lit8 build: archive literal decode + plan replay —
+    skips piece resolution and lane-op packing (those ship verbatim in
+    the hint file). Returns litrows >= 0 or a negative ZXC error; None
+    when the native library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    pl = np.ascontiguousarray(payload, np.uint8)
+    d8, cl8, cl_ptr = _as_dict_args(dict_buf, dict_cl)
+    P = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    return int(L.zxch_v19_lit8_load(
+        P(pl), len(pl), block_type, block_size,
+        d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr,
+        P(plan), n_plan, lit_len, P(lit8_row), RLP))

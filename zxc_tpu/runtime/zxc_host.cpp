@@ -414,14 +414,38 @@ static const int32_t ZXCH_KBIG = 1 << 30;
 // chunked reader can fetch [c + (p0-s)%k, +1024) contiguously; periods
 // > 1024 are unrolled into per-repetition pure pieces. Fill patterns are
 // cached per byte value.
-int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
+// plan (nullable): when non-null, every byte WRITTEN into lit_full past
+// [0, lit_len) is also recorded as a replayable control record
+// {kind, dst, src_or_byte, len} (kind 0 = intra-lit_full memcpy, 1 =
+// memset fill) — the encode-time "piece-plan hint" payload (SURVEY.md §5
+// long-context note: host-side precomputation, wire unchanged). The
+// records carry NO data bytes: replay re-derives every synthetic byte
+// from the archive-decoded literal/dict prefix. Returns -16 when
+// plan_cap is too small.
+static int64_t resolve_pieces_impl(const int32_t *ll, const int32_t *ml,
                             const int32_t *off, uint64_t n_seq,
                             uint8_t *lit_full, uint64_t lit_len,
                             uint64_t lit_cap, uint64_t dict_len,
                             int32_t *po, int32_t *pc, int32_t *ps,
                             int32_t *pk, uint64_t max_pieces,
                             uint64_t *lit_len_out, int device_pure,
-                            int max_frag) {
+                            int max_frag,
+                            int32_t *plan, int64_t plan_cap,
+                            int64_t *n_plan) {
+  bool plan_of = false;
+#define PLAN_REC(kind_, dst_, src_, len_)                                \
+  do {                                                                   \
+    if (plan) {                                                          \
+      if (*n_plan >= plan_cap) { plan_of = true; }                       \
+      else {                                                             \
+        int32_t *pr_ = plan + 4 * (*n_plan)++;                           \
+        pr_[0] = (int32_t)(kind_);                                       \
+        pr_[1] = (int32_t)(dst_);                                        \
+        pr_[2] = (int32_t)(src_);                                        \
+        pr_[3] = (int32_t)(len_);                                        \
+      }                                                                  \
+    }                                                                    \
+  } while (0)
   const int64_t D = (int64_t)dict_len;
   uint64_t np = 0;
   int64_t W = 0;        // output cursor
@@ -473,6 +497,7 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
       if (q < 0) {
         int64_t take = (-q) < len ? (-q) : len;
         memcpy(lit_full + w, lit_full + (D + q), take);
+        PLAN_REC(0, w, D + q, take);
         q += take; w += take; len -= take;
         continue;
       }
@@ -483,8 +508,10 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
       int64_t kk = pk[j];
       if (kk >= ZXCH_KBIG) {  // pure: one memcpy
         memcpy(lit_full + w, lit_full + pc[j] + (q - ps[j]), take);
+        PLAN_REC(0, w, pc[j] + (q - ps[j]), take);
       } else if (kk == 1) {
         memset(lit_full + w, lit_full[pc[j]], take);
+        PLAN_REC(1, w, lit_full[pc[j]], take);
       } else if (device_pure) {
         // periodic pieces point into 2048-byte replicated patterns
         // (kk <= 1024), so chunks of <= 1024 bytes are contiguous reads
@@ -493,6 +520,7 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
           int64_t ph = (q + t - ps[j]) % kk;
           int64_t c = (take - t) < 1024 ? (take - t) : 1024;
           memcpy(lit_full + w + t, lit_full + pc[j] + ph, c);
+          PLAN_REC(0, w + t, pc[j] + ph, c);
           t += c;
         }
       } else {                // periodic: byte loop
@@ -593,6 +621,7 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
         if (fill_cache[b] < 0) {
           if (lend + 2048 > (int64_t)lit_cap) return -10;
           memset(lit_full + lend, b, 2048);
+          PLAN_REC(1, lend, b, 2048);
           fill_cache[b] = lend;
           lend += 2048;
         }
@@ -609,6 +638,7 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
         while (have < 2048) {
           int64_t cp = have < (2048 - have) ? have : (2048 - have);
           memcpy(lit_full + base + have, lit_full + base, cp);
+          PLAN_REC(0, base + have, base, cp);
           have += cp;
         }
         lend = base + 2048;
@@ -642,8 +672,24 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
     W += (int64_t)lit_len - D - r;
   }
 #undef EMIT
+#undef PLAN_REC
   *lit_len_out = (uint64_t)lend;
+  if (plan_of) return -16;
   return (int64_t)np;
+}
+
+int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
+                            const int32_t *off, uint64_t n_seq,
+                            uint8_t *lit_full, uint64_t lit_len,
+                            uint64_t lit_cap, uint64_t dict_len,
+                            int32_t *po, int32_t *pc, int32_t *ps,
+                            int32_t *pk, uint64_t max_pieces,
+                            uint64_t *lit_len_out, int device_pure,
+                            int max_frag) {
+  return resolve_pieces_impl(ll, ml, off, n_seq, lit_full, lit_len, lit_cap,
+                             dict_len, po, pc, ps, pk, max_pieces,
+                             lit_len_out, device_pure, max_frag,
+                             nullptr, 0, nullptr);
 }
 
 }  // extern "C"
@@ -4060,6 +4106,100 @@ inline void grow_u8(uint8_t **p, uint64_t *cap, uint64_t need) {
   *cap = nc;
 }
 
+
+// Parsed GLO/GHI section table (zxc_internal.h block sub-header layout).
+struct SecView {
+  int is_glo;
+  uint32_t n_seq;
+  uint8_t enc_lit, enc_tok, enc_off;
+  uint64_t sz[4], raw[4];
+  const uint8_t *sec_lit, *sec_b, *sec_c, *sec_ext;
+  uint64_t sz_ext;
+};
+
+static int parse_sections(const uint8_t *pl, uint64_t plen, int block_type,
+                          uint64_t block_size, SecView *v) {
+  v->is_glo = block_type == 1;
+  const int n_sec = v->is_glo ? 4 : 3;
+  const uint64_t HDR = 16 + 8u * n_sec;
+  if (plen < HDR) return -6;
+  memcpy(&v->n_seq, pl, 4);
+  v->enc_lit = pl[8];
+  v->enc_tok = pl[9];
+  v->enc_off = pl[11];
+  v->sz[3] = v->raw[3] = 0;
+  uint64_t tile = HDR;
+  for (int k = 0; k < n_sec; k++) {
+    uint64_t d;
+    memcpy(&d, pl + 16 + 8 * k, 8);
+    v->sz[k] = d & 0xFFFFFFFFu;
+    v->raw[k] = d >> 32;
+    tile += v->sz[k];
+  }
+  if (tile != plen) return -8;
+  v->sec_lit = pl + HDR;
+  v->sec_b = v->sec_lit + v->sz[0];
+  v->sec_c = v->sec_b + v->sz[1];
+  v->sec_ext = v->is_glo ? v->sec_c + v->sz[2] : v->sec_c;
+  v->sz_ext = v->is_glo ? v->sz[3] : v->sz[2];
+  if (v->n_seq > block_size / 5 + 1) return -8;
+  return 0;
+}
+
+// Decode the literal section into lit (RLE / inline-Huffman / shared
+// dict table / raw), shared by the full prep and the hint-replay loader.
+// Returns 0, or a negative error; on -10 (*need_rows) holds the litrows
+// lower bound for the caller's resize path.
+static int64_t decode_block_literals(const SecView &v, uint64_t block_size,
+                                     const uint8_t *dict_cl, uint8_t *lit,
+                                     uint64_t n_dict, uint64_t lit_cap,
+                                     PrepTL &T, uint64_t *n_lit_out,
+                                     int64_t *need_rows) {
+  if (!v.is_glo || v.enc_lit == 0) {
+    uint64_t n_lit = v.sz[0];
+    if (n_dict + n_lit + 64 > lit_cap) {
+      *need_rows = (int64_t)((n_dict + n_lit + 64 + 127) / 128);
+      return -10;
+    }
+    memcpy(lit, v.sec_lit, n_lit);
+    *n_lit_out = n_lit;
+    return 0;
+  }
+  uint64_t rl = v.raw[0];
+  if (rl > block_size) return -8;
+  if (n_dict + rl + 64 > lit_cap) {
+    *need_rows = (int64_t)((n_dict + rl + 64 + 127) / 128);
+    return -10;
+  }
+  grow_u8(&T.piv, &T.piv_cap, block_size + 64);
+  *n_lit_out = rl;
+  if (v.enc_lit == 1) {  // RLE
+    if (rl) {
+      int rc = zxch_rle_decode(v.sec_lit, v.sz[0], lit, rl);
+      if (rc) return rc;
+    }
+  } else if (v.enc_lit == 2) {  // Huffman, inline lengths header
+    if (rl) {
+      if (v.sz[0] < 128) return -8;
+      uint8_t cl[256];
+      if (unpack_cl(v.sec_lit, cl)) return -8;
+      int rc = zxch_pivco_decode_s(v.sec_lit + 128, v.sz[0] - 128, cl, rl,
+                                   lit, T.piv);
+      if (rc) return rc;
+    }
+  } else if (v.enc_lit == 3) {  // shared dictionary table
+    if (!dict_cl) return -15;
+    if (rl) {
+      int rc = zxch_pivco_decode_s(v.sec_lit, v.sz[0], dict_cl, rl, lit,
+                                   T.piv);
+      if (rc) return rc;
+    }
+  } else {
+    return -8;
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -4068,16 +4208,19 @@ extern "C" {
 // (-10 also covers "MAXQ/RLP too small": *out_nq / *out_maxrow /
 // *out_litrows hold best-known lower bounds so the caller can resize).
 // Requires block_size % 16384 == 0 (the v19 supertile contract).
-int64_t zxch_v19_prep_block(
+static int64_t v19_prep_block_impl(
     const uint8_t *pl, uint64_t plen, int block_type, uint64_t block_size,
     const uint8_t *dict, uint64_t n_dict, const uint8_t *dict_cl,
     int K, int quad_align,
     int32_t *qs, int32_t *qbase, int32_t *pctrl, uint8_t *tq, uint8_t *lit8,
     int64_t MAXQ, int64_t NG32, int64_t RLP,
-    int64_t *out_nq, int64_t *out_maxrow, int64_t *out_litrows) {
+    int64_t *out_nq, int64_t *out_maxrow, int64_t *out_litrows,
+    int32_t *plan, int64_t plan_cap, int64_t *out_nplan,
+    int64_t *out_litlen) {
   if (block_size % 16384 || K < 1 || K > 4) return -1;
   const int64_t NST = (int64_t)(block_size / 16384);
   *out_nq = 0; *out_maxrow = 128; *out_litrows = 0;
+  if (out_nplan) *out_nplan = 0;
   static thread_local PrepTL T;
   const uint64_t lit_cap = (uint64_t)RLP * 128;
 
@@ -4119,51 +4262,15 @@ int64_t zxch_v19_prep_block(
     if (n_seq > block_size / 5 + 1) return -8;
     n_seq64 = n_seq;
 
-    // literal section -> lit (within lit8)
-    if (!is_glo || enc_lit == 0) {
-      n_lit = is_glo ? sz[0] : sz[0];
-      if (n_dict + n_lit + 64 > lit_cap) { *out_litrows = (int64_t)((n_dict + n_lit + 64 + 127) / 128); return -10; }
-      memcpy(lit, sec_lit, n_lit);
-    } else {
-      uint64_t rl = raw[0];
-      if (rl > block_size) return -8;
-      if (n_dict + rl + 64 > lit_cap) { *out_litrows = (int64_t)((n_dict + rl + 64 + 127) / 128); return -10; }
-      grow_u8(&T.piv, &T.piv_cap, block_size + 64);
-      n_lit = rl;
-      if (enc_lit == 1) {
-        if (rl) {
-          int rc = zxch_rle_decode(sec_lit, sz[0], lit, rl);
-          if (rc) return rc;
-        }
-      } else if (enc_lit == 2) {
-        if (rl) {
-          if (sz[0] < 128) return -8;
-          uint8_t cl[256];
-          {
-            int any = 0;
-            for (int i = 0; i < 128; i++) {
-              uint8_t b = sec_lit[i];
-              uint8_t lo = (uint8_t)(b & 15), hi = (uint8_t)(b >> 4);
-              if (lo > 11 || hi > 11) return -8;
-              cl[2 * i] = lo; cl[2 * i + 1] = hi;
-              any |= b;
-            }
-            if (!any) return -8;
-          }
-          int rc = zxch_pivco_decode_s(sec_lit + 128, sz[0] - 128, cl, rl,
-                                       lit, T.piv);
-          if (rc) return rc;
-        }
-      } else if (enc_lit == 3) {
-        if (!dict_cl) return -15;
-        if (rl) {
-          int rc = zxch_pivco_decode_s(sec_lit, sz[0], dict_cl, rl, lit,
-                                       T.piv);
-          if (rc) return rc;
-        }
-      } else {
-        return -8;
-      }
+    // literal section -> lit (within lit8); shared with the hint loader
+    {
+      SecView v;
+      int prc = parse_sections(pl, plen, block_type, block_size, &v);
+      if (prc) return prc;
+      int64_t rc = decode_block_literals(v, block_size, dict_cl, lit,
+                                         n_dict, lit_cap, T, &n_lit,
+                                         out_litrows);
+      if (rc) return rc;
     }
 
     // token / word section -> (ll, ml, off) with inline extras varints
@@ -4277,15 +4384,17 @@ int64_t zxch_v19_prep_block(
     }
   }
   uint64_t lit_out = 0;
-  int64_t np = zxch_resolve_pieces(T.ll, T.ml, T.off, n_seq64, lit8,
+  int64_t np = resolve_pieces_impl(T.ll, T.ml, T.off, n_seq64, lit8,
                                    n_dict + n_lit, lit_cap, n_dict,
                                    T.po, T.pc, T.ps, T.pk, T.piece_cap,
                                    &lit_out, /*device_pure=*/1,
-                                   /*max_frag=*/1);
+                                   /*max_frag=*/1,
+                                   plan, plan_cap, out_nplan);
   if (np == -10) { *out_litrows = (int64_t)((lit_out ? lit_out : lit_cap + (block_size >> 2)) + 127) / 128 + 8; return -10; }
   if (np < 0) return np;
   const int64_t litrows = (int64_t)((lit_out + 127) / 128);
   *out_litrows = litrows;
+  if (out_litlen) *out_litlen = (int64_t)lit_out;
   // zero-pad the literal tail row (deterministic H2D content)
   if ((uint64_t)litrows * 128 > lit_out)
     memset(lit8 + lit_out, 0, (uint64_t)litrows * 128 - lit_out);
@@ -4481,6 +4590,98 @@ int64_t zxch_v19_prep_block(
   // highest window, not just the literal rows
   if (maxrow > RLP) return -10;
   return (int64_t)total;
+}
+
+int64_t zxch_v19_prep_block(
+    const uint8_t *pl, uint64_t plen, int block_type, uint64_t block_size,
+    const uint8_t *dict, uint64_t n_dict, const uint8_t *dict_cl,
+    int K, int quad_align,
+    int32_t *qs, int32_t *qbase, int32_t *pctrl, uint8_t *tq, uint8_t *lit8,
+    int64_t MAXQ, int64_t NG32, int64_t RLP,
+    int64_t *out_nq, int64_t *out_maxrow, int64_t *out_litrows) {
+  return v19_prep_block_impl(pl, plen, block_type, block_size, dict, n_dict,
+                             dict_cl, K, quad_align, qs, qbase, pctrl, tq,
+                             lit8, MAXQ, NG32, RLP, out_nq, out_maxrow,
+                             out_litrows, nullptr, 0, nullptr, nullptr);
+}
+
+// Hint-producing prep (encode-time / first-decode cache): identical output
+// to zxch_v19_prep_block PLUS the lit8 replay plan — the control records
+// that rebuild the resolver-materialized tail of lit8 from the
+// archive-decoded literal/dict prefix without re-running resolution.
+// Returns -16 when plan_cap is too small (grow and retry).
+int64_t zxch_v19_prep_block_plan(
+    const uint8_t *pl, uint64_t plen, int block_type, uint64_t block_size,
+    const uint8_t *dict, uint64_t n_dict, const uint8_t *dict_cl,
+    int K, int quad_align,
+    int32_t *qs, int32_t *qbase, int32_t *pctrl, uint8_t *tq, uint8_t *lit8,
+    int64_t MAXQ, int64_t NG32, int64_t RLP,
+    int64_t *out_nq, int64_t *out_maxrow, int64_t *out_litrows,
+    int32_t *plan, int64_t plan_cap, int64_t *out_nplan,
+    int64_t *out_litlen) {
+  return v19_prep_block_impl(pl, plen, block_type, block_size, dict, n_dict,
+                             dict_cl, K, quad_align, qs, qbase, pctrl, tq,
+                             lit8, MAXQ, NG32, RLP, out_nq, out_maxrow,
+                             out_litrows, plan, plan_cap, out_nplan,
+                             out_litlen);
+}
+
+// Hint-replay lit8 build: literal-section decode (the only data-bearing
+// phase — all bytes come from the ARCHIVE) + plan replay rebuilding the
+// resolver-materialized tail, skipping piece resolution and lane-op
+// packing entirely (those ship verbatim in the hint). Plan records are
+// bounds-checked against lit_cap, so a corrupt hint fails cleanly.
+// Returns litrows >= 0 or a negative ZXC error.
+int64_t zxch_v19_lit8_load(
+    const uint8_t *pl, uint64_t plen, int block_type, uint64_t block_size,
+    const uint8_t *dict, uint64_t n_dict, const uint8_t *dict_cl,
+    const int32_t *plan, int64_t n_plan, int64_t lit_len,
+    uint8_t *lit8, int64_t RLP) {
+  if (block_size % 16384) return -1;
+  static thread_local PrepTL T;
+  const uint64_t lit_cap = (uint64_t)RLP * 128;
+  uint64_t n_lit = 0;
+  if (n_dict) {
+    if (n_dict + 64 > lit_cap) return -10;
+    memcpy(lit8, dict, n_dict);
+  }
+  uint8_t *lit = lit8 + n_dict;
+  if (block_type == 0) {  // RAW
+    if (plen > block_size) return -10;
+    if (n_dict + plen + 64 > lit_cap) return -10;
+    memcpy(lit, pl, plen);
+    n_lit = plen;
+  } else if (block_type == 1 || block_type == 2) {
+    SecView v;
+    int prc = parse_sections(pl, plen, block_type, block_size, &v);
+    if (prc) return prc;
+    int64_t need = 0;
+    int64_t rc = decode_block_literals(v, block_size, dict_cl, lit, n_dict,
+                                       lit_cap, T, &n_lit, &need);
+    if (rc) return rc;
+  } else {
+    return -13;
+  }
+  int64_t base = (int64_t)(n_dict + n_lit);
+  if (lit_len < base || (uint64_t)lit_len > lit_cap) return -8;
+  for (int64_t i = 0; i < n_plan; i++) {
+    const int32_t *pr = plan + 4 * i;
+    const int64_t dst = pr[1], len = pr[3];
+    if (len < 0 || dst < base || dst + len > lit_len) return -8;
+    if (pr[0] == 0) {
+      const int64_t sp = pr[2];
+      if (sp < 0 || sp + len > dst) return -8;  // replay only reads built bytes
+      memcpy(lit8 + dst, lit8 + sp, len);
+    } else if (pr[0] == 1) {
+      memset(lit8 + dst, pr[2] & 0xFF, len);
+    } else {
+      return -8;
+    }
+  }
+  const int64_t litrows = (lit_len + 127) / 128;
+  if ((uint64_t)litrows * 128 > (uint64_t)lit_len)
+    memset(lit8 + lit_len, 0, (uint64_t)litrows * 128 - (uint64_t)lit_len);
+  return litrows;
 }
 
 }  // extern "C"
