@@ -2047,6 +2047,322 @@ def pack_blocks_v20(pieces_list, lit_list, totals, block: int,
     return qs, qbase, pctrl, tq, lit8
 
 
+def pack_blocks_v22(pieces_list, lit_list, totals, block: int,
+                    per=None, MAXQ=None, RL=None, quad_align: int = 2,
+                    K: int = 2):
+    """v22: v20's plane segregation WITHOUT the per-class chunk tails.
+
+    v20 chunked singles and multis separately, paying +7.6% quads in
+    per-class tail fragments — which cancelled its ~10% per-quad win
+    (PERF.md 3.2). Here the concatenated [singles-by-src, multis-by-src]
+    list is chunked with a running min/max source window (a quad is valid
+    iff max(src) - (min(src) & ~15) <= 127), so ONE quad may span the
+    class boundary; it simply runs under the 2-plane loop (single-op
+    slots are correct there — their extra planes are empty fillers).
+    rowrel = src - (min & ~15) is non-negative by construction, which is
+    the src-monotone-chunking requirement the v20 post-mortem named.
+    Parity: an odd single-side count shifts its last quad to the multi
+    side (free); only an odd multi side pads one empty quad — the same
+    expected padding as v19's quad_align. Kernel: v20's (double-width qs,
+    1-plane loop to the midpoint)."""
+    B = len(pieces_list)
+    if per is None:
+        per = lane_ops_blocks(pieces_list, totals)
+    NR = block // 128
+    assert NR % 128 == 0, "v22 needs block >= 16384"
+    GRP = 4
+    NST = NR // 128
+    blocks = []
+    maxq = 1
+    maxrow = 0
+    empty = (0, np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros((0, K, 3), np.int64))
+    for (rows, rl, s, e, tile_start) in per:
+        quads = []
+        qs_t = [0]
+        nts = len(tile_start) - 1
+        for st in range(NST):
+            parts = []
+            for g in range(GRP):
+                t = st * GRP + g
+                if t >= nts:
+                    break
+                b0, b1 = tile_start[t], tile_start[t + 1]
+                if b1 <= b0:
+                    continue
+                er = rows[b0:b1].reshape(-1)
+                es = s[b0:b1].reshape(-1)
+                ee = e[b0:b1].reshape(-1)
+                erl = rl[b0:b1].reshape(-1)
+                live = np.nonzero(ee > es)[0]
+                if not len(live):
+                    continue
+                tgt = (live & 31) + 32 * g
+                parts.append(np.stack(
+                    [er[live], tgt, erl[live], es[live], ee[live] - 1],
+                    axis=1))
+            if parts:
+                ops = np.concatenate(parts, axis=0)
+                key = ops[:, 0] * 128 + ops[:, 1]
+                order = np.argsort(key, kind="stable")
+                ops = ops[order]
+                ks = key[order]
+                new = np.r_[True, ks[1:] != ks[:-1]]
+                gid = np.cumsum(new) - 1
+                gstart = np.flatnonzero(new)
+                within = np.arange(len(ks)) - gstart[gid]
+                gsizes = np.diff(np.r_[gstart, len(ks)])
+                spg = -(-gsizes // K)
+                sbase = np.r_[0, np.cumsum(spg)[:-1]]
+                slot_of = sbase[gid] + within // K
+                sub_of = within % K
+                n_slots = int(spg.sum())
+                ssrc = np.zeros(n_slots, np.int64)
+                stgt = np.zeros(n_slots, np.int64)
+                sctl = np.zeros((n_slots, K, 3), np.int64)
+                sctl[:, :, 1] = 1
+                ssrc[slot_of] = ops[:, 0]
+                stgt[slot_of] = ops[:, 1]
+                sctl[slot_of, sub_of, 0] = ops[:, 2]
+                sctl[slot_of, sub_of, 1] = ops[:, 3]
+                sctl[slot_of, sub_of, 2] = ops[:, 4]
+                n_subs = np.bincount(slot_of, minlength=n_slots)
+            else:
+                n_slots = 0
+                ssrc = stgt = np.zeros(0, np.int64)
+                sctl = np.zeros((0, K, 3), np.int64)
+                n_subs = np.zeros(0, np.int64)
+
+            # multis first, window-chunked; each under-filled multi quad
+            # ABSORBS singles whose src falls inside its window (they run
+            # correctly under the 2-plane loop; empty plane-1 fillers) —
+            # this keeps the total quad count at v19's density instead of
+            # paying half-filled multi quads (the sparse-multi window
+            # problem that made plain segregation a wash)
+            order = np.argsort(ssrc, kind="stable")
+            mul_o = (n_subs > 1)[order]
+            mult_i = order[mul_o]
+            sing_i = order[~mul_o]
+            sing_src = ssrc[sing_i]
+            sing_used = np.zeros(len(sing_i), bool)
+            multi_quads = []
+            i = 0
+            n = len(mult_i)
+            msrc = ssrc[mult_i]
+            while i < n:
+                lo = int(msrc[i])
+                base = lo & ~15
+                j = i + 1
+                while j < n and j - i < 128 and msrc[j] - base <= 127:
+                    j += 1
+                sel = list(mult_i[i:j])
+                cap = 128 - (j - i)
+                if cap > 0:
+                    a = np.searchsorted(sing_src, base)
+                    b = np.searchsorted(sing_src, base + 128)
+                    avail = np.nonzero(~sing_used[a:b])[0][:cap] + a
+                    if len(avail):
+                        sing_used[avail] = True
+                        sel.extend(sing_i[avail])
+                sel = np.asarray(sel, np.int64)
+                multi_quads.append((base, ssrc[sel], stgt[sel], sctl[sel]))
+                i = j
+            rest = sing_i[~sing_used]
+            rsrc = ssrc[rest]
+            ro = np.argsort(rsrc, kind="stable")
+            rest = rest[ro]
+            rsrc = rsrc[ro]
+            single_quads = []
+            i = 0
+            n = len(rest)
+            while i < n:
+                base = int(rsrc[i]) & ~15
+                j = i + 1
+                while j < n and j - i < 128 and rsrc[j] - base <= 127:
+                    j += 1
+                sel = rest[i:j]
+                single_quads.append((base, ssrc[sel], stgt[sel], sctl[sel]))
+                i = j
+            st_quads = single_quads + multi_quads
+            qm = len(single_quads)
+            nq = len(st_quads)
+            if qm & 1:
+                qm -= 1              # shift one single quad to the 2-plane side
+            if (nq - qm) & 1:        # pad the multi side to even
+                st_quads.append(empty)
+                nq += 1
+            quads.extend(st_quads)
+            qs_t.append(qs_t[-1] + qm)
+            qs_t.append(qs_t[-2] + nq)
+            maxrow = max(maxrow,
+                         max((b + 128 for b, *_ in st_quads), default=128))
+        blocks.append((qs_t, quads))
+        maxq = max(maxq, len(quads))
+    if MAXQ is None:
+        MAXQ = maxq
+    assert maxq <= MAXQ, "MAXQ below a block's quad count"
+    if RL is None:
+        RL = max(maxrow, max(-(-len(lit) // 128) for lit in lit_list) + 1)
+    RLP = max(-(-RL // 16) * 16, -(-maxrow // 16) * 16)
+    NB = MAXQ * 4
+    NG32 = 32 * (-(-NB // 128))
+    qs = np.zeros((B, 2 * NST + 1), np.int32)
+    qbase = np.zeros((B, MAXQ), np.int32)
+    pctrl = np.full((B, K * NG32, 128), 1 << 7, np.int32)
+    tq = np.zeros((B, MAXQ, 128), np.int32)
+    lit8 = np.zeros((B, RLP, 128), np.uint8)
+    for j, ((qs_t, quads), lit) in enumerate(zip(blocks, lit_list)):
+        qs[j, :len(qs_t)] = qs_t
+        qs[j, len(qs_t):] = qs_t[-1]
+        for q, (base, ssrc, stgt, sctl) in enumerate(quads):
+            qbase[j, q] = base
+            n = len(ssrc)
+            if not n:
+                continue
+            i = np.arange(n)
+            bat = 4 * q + (i >> 5)
+            sub = i & 31
+            p0 = (sctl[:, 0, 0] | (sctl[:, 0, 1] << 7)
+                  | (sctl[:, 0, 2] << 14) | ((ssrc - base) << 21))
+            assert (ssrc >= base).all()
+            pctrl[j, 32 * (bat >> 7) + sub, bat & 127] = p0
+            for kk in range(1, K):
+                pk_ = (sctl[:, kk, 0] | (sctl[:, kk, 1] << 7)
+                       | (sctl[:, kk, 2] << 14))
+                pctrl[j, kk * NG32 + 32 * (bat >> 7) + sub, bat & 127] = pk_
+            tq[j, q, i] = stgt
+        flat = np.frombuffer(bytes(lit), np.uint8)
+        lit8[j].reshape(-1)[:len(flat)] = flat
+    return qs, qbase, pctrl, tq, lit8
+
+
+def pack_blocks_v23(pieces_list, lit_list, totals, block: int,
+                    per=None, MAXQ=None, RL=None, quad_align: int = 2,
+                    K: int = 2):
+    """v23: v19 slots/quads with PLANE-INTERLEAVED control layout.
+
+    v19 fetches control with 8 take_along issues per quad (4 batches x
+    K=2 planes). Interleaving the planes per 32-row group — row index
+    (bat>>7)*32K + j*32 + sub instead of j*G32 + (bat>>7)*32 + sub —
+    lets one (32K,128) take_along fetch ALL planes of a batch: 4 issues
+    per quad. Same bytes, half the op issues; the kernel slices the
+    fetch into per-plane halves statically."""
+    qs, qbase, pctrl, tq, lit8 = pack_blocks_v19(
+        pieces_list, lit_list, totals, block, per=per, MAXQ=MAXQ, RL=RL,
+        quad_align=quad_align, K=K)
+    B, KG, _ = pctrl.shape
+    G32 = KG // K
+    NGRP = G32 // 32
+    # reorder rows: new[(g*K + j)*32 + sub] = old[j*G32 + g*32 + sub]
+    old = pctrl.reshape(B, K, NGRP, 32, 128)
+    newp = np.ascontiguousarray(old.transpose(0, 2, 1, 3, 4)).reshape(
+        B, KG, 128)
+    return qs, qbase, newp, tq, lit8
+
+
+def _make_kernel_v23(K: int):
+    def _kernel_v23(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref,
+                    out_ref):
+        b = pl.program_id(0)
+        NST = out_ref.shape[1] // 128
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        row128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+        def contrib_quad(q):
+            base = pl.multiple_of(qbase_ref[b, q], 16)
+            win = litb_ref[0, pl.ds(base, 128), :]
+
+            # one fetch per batch covers ALL K planes (32K rows)
+            fet = []
+            for u in range(4):
+                bat = 4 * q + u
+                grp = pctrl_ref[0, pl.ds((bat >> 7) * 32 * K, 32 * K), :]
+                fet.append(jnp.take_along_axis(
+                    grp, jnp.full((32 * K, 128), bat & 127, jnp.int32),
+                    axis=1))
+
+            def plane(j):
+                return jnp.concatenate(
+                    [f[32 * j:32 * (j + 1)] for f in fet], axis=0)
+
+            bc0 = plane(0)
+            rowrel = jax.lax.shift_right_logical(bc0, 21)
+            onehot = jnp.where(rowiota == rowrel[:, :1],
+                               jnp.float32(1), jnp.float32(0))
+            gath = jax.lax.dot_general(
+                onehot.astype(jnp.bfloat16), win, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            m = ((lane128 >= ((bc0 >> 7) & 127))
+                 & (lane128 <= ((bc0 >> 14) & 127)))
+            bsel = bc0
+            for j in range(1, K):
+                bcj = plane(j)
+                mj = ((lane128 >= ((bcj >> 7) & 127))
+                      & (lane128 <= ((bcj >> 14) & 127)))
+                bsel = jnp.where(mj, bcj, bsel)
+                m = m | mj
+            sh = jnp.take_along_axis(gath, (lane128 + (bsel & 127)) & 127,
+                                     axis=1)
+            c = jnp.where(m, sh, 0)
+            tgt = tq_ref[0, q, :][None, :]
+            pt = jnp.where(row128 == tgt, jnp.float32(1), jnp.float32(0))
+            return jax.lax.dot_general(
+                pt.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+
+        for t in range(NST):
+            q0 = qs_ref[b, t]
+            q1 = qs_ref[b, t + 1]
+
+            def qbody(g, acc):
+                q = q0 + 2 * g
+                return acc + contrib_quad(q) + contrib_quad(q + 1)
+
+            tile = jax.lax.fori_loop(0, (q1 - q0) >> 1, qbody,
+                                     jnp.zeros((128, 128), jnp.int32))
+            out_ref[0, t * 128:(t + 1) * 128, :] = tile
+
+    return _kernel_v23
+
+
+@functools.lru_cache(maxsize=32)
+def v23_kernel(block: int, MAXQ: int, RLP: int, K: int = 2,
+               interpret: bool = False):
+    NR = block // 128
+    NB = MAXQ * 4
+    G32 = 32 * (-(-NB // 128))
+    body = _make_kernel_v23(K)
+
+    def call(qs, qbase, pctrl, tq, lit8):
+        litb = lit8.astype(jnp.bfloat16)
+        tq = tq.astype(jnp.int32)
+        B = pctrl.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, K * G32, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, MAXQ, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RLP, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            body,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(qs, qbase, pctrl, tq, litb)
+
+    return jax.jit(call)
+
+
 def _make_kernel_v20(K: int):
     def _kernel_v20(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref,
                     out_ref):

@@ -52,8 +52,14 @@ def parse_variant(variant):
 def get_pack_kern(variant):
     variant, ksub, _ = parse_variant(variant)
     qa = {"13": 2, "15": 2, "16": 4, "17": 2, "19": 2, "20": 2,
-          "21": 2}.get(variant, 1)
-    if variant == "21":
+          "21": 2, "22": 2, "23": 2}.get(variant, 1)
+    if variant == "23":
+        pack = functools.partial(PD.pack_blocks_v23, K=ksub)
+        kern = lambda b, q, r: PD.v23_kernel(b, q, r, ksub)
+    elif variant == "22":
+        pack = functools.partial(PD.pack_blocks_v22, K=ksub)
+        kern = lambda b, q, r: PD.v20_kernel(b, q, r, ksub)
+    elif variant == "21":
         pack = functools.partial(PD.pack_blocks_v19, K=ksub)
         kern = lambda b, q, r: PD.v21_kernel(b, q, r, ksub)
     elif variant == "20":
