@@ -1003,6 +1003,13 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
   const int HASH_BITS = 15;
   const uint64_t MIN_MATCH = 5;
   static thread_local uint32_t head[1 << 15];
+  static thread_local uint8_t tags8[1 << 15];
+  // fast tier (L1-2 params): filter-first on a 32KB L1-resident tag
+  // table; on tag mismatch the bucket's chain is NOT extended (the
+  // reference's fast-level economics, zxc_compress.c:219-239: losing
+  // cross-group chain history costs a sliver of ratio for a large cut
+  // in head-table traffic on miss-heavy regions)
+  const int fast_tier = (max_probes <= 5);
   if (n < MIN_MATCH + 1) return 0;
   // dict-seed snapshot state (restored below when the same dict returns)
   static thread_local uint8_t *seed_dict = nullptr;
@@ -1012,8 +1019,14 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
   const uint64_t SB = start >= 4 ? start - 4 : 0;  // cache-covered prefix
   const bool seed_hit = start > 0 && SB > 0 && seed_start == start &&
                         seed_dict && memcmp(seed_dict, data, start) == 0;
-  if (!seed_hit)
+  if (!seed_hit) {
     memset(head, 0xFF, sizeof(head));  // 0xFFFFFFFF = empty (pos > any n)
+    if (fast_tier) memset(tags8, 0, sizeof(tags8));
+  } else if (fast_tier) {
+    // seeded path: tags8 must reflect the head state; rebuild cheap
+    for (int i = 0; i < (1 << HASH_BITS); i++)
+      tags8[i] = (uint8_t)(head[i] >> 24);
+  }
   // reusable per-thread chain buffer (grown on demand): skips the per-call
   // allocation + first-touch page faults of new[]
   static thread_local uint32_t *chain_buf = nullptr;
@@ -1052,6 +1065,8 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
     uint32_t h = ht >> 8;
     chain[p] = head[h];
     head[h] = ((ht & 0xFF) << 24) | (uint32_t)p;
+    tags8[h] = (uint8_t)(ht & 0xFF);  // keep the fast-tier filter in sync
+                                      // (dict seeding runs through here)
   };
 
   auto insert = [&](uint64_t p) {
@@ -1178,6 +1193,123 @@ done:
       }
     }
     for (uint64_t p = SB; p < start; p++) insert(p);
+  }
+
+  // fast-tier search: one tags8 load gates everything; a mismatch skips
+  // the head load AND breaks the bucket's chain at p (sentinel link)
+  auto search_fast = [&](uint64_t p, int *best_len, int64_t *best_off) {
+    *best_len = 0;
+    *best_off = 1;
+    if (p >= hend) return;
+#ifndef ZXCH_NO_REP
+    if (rep_off > 0 && p >= (uint64_t)rep_off) {
+      uint32_t a4, b4;
+      memcpy(&a4, data + p, 4);
+      memcpy(&b4, data + p - (uint64_t)rep_off, 4);
+      if (a4 == b4)
+        try_cand(p, p - (uint64_t)rep_off, best_len, best_off);
+    }
+#endif
+    uint32_t ht = cur_ht = hash5t(data + p);
+    uint32_t h = ht >> 8;
+    uint32_t mytag = ht & 0xFF;
+    if (tags8[h] != (uint8_t)mytag) {
+      // group alternation: break the chain, take the bucket
+      chain[p] = 0xFFFFFFFFu;
+      head[h] = (mytag << 24) | (uint32_t)p;
+      tags8[h] = (uint8_t)mytag;
+      return;
+    }
+    if (*best_len >= sufficient_len) {
+      uint32_t old = head[h];
+      chain[p] = old;
+      head[h] = (mytag << 24) | (uint32_t)p;
+      return;
+    }
+    uint32_t cand = head[h];
+    chain[p] = cand;
+    head[h] = (mytag << 24) | (uint32_t)p;
+    int probes = max_probes;
+    const uint64_t max_len = n - p;
+    while (cand != 0xFFFFFFFFu && probes-- > 0) {
+      uint64_t c = cand & 0xFFFFFF;
+      if (p - c > WINDOW) break;
+      uint32_t nxt = chain[c];
+      if ((cand >> 24) != mytag ||
+          (*best_len > 0 &&
+           (c + (uint64_t)*best_len >= n ||
+            data[c + *best_len] != data[p + *best_len]))) {
+        cand = nxt;
+        continue;
+      }
+      uint64_t m = 0;
+      while (m + 8 <= max_len) {
+        uint64_t a, b;
+        memcpy(&a, data + c + m, 8);
+        memcpy(&b, data + p + m, 8);
+        uint64_t x = a ^ b;
+        if (x) { m += (uint64_t)(__builtin_ctzll(x) >> 3); goto fdone; }
+        m += 8;
+      }
+      while (m < max_len && data[c + m] == data[p + m]) m++;
+fdone:
+      if ((int)m > *best_len) {
+        *best_len = (int)m;
+        *best_off = (int64_t)(p - c);
+        if (m >= max_len || *best_len >= sufficient_len) break;
+      }
+      cand = nxt;
+    }
+  };
+
+  auto insert_fast = [&](uint64_t p) {
+    if (p >= hend) return;
+    uint32_t ht = hash5t(data + p);
+    uint32_t h = ht >> 8;
+    chain[p] = head[h];
+    head[h] = ((ht & 0xFF) << 24) | (uint32_t)p;
+    tags8[h] = (uint8_t)(ht & 0xFF);
+  };
+
+  if (fast_tier) {
+    uint64_t nseq = 0;
+    uint64_t p = start;
+    uint64_t anchor = start;
+    while (p < n) {
+      int l;
+      int64_t o;
+      search_fast(p, &l, &o);   // search inserts p itself
+      if (l < min_emit) {
+        p += (uint64_t)step_base + ((p - anchor) >> step_shift);
+        continue;
+      }
+      uint64_t already = p;
+      if (lazy && l < sufficient_len && p + 1 < n) {
+        int l2;
+        int64_t o2;
+        search_fast(p + 1, &l2, &o2);
+        already = p + 1;
+        if (l2 >= min_emit && l2 > l) { p++; l = l2; o = o2; }
+      }
+      uint64_t bt = 0;
+      while (p - bt > anchor && p - bt > (uint64_t)o &&
+             data[p - bt - 1] == data[p - bt - 1 - (uint64_t)o])
+        bt++;
+      if (nseq >= max_seq) return -10;
+      out_pos[nseq] = (int32_t)(p - bt - start);
+      out_len[nseq] = l + (int32_t)bt;
+      out_off[nseq] = (int32_t)o;
+      rep_off = o;
+      nseq++;
+      uint64_t end = p + (uint64_t)l;
+      uint64_t step = (uint64_t)(l > 32 ? 2 * cover_base : cover_base);
+      uint64_t q0 = (already > p ? already : p) + step;
+      for (uint64_t q = q0; q < end && q < hend; q += step)
+        insert_fast(q);
+      p = end;
+      anchor = end;
+    }
+    return (int64_t)nseq;
   }
 
   uint64_t nseq = 0;
@@ -2683,6 +2815,23 @@ static int64_t zxch_encode_hufflit(const uint8_t *data, uint64_t P,
   const uint64_t FIXED = 16 + 32 + 128;
   if (FIXED + (P + 7) / 8 >= budget || FIXED + (P + 7) / 8 > cap) return -1;
   uint64_t freq[256];
+  // sampled pre-gate: a 1/16-stride histogram estimates the Huffman
+  // payload; when the estimate exceeds the budget by >10% the full
+  // histogram pass (the second-hottest op in the L1 profile) is skipped.
+  // The margin makes misfires vanishingly rare on real data; archives
+  // remain wire-legal either way (the candidate is an optimization).
+  if (P >= 1 << 16) {
+    uint64_t sfreq[256] = {0};
+    uint64_t cnt = 0;
+    for (uint64_t i = 0; i < P; i += 16) { sfreq[data[i]]++; cnt++; }
+    uint8_t scl[256];
+    if (zxch_build_code_lengths(sfreq, 8, scl) >= 2) {
+      uint64_t sbits = 0;
+      for (int s = 0; s < 256; s++) sbits += sfreq[s] * scl[s];
+      uint64_t est = (sbits * (P / cnt)) / 8;
+      if (FIXED + est > budget + budget / 10) return -1;
+    }
+  }
   zxch_hist4(data, P, freq);
   uint8_t cl[256];
   if (zxch_build_code_lengths(freq, 8, cl) < 2) return -1;
