@@ -25,33 +25,84 @@ VERSION = "0.1.0"
 SUFFIX = ".zxc"
 
 
-class Progress:
-    """Reference-style progress display (policy auto/always/never,
-    src/cli/main.c:312-330,570-690): a single stderr line updated per
-    block batch, shown on TTYs under 'auto'."""
+def _fmt_size(n: int) -> str:
+    """Decimal size string (reference format_size_decimal)."""
+    for unit, div in (("GB", 1e9), ("MB", 1e6), ("KB", 1e3)):
+        if n >= div:
+            return f"{n / div:.1f} {unit}"
+    return f"{n} B"
 
-    def __init__(self, policy: str, total: int, label: str):
-        import sys as _s
-        self.enabled = (policy == "always" or
-                        (policy == "auto" and _s.stderr.isatty()))
-        self.total = max(total, 1)
+
+class Progress:
+    """Reference-rendering progress bar (src/cli/main.c:570-690):
+
+    ``Compressing [=====>        ] 45% | 4.5 MB/10.0 MB | 156.0 MB/s | ETA 0:35``
+
+    Frames are throttled (100 ms on a tty, 1 s otherwise) and emitted as
+    ONE stderr write; off-tty --progress=always prints newline-terminated
+    updates; the final frame is cleared with padded spaces. Policy
+    auto/always/never matches main.c:312-330 (auto = tty only)."""
+
+    BAR_WIDTH = 20
+
+    def __init__(self, policy: str, total: int, label: str,
+                 operation: str = "Compressing"):
+        self.to_tty = sys.stderr.isatty()
+        self.enabled = (policy == "always"
+                        or (policy == "auto" and self.to_tty))
+        self.total = total
+        self.op = operation
         self.label = label
         self.done = 0
         self.t0 = time.time()
+        self.last_draw = 0.0
+        self.last_len = 0
+
+    def _text(self) -> str:
+        elapsed = time.time() - self.t0
+        speed = (self.done / 1e6 / elapsed) if elapsed > 0.1 else 0.0
+        if self.total > 0:
+            pct = min(100, self.done * 100 // self.total)
+            filled = pct * self.BAR_WIDTH // 100
+            bar = ("=" * filled + (">" if filled < self.BAR_WIDTH else "")
+                   ).ljust(self.BAR_WIDTH)
+            eta = ""
+            if speed > 0 and self.total > self.done:
+                secs = int((self.total - self.done) / (speed * 1e6))
+                eta = (f" | ETA {secs // 3600}:{(secs // 60) % 60:02d}:"
+                       f"{secs % 60:02d}" if secs >= 3600
+                       else f" | ETA {secs // 60}:{secs % 60:02d}")
+            return (f"{self.op} [{bar}] {pct}% | {_fmt_size(self.done)}/"
+                    f"{_fmt_size(self.total)} | {speed:.1f} MB/s{eta}")
+        return f"{self.op} {_fmt_size(self.done)} | {speed:.1f} MB/s"
 
     def update(self, n: int):
         if not self.enabled:
             return
         self.done += n
-        pct = min(100, self.done * 100 // self.total)
-        rate = self.done / 1e6 / max(time.time() - self.t0, 1e-9)
-        bar = "=" * (pct * 30 // 100)
-        print(f"\r{self.label}: [{bar:<30}] {pct:3d}%  {rate:6.1f} MB/s",
-              end="", file=sys.stderr, flush=True)
+        now = time.time()
+        interval = 0.1 if self.to_tty else 1.0
+        if self.last_draw and now - self.last_draw < interval:
+            return
+        self.last_draw = now
+        text = self._text()
+        if self.to_tty:
+            pad = " " * max(0, self.last_len - len(text))
+            sys.stderr.write("\r" + text + pad)
+            self.last_len = len(text)
+        else:
+            sys.stderr.write(text + "\n")
+        sys.stderr.flush()
 
     def finish(self):
-        if self.enabled:
-            print(file=sys.stderr)
+        if not self.enabled:
+            return
+        if self.to_tty:  # clear the line (reference zxc_progress_clear)
+            sys.stderr.write("\r" + " " * self.last_len + "\r")
+            sys.stderr.flush()
+        else:
+            sys.stderr.write(self._text() + "\n")
+            sys.stderr.flush()
 
 
 class Log:
@@ -286,7 +337,17 @@ def cmd_decompress(args, log: Log) -> int:
         blob = _read(src)
         t0 = time.time()
         hp = (src + ".zxh") if (args.hints and src and args.device) else None
+        dsz = None
+        try:
+            from .codec import seekable as _sk
+            dsz = frame.get_decompressed_size(blob)
+        except Exception:
+            pass
+        prog = Progress(args.progress, dsz or 0, src or "stdin",
+                        operation="Decompressing")
         out = _decode(blob, dopts, args.device, hp)
+        prog.update(len(out))
+        prog.finish()
         dt = time.time() - t0
         if args.stdout or src is None:
             dst = None
