@@ -29,6 +29,7 @@ def driver():
     if not os.path.exists(_BIN) or os.path.getmtime(_BIN) < src_mtime:
         r = subprocess.run(
             ["g++", "-O1", "-g", "-march=native", "-fsanitize=address,undefined",
+             "-fsanitize-coverage=trace-pc",
              "-fno-sanitize-recover=all", "-o", _BIN + ".tmp", _SRC],
             capture_output=True, text=True, timeout=300)
         if r.returncode != 0:

@@ -12,6 +12,7 @@ Usage: python tools/fuzz_loop.py [seconds]   (default 3600)
 Prints one status line per minute; exits nonzero on the first divergence.
 """
 import os
+import hashlib
 import subprocess
 import sys
 import time
@@ -27,6 +28,57 @@ from zxc_tpu.codec.frame import EncodeOpts, DecodeOpts  # noqa: E402
 from zxc_tpu.errors import ZxcError  # noqa: E402
 
 SAN = os.path.join(_REPO, ".san_driver")
+CORPUS = os.path.join(_REPO, "tests", "fuzz_corpus")
+
+# coverage feedback (reference parity: libFuzzer edge coverage under
+# ClusterFuzzLite; here gcc -fsanitize-coverage=trace-pc in the ASan
+# driver): the driver dumps a 64 KiB edge map per run; the loop merges
+# maps and keeps inputs that light NEW edges in tests/fuzz_corpus/
+# (corpus distillation). Replaying the corpus at startup re-establishes
+# the baseline so only genuinely novel inputs accumulate.
+_cov_map = np.zeros(1 << 16, np.uint8)
+_cov_tmp = f"/tmp/fuzz_cov_{os.getpid()}.bin"
+
+
+def _san_run(tmp: str, collect: bool):
+    env = dict(os.environ, ZXCH_COV_OUT=_cov_tmp) if collect else None
+    r = subprocess.run([SAN, "d", tmp], capture_output=True, timeout=120,
+                       env=env)
+    if r.returncode != 0:
+        raise SystemExit(f"SANITIZER report:\n{r.stderr.decode()[-2000:]}")
+    if not collect or not os.path.exists(_cov_tmp):
+        return 0
+    m = np.fromfile(_cov_tmp, np.uint8)
+    if len(m) != len(_cov_map):
+        return 0
+    new = int(((m == 1) & (_cov_map == 0)).sum())
+    if new:
+        np.bitwise_or(_cov_map, m, out=_cov_map)
+    return new
+
+
+def _corpus_add(arc: bytes) -> None:
+    os.makedirs(CORPUS, exist_ok=True)
+    if len(os.listdir(CORPUS)) >= 512:
+        return
+    name = hashlib.sha256(arc).hexdigest()[:16] + ".zxc"
+    path = os.path.join(CORPUS, name)
+    if not os.path.exists(path):
+        with open(path, "wb") as f:
+            f.write(arc)
+
+
+def replay_corpus(tmp: str) -> int:
+    """Seed the edge map from the distilled corpus; returns edge count."""
+    if not os.path.isdir(CORPUS) or not os.path.exists(SAN):
+        return 0
+    for name in sorted(os.listdir(CORPUS)):
+        with open(os.path.join(CORPUS, name), "rb") as f:
+            arc = f.read()
+        with open(tmp, "wb") as g:
+            g.write(arc)
+        _san_run(tmp, collect=True)
+    return int(_cov_map.sum())
 
 
 def gen_input(rng) -> bytes:
@@ -97,9 +149,8 @@ def decode_all(arc: bytes, expected: bytes | None, checksum: bool,
     if dct is None and os.path.exists(SAN):
         with open(tmp, "wb") as f:
             f.write(arc)
-        r = subprocess.run([SAN, "d", tmp], capture_output=True, timeout=120)
-        if r.returncode != 0:
-            raise SystemExit(f"SANITIZER report:\n{r.stderr.decode()[-2000:]}")
+        if _san_run(tmp, collect=True):
+            _corpus_add(arc)   # new edges: distill into the corpus
     ok_ours = not isinstance(results["ours"], tuple)
     ok_ref = not isinstance(results["ref"], tuple)
     if ok_ours != ok_ref:
@@ -131,6 +182,14 @@ def main() -> int:
         samples = [gen_input(drng)[:8000] for _ in range(24)]
         samples = [x for x in samples if x] or [b"zxc dict seed"]
         dict_pool.append(dict_train.dict_train(samples, target_size=8192))
+    base_edges = replay_corpus(tmp)
+    if base_edges:
+        print(f"[corpus] replayed {len(os.listdir(CORPUS))} inputs, "
+              f"{base_edges} edges baseline", flush=True)
+    # corpus MUTATION source: distilled inputs re-enter the mutator (the
+    # actual coverage-guided loop, not just distillation)
+    corpus_files = (sorted(os.listdir(CORPUS))
+                    if os.path.isdir(CORPUS) else [])
     while time.time() - t0 < budget:
         data = gen_input(rng)
         level = int(rng.integers(1, 8))
@@ -160,9 +219,16 @@ def main() -> int:
             raise SystemExit(f"encoder raised: {e}")
         decode_all(arc, data, checksum, tmp, dct)
         n_cases += 1
-        # mutate
+        # mutate: 1-in-4 rounds mutate a distilled-corpus input instead of
+        # the fresh archive (coverage-guided re-mutation)
+        seed_arc = arc
+        if corpus_files and rng.integers(0, 4) == 0:
+            with open(os.path.join(
+                    CORPUS, corpus_files[int(rng.integers(
+                        0, len(corpus_files)))]), "rb") as cf:
+                seed_arc = cf.read()
         for _ in range(int(rng.integers(1, 6))):
-            m = bytearray(arc)
+            m = bytearray(seed_arc)
             op = rng.integers(0, 3)
             if op == 0 and len(m):
                 m[int(rng.integers(0, len(m)))] ^= int(rng.integers(1, 256))
@@ -176,8 +242,11 @@ def main() -> int:
         if time.time() - last_log > 60:
             last_log = time.time()
             print(f"[{time.time()-t0:7.0f}s] {n_cases} cases, "
-                  f"{n_mutants} mutants, no divergence", flush=True)
-    print(f"DONE: {n_cases} cases, {n_mutants} mutants, no divergence")
+                  f"{n_mutants} mutants, no divergence, "
+                  f"{int(_cov_map.sum())} edges", flush=True)
+    print(f"DONE: {n_cases} cases, {n_mutants} mutants, no divergence, "
+          f"{int(_cov_map.sum())} edges covered, corpus "
+          f"{len(os.listdir(CORPUS)) if os.path.isdir(CORPUS) else 0}")
     return 0
 
 

@@ -22,6 +22,41 @@
 
 #include "../zxc_tpu/runtime/zxc_host.cpp"
 
+// ---------------------------------------------------------------------------
+// Edge coverage (reference parity: the reference fuzzes under libFuzzer's
+// coverage feedback via ClusterFuzzLite, .clusterfuzzlite/ + tests/fuzz_*.c;
+// gcc has no libFuzzer, so the same feedback is built from
+// -fsanitize-coverage=trace-pc): every instrumented edge calls
+// __sanitizer_cov_trace_pc(); an AFL-style (prev ^ cur) hash marks a bit in
+// a 64 KiB map, dumped to ZXCH_COV_OUT at exit. tools/fuzz_loop.py merges
+// maps across runs and keeps inputs that light new edges (corpus
+// distillation into tests/fuzz_corpus/).
+// ---------------------------------------------------------------------------
+static uint8_t g_cov_map[1 << 16];
+static uintptr_t g_cov_prev = 0;
+
+extern "C" __attribute__((no_sanitize_coverage, no_sanitize_address))
+void __sanitizer_cov_trace_pc(void) {
+  // PIE: normalize against a module anchor so edge ids are ASLR-stable
+  // across runs (the fuzz loop merges maps from many processes)
+  static const uintptr_t base =
+      (uintptr_t)(void *)&__sanitizer_cov_trace_pc;
+  uintptr_t pc = (uintptr_t)__builtin_return_address(0) - base;
+  uintptr_t h = (pc >> 2) ^ (g_cov_prev << 1);
+  g_cov_map[h & ((1 << 16) - 1)] = 1;
+  g_cov_prev = pc >> 2;
+}
+
+__attribute__((no_sanitize_coverage))
+static void cov_dump(void) {
+  const char *out = getenv("ZXCH_COV_OUT");
+  if (!out) return;
+  FILE *f = fopen(out, "wb");
+  if (!f) return;
+  fwrite(g_cov_map, 1, sizeof(g_cov_map), f);
+  fclose(f);
+}
+
 static std::vector<uint8_t> read_file(const char *path) {
   FILE *f = fopen(path, "rb");
   if (!f) { perror(path); exit(2); }
@@ -79,6 +114,7 @@ static int64_t decode(const std::vector<uint8_t> &arc, int verify,
 }
 
 int main(int argc, char **argv) {
+  atexit(cov_dump);
   if (argc < 3) { fprintf(stderr, "usage: san_driver d|r file [level]\n"); return 2; }
   if (argv[1][0] == 'd') {
     std::vector<uint8_t> arc = read_file(argv[2]);
