@@ -78,11 +78,12 @@ int zxch_find_matches(const uint8_t *data, uint64_t n, uint64_t start,
 int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
                         int max_probes, int lazy, int sufficient_len,
                         int step_base, int step_shift, int cover_base,
-                        int32_t *out_pos, int32_t *out_len,
+                        int min_emit, int32_t *out_pos, int32_t *out_len,
                         int32_t *out_off, uint64_t max_seq);
 int64_t zxch_lazy_parse(const int32_t *lens, const int32_t *offs, uint64_t P,
-                        int lazy, int32_t *out_pos, int32_t *out_len,
-                        int32_t *out_off, uint64_t max_seq);
+                        int lazy, int min_emit, int32_t *out_pos,
+                        int32_t *out_len, int32_t *out_off,
+                        uint64_t max_seq);
 int64_t zxch_optimal_parse(const int32_t *lens, const int32_t *offs,
                            uint64_t P, const uint8_t *data,
                            const uint16_t *lit_cost_bits, int token_bits,
@@ -141,6 +142,54 @@ int64_t zxch_simple_compress_dict(const uint8_t *data, uint64_t n, int level,
                                   int seekable, const uint8_t *dict,
                                   uint64_t n_dict, const uint8_t *dict_cl256,
                                   uint8_t *dst, uint64_t dst_cap);
+/* -- device-dispatch prep + piece-plan hints ------------------------ */
+/* Fused v19 prep: one call takes a block payload to the packed device
+ * control slices (section parse + entropy literals + piece resolution +
+ * lane-op packing). Returns the decoded size, or a negative error (-10
+ * also means MAXQ/NG32/RLP too small: *out_nq / *out_maxrow /
+ * *out_litrows then hold lower bounds for a resize-and-retry).        */
+int64_t zxch_v19_prep_block(const uint8_t *payload, uint64_t plen,
+                            int block_type, uint64_t block_size,
+                            const uint8_t *dict, uint64_t n_dict,
+                            const uint8_t *dict_cl256, int K,
+                            int quad_align, int32_t *qs, int32_t *qbase,
+                            int32_t *pctrl, uint8_t *tq, uint8_t *lit8,
+                            int64_t MAXQ, int64_t NG32, int64_t RLP,
+                            int64_t *out_nq, int64_t *out_maxrow,
+                            int64_t *out_litrows);
+/* zxch_v19_prep_block PLUS the lit8 replay plan: `plan` receives
+ * (n_plan x 4) i32 control records {kind, dst, src_or_byte, len}
+ * (kind 0 = intra-window memcpy, 1 = memset) that rebuild the
+ * resolver-materialized window tail without re-running resolution —
+ * the encode-time piece-plan hint payload (.zxh). Records carry no
+ * data bytes. -16 = plan_cap too small (grow and retry).              */
+int64_t zxch_v19_prep_block_plan(const uint8_t *payload, uint64_t plen,
+                                 int block_type, uint64_t block_size,
+                                 const uint8_t *dict, uint64_t n_dict,
+                                 const uint8_t *dict_cl256, int K,
+                                 int quad_align, int32_t *qs,
+                                 int32_t *qbase, int32_t *pctrl,
+                                 uint8_t *tq, uint8_t *lit8, int64_t MAXQ,
+                                 int64_t NG32, int64_t RLP,
+                                 int64_t *out_nq, int64_t *out_maxrow,
+                                 int64_t *out_litrows, int32_t *plan,
+                                 int64_t plan_cap, int64_t *out_nplan,
+                                 int64_t *out_litlen);
+/* Hint replay: archive literal decode + bounds-checked plan replay into
+ * lit8 (every data byte comes from the archive; the hint is control
+ * only). Returns litrows >= 0 or a negative error.                    */
+int64_t zxch_v19_lit8_load(const uint8_t *payload, uint64_t plen,
+                           int block_type, uint64_t block_size,
+                           const uint8_t *dict, uint64_t n_dict,
+                           const uint8_t *dict_cl256, const int32_t *plan,
+                           int64_t n_plan, int64_t lit_len, uint8_t *lit8,
+                           int64_t RLP);
+/* Build ISA guard: 1 when the CPU supports every instruction set the
+ * library was compiled with (AVX2 tier under ZXCH_PORTABLE=1;
+ * -march=native otherwise), else 0 — callers must rebuild or switch
+ * tiers instead of calling further symbols.                           */
+int zxch_isa_supported(void);
+
 /* -- dictionary trainer (zxc_dict_train parity) -------------------- */
 /* Samples arrive flattened: `flat` = all sample bytes back to back,
  * sizes[i] their lengths. Content selection only; returns the content
@@ -192,6 +241,32 @@ void zxch_dstream_free(void *h);
 /* -- reusable contexts (zxc_create_cctx/dctx parity): sticky options,
  * dictionary attached once (id + table unpack amortized). ------------ */
 void *zxch_cctx_new(void);
+
+/* Static (caller-workspace) contexts — reference zxc_init_static_cctx /
+ * zxc_init_static_dctx + zxc_estimate_cctx_size parity
+ * (zxc_dispatch.c:1885-2010) for embedded / no-heap call sites.
+ *
+ * zxch_cctx_static_size(max_dict) returns the workspace bytes needed for
+ * a compression context able to hold a dictionary of up to max_dict
+ * bytes. zxch_cctx_init_static carves the context from the caller's
+ * 8-byte-aligned buffer and returns a handle (== ws) usable with every
+ * zxch_cctx_* entry point; it NEVER heap-allocates for context state,
+ * and zxch_cctx_free on it is a no-op (the caller owns the memory).
+ * Returns NULL when ws is too small, misaligned, or the options are
+ * invalid. Attaching a dictionary larger than max_dict fails with -17.
+ *
+ * Scope note (documented difference from the reference): the reference
+ * carves ALL encoder scratch into the workspace; here per-thread codec
+ * scratch is process-wide thread_local storage grown once and reused —
+ * the static context removes per-context allocations, not the runtime's
+ * one-time per-thread scratch. */
+uint64_t zxch_cctx_static_size(uint64_t max_dict);
+uint64_t zxch_dctx_static_size(uint64_t max_dict);
+void *zxch_cctx_init_static(void *ws, uint64_t ws_size, int level,
+                            uint64_t block_size, int checksum,
+                            int seekable, uint64_t max_dict);
+void *zxch_dctx_init_static(void *ws, uint64_t ws_size, int verify,
+                            uint64_t max_dict);
 int zxch_cctx_set(void *h, int level, uint64_t block_size, int checksum,
                   int seekable);
 int zxch_cctx_attach_dict(void *h, const uint8_t *dict, uint64_t n,

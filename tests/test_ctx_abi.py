@@ -102,3 +102,84 @@ def test_ctx_dict_attach_roundtrip():
     finally:
         L.zxch_cctx_free(cc)
         L.zxch_dctx_free(dc)
+
+
+def test_static_contexts():
+    """Caller-workspace contexts (reference zxc_init_static_cctx parity):
+    size estimator, no-heap init, full interop with the heap handles,
+    byte-identity with the one-shot encoder, -17 on dict overflow."""
+    L = _lib()
+    vp, u64, ci = ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int
+    L.zxch_cctx_static_size.restype = u64
+    L.zxch_cctx_static_size.argtypes = [u64]
+    L.zxch_dctx_static_size.restype = u64
+    L.zxch_dctx_static_size.argtypes = [u64]
+    L.zxch_cctx_init_static.restype = vp
+    L.zxch_cctx_init_static.argtypes = [vp, u64, ci, u64, ci, ci, u64]
+    L.zxch_dctx_init_static.restype = vp
+    L.zxch_dctx_init_static.argtypes = [vp, u64, ci, u64]
+
+    data = (b"static context payload " * 500)[:9000]
+    csz = int(L.zxch_cctx_static_size(4096))
+    dsz = int(L.zxch_dctx_static_size(4096))
+    cws = (ctypes.c_uint8 * csz)()
+    dws = (ctypes.c_uint8 * dsz)()
+    # too-small workspace is rejected
+    assert L.zxch_cctx_init_static(cws, 16, 3, 4096, 0, 0, 4096) is None
+    cc = L.zxch_cctx_init_static(cws, csz, 3, 4096, 1, 0, 4096)
+    dc = L.zxch_dctx_init_static(dws, dsz, 1, 4096)
+    assert cc and dc
+    cap = 40000
+    buf = (ctypes.c_uint8 * cap)()
+    out = (ctypes.c_uint8 * cap)()
+    w = L.zxch_cctx_compress(cc, data, len(data), buf, cap)
+    assert w > 0
+    exp = frame.compress(data, EncodeOpts(level=3, block_size=4096,
+                                          checksum=True))
+    assert bytes(buf[:w]) == exp
+    n = L.zxch_dctx_decompress(dc, bytes(buf[:w]), w, out, cap)
+    assert n == len(data) and bytes(out[:n]) == data
+    # sticky-option change through the same entry point
+    assert L.zxch_cctx_set(cc, 1, 4096, 0, 0) == 0
+    w1 = L.zxch_cctx_compress(cc, data, len(data), buf, cap)
+    assert bytes(buf[:w1]) == frame.compress(
+        data, EncodeOpts(level=1, block_size=4096))
+    # dict attach within / beyond capacity
+    dict_content = (b"static dict seed " * 300)[:4096]
+    assert L.zxch_cctx_attach_dict(cc, dict_content, 4096, None) == 0
+    assert L.zxch_cctx_attach_dict(cc, dict_content + b"x", 4097, None) == -17
+    # dict-framed roundtrip through static contexts
+    assert L.zxch_cctx_attach_dict(cc, dict_content, 4096, None) == 0
+    assert L.zxch_dctx_attach_dict(dc, dict_content, 4096, None) == 0
+    w2 = L.zxch_cctx_compress(cc, data, len(data), buf, cap)
+    assert w2 > 0
+    n2 = L.zxch_dctx_decompress(dc, bytes(buf[:w2]), w2, out, cap)
+    assert n2 == len(data) and bytes(out[:n2]) == data
+    # free is a no-op on static handles (must not crash / double free)
+    L.zxch_cctx_free(cc)
+    L.zxch_dctx_free(dc)
+
+
+def test_portable_tier_builds(tmp_path):
+    """ZXCH_PORTABLE=1 produces an AVX2-tier .so that passes a roundtrip
+    (the redistributable-binary story; reference ships per-ISA variants,
+    cmake/zxcVariants.cmake:13-83)."""
+    import subprocess, os
+    src = os.path.join(os.path.dirname(runtime.__file__), "zxc_host.cpp")
+    so = str(tmp_path / "libzxchost_avx2.so")
+    r = subprocess.run(["g++", "-O3", "-mavx2", "-mbmi", "-mbmi2",
+                        "-mlzcnt", "-shared", "-fPIC", "-o", so, src],
+                       capture_output=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-500:]
+    P = ctypes.CDLL(so)
+    P.zxch_simple_compress.restype = ctypes.c_int64
+    P.zxch_simple_decompress.restype = ctypes.c_int64
+    assert P.zxch_isa_supported() == 1   # AVX2 host: tier must load
+    data = (b"portable tier roundtrip " * 400)[:8000]
+    buf = (ctypes.c_uint8 * 40000)()
+    out = (ctypes.c_uint8 * 40000)()
+    w = P.zxch_simple_compress(data, len(data), 3, 4096, 0, 0, buf, 40000)
+    assert w > 0
+    n = P.zxch_simple_decompress(bytes(buf[:w]), w, out, 40000,
+                                 None, 0, None, 0)
+    assert n == len(data) and bytes(out[:n]) == data

@@ -62,9 +62,22 @@ def _native_into_bytes(tl_name: str, cap: int, call):
     return _pyapi.PyBytes_FromStringAndSize(ptr, w), w
 
 
+def _isa_flags() -> list[str]:
+    """-march=native by default; ZXCH_PORTABLE=1 selects the AVX2 tier
+    (-mavx2 -mbmi -mbmi2 -mlzcnt, no AVX-512) so the produced .so is
+    redistributable across x86-64-v3 hosts — the reference ships per-ISA
+    variant objects with runtime dispatch (cmake/zxcVariants.cmake:13-83,
+    zxc_dispatch.c:148-302); our single-tier analog trades its in-binary
+    dispatch for a build-time tier choice, with zxch_isa_supported
+    guarding against running a native-tier .so on a weaker CPU."""
+    if os.environ.get("ZXCH_PORTABLE"):
+        return ["-mavx2", "-mbmi", "-mbmi2", "-mlzcnt"]
+    return ["-march=native"]
+
+
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", _SO + ".tmp", _SRC]
+    cmd = (["g++", "-O3"] + _isa_flags()
+           + ["-shared", "-fPIC", "-o", _SO + ".tmp", _SRC])
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(_SO + ".tmp", _SO)

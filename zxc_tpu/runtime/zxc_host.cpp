@@ -5262,7 +5262,15 @@ void zxch_dstream_free(void *h) { delete (ZxchDStream *)h; }
 
 namespace {
 
+// handle tags: every context starts with a magic so the shared entry
+// points (set/attach/compress/free) accept heap AND static handles
+constexpr uint32_t CCTX_MAGIC = 0x43585443u;   // "CTXC"
+constexpr uint32_t DCTX_MAGIC = 0x43585444u;   // "DTXC"
+constexpr uint32_t CCTX_SMAGIC = 0x53585443u;  // "CTXS"
+constexpr uint32_t DCTX_SMAGIC = 0x53585444u;  // "DTXS"
+
 struct ZxchCctx {
+  uint32_t magic = CCTX_MAGIC;
   int level = 3;
   uint64_t bs = 512 * 1024;
   int checksum = 0;
@@ -5273,9 +5281,39 @@ struct ZxchCctx {
 };
 
 struct ZxchDctx {
+  uint32_t magic = DCTX_MAGIC;
   int verify = 0;
   std::vector<uint8_t> dict;
   std::vector<uint8_t> cl256;
+};
+
+// Static (caller-workspace) contexts: the reference carves its whole
+// cctx from one caller allocation for kernel/embedded use
+// (zxc_init_static_cctx, zxc_dispatch.c:1885-2010; layout
+// zxc_common.c:164). Here the CONTEXT state (options + dict + unpacked
+// table) is carved from the caller's buffer and the context itself never
+// heap-allocates; per-THREAD codec scratch remains process-wide
+// thread_local (grown once, reused) — documented difference from the
+// reference's fully-workspace model, see include/zxc_host.h.
+struct ZxchCctxS {
+  uint32_t magic;
+  int level, checksum, seekable;
+  uint64_t bs;
+  uint64_t dict_cap, dict_len;
+  uint32_t dict_id;
+  int has_cl;
+  // trailing: uint8_t cl256[256]; uint8_t dict[dict_cap]
+  uint8_t *cl() { return (uint8_t *)(this + 1); }
+  uint8_t *dictp() { return cl() + 256; }
+};
+
+struct ZxchDctxS {
+  uint32_t magic;
+  int verify;
+  uint64_t dict_cap, dict_len;
+  int has_cl;
+  uint8_t *cl() { return (uint8_t *)(this + 1); }
+  uint8_t *dictp() { return cl() + 256; }
 };
 
 int ctx_attach(std::vector<uint8_t> &dict, std::vector<uint8_t> &cl256,
@@ -5299,10 +5337,62 @@ extern "C" {
 
 void *zxch_cctx_new(void) { return new ZxchCctx(); }
 
+// Workspace size for a static cctx/dctx able to hold a dictionary of up
+// to max_dict bytes (reference zxc_estimate_cctx_size parity).
+uint64_t zxch_cctx_static_size(uint64_t max_dict) {
+  return sizeof(ZxchCctxS) + 256 + max_dict + 64;
+}
+
+uint64_t zxch_dctx_static_size(uint64_t max_dict) {
+  return sizeof(ZxchDctxS) + 256 + max_dict + 64;
+}
+
+// Initialize a cctx inside the caller's workspace (no heap for context
+// state; per-thread codec scratch stays thread_local — see header).
+// Returns the handle (== ws) or NULL when ws is too small / misaligned
+// parameters are invalid. The handle works with every zxch_cctx_* entry
+// point; zxch_cctx_free is a no-op for it.
+void *zxch_cctx_init_static(void *ws, uint64_t ws_size, int level,
+                            uint64_t block_size, int checksum,
+                            int seekable, uint64_t max_dict) {
+  if (!ws || ws_size < zxch_cctx_static_size(max_dict)) return nullptr;
+  if (((uintptr_t)ws) & 7) return nullptr;
+  if (level < 1) level = 1;
+  if (level > 7) level = 7;
+  if (block_size == 0) block_size = 512 * 1024;
+  if (block_size & (block_size - 1)) return nullptr;
+  int code = 0;
+  while ((1ull << code) < block_size) code++;
+  if (code < 12 || code > 21) return nullptr;
+  ZxchCctxS *c = (ZxchCctxS *)ws;
+  c->magic = CCTX_SMAGIC;
+  c->level = level;
+  c->bs = block_size;
+  c->checksum = checksum ? 1 : 0;
+  c->seekable = seekable ? 1 : 0;
+  c->dict_cap = max_dict;
+  c->dict_len = 0;
+  c->dict_id = 0;
+  c->has_cl = 0;
+  return ws;
+}
+
+void *zxch_dctx_init_static(void *ws, uint64_t ws_size, int verify,
+                            uint64_t max_dict) {
+  if (!ws || ws_size < zxch_dctx_static_size(max_dict)) return nullptr;
+  if (((uintptr_t)ws) & 7) return nullptr;
+  ZxchDctxS *d = (ZxchDctxS *)ws;
+  d->magic = DCTX_SMAGIC;
+  d->verify = verify ? 1 : 0;
+  d->dict_cap = max_dict;
+  d->dict_len = 0;
+  d->has_cl = 0;
+  return ws;
+}
+
 // Sticky options; 0 on success, negative ZXC error on bad parameters.
 int zxch_cctx_set(void *h, int level, uint64_t block_size, int checksum,
                   int seekable) {
-  ZxchCctx *c = (ZxchCctx *)h;
   if (level < 1) level = 1;
   if (level > 7) level = 7;
   if (block_size == 0) block_size = 512 * 1024;
@@ -5310,6 +5400,15 @@ int zxch_cctx_set(void *h, int level, uint64_t block_size, int checksum,
   int code = 0;
   while ((1ull << code) < block_size) code++;
   if (code < 12 || code > 21) return -14;
+  if (*(uint32_t *)h == CCTX_SMAGIC) {
+    ZxchCctxS *c = (ZxchCctxS *)h;
+    c->level = level;
+    c->bs = block_size;
+    c->checksum = checksum ? 1 : 0;
+    c->seekable = seekable ? 1 : 0;
+    return 0;
+  }
+  ZxchCctx *c = (ZxchCctx *)h;
   c->level = level;
   c->bs = block_size;
   c->checksum = checksum ? 1 : 0;
@@ -5321,6 +5420,26 @@ int zxch_cctx_set(void *h, int level, uint64_t block_size, int checksum,
 // table (NULL for content-only). The id is computed here, once.
 int zxch_cctx_attach_dict(void *h, const uint8_t *dict, uint64_t n,
                           const uint8_t *packed128) {
+  if (*(uint32_t *)h == CCTX_SMAGIC) {
+    ZxchCctxS *c = (ZxchCctxS *)h;
+    if (!dict || !n) {
+      c->dict_len = 0;
+      c->dict_id = 0;
+      c->has_cl = 0;
+      return 0;
+    }
+    if (n > c->dict_cap || n > (1ull << 20)) return -17;
+    memcpy(c->dictp(), dict, n);
+    c->dict_len = n;
+    c->has_cl = packed128 != nullptr;
+    if (packed128)
+      for (int i = 0; i < 128; i++) {
+        c->cl()[2 * i] = (uint8_t)(packed128[i] & 0x0F);
+        c->cl()[2 * i + 1] = (uint8_t)(packed128[i] >> 4);
+      }
+    c->dict_id = zxch_dict_id(dict, n, packed128);
+    return 0;
+  }
   ZxchCctx *c = (ZxchCctx *)h;
   if (!dict || !n) {
     c->dict.clear();
@@ -5337,23 +5456,43 @@ int zxch_cctx_attach_dict(void *h, const uint8_t *dict, uint64_t n,
 // One-shot frame encode under the context's sticky options.
 int64_t zxch_cctx_compress(void *h, const uint8_t *src, uint64_t n,
                            uint8_t *dst, uint64_t cap) {
-  ZxchCctx *c = (ZxchCctx *)h;
   static const PsPar tab[7] = {
       {2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
       {5, 1, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
       {64, 1, 256, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
       {192, 1, 0, 1, 0, 1, 5}};
-  PsPar p = tab[c->level - 1];
+  int level, checksum, seekable;
+  uint64_t bs;
+  const uint8_t *dp = nullptr, *clp = nullptr;
+  uint64_t dn = 0;
+  uint32_t did = 0;
+  if (*(uint32_t *)h == CCTX_SMAGIC) {
+    ZxchCctxS *c = (ZxchCctxS *)h;
+    level = c->level; checksum = c->checksum; seekable = c->seekable;
+    bs = c->bs;
+    if (c->dict_len) { dp = c->dictp(); dn = c->dict_len; did = c->dict_id; }
+    if (c->has_cl) clp = c->cl();
+  } else {
+    ZxchCctx *c = (ZxchCctx *)h;
+    level = c->level; checksum = c->checksum; seekable = c->seekable;
+    bs = c->bs;
+    if (!c->dict.empty()) { dp = c->dict.data(); dn = c->dict.size();
+                            did = c->dict_id; }
+    if (!c->cl256.empty()) clp = c->cl256.data();
+  }
+  PsPar p = tab[level - 1];
   int code = 0;
-  while ((1ull << code) < c->bs) code++;
+  while ((1ull << code) < bs) code++;
   return zxch_compress_frame(
-      src, n, c->level, p.probes, p.lazy, p.suff, p.sb, p.ss, p.cover,
-      p.min_emit, c->bs, code, c->checksum, c->seekable,
-      c->dict.empty() ? nullptr : c->dict.data(), c->dict.size(),
-      c->cl256.empty() ? nullptr : c->cl256.data(), c->dict_id, dst, cap);
+      src, n, level, p.probes, p.lazy, p.suff, p.sb, p.ss, p.cover,
+      p.min_emit, bs, code, checksum, seekable,
+      dp, dn, clp, did, dst, cap);
 }
 
-void zxch_cctx_free(void *h) { delete (ZxchCctx *)h; }
+void zxch_cctx_free(void *h) {
+  if (h && *(uint32_t *)h == CCTX_MAGIC) delete (ZxchCctx *)h;
+  // static handles live in caller memory: free is a no-op
+}
 
 void *zxch_dctx_new(int verify) {
   ZxchDctx *d = new ZxchDctx();
@@ -5363,6 +5502,24 @@ void *zxch_dctx_new(int verify) {
 
 int zxch_dctx_attach_dict(void *h, const uint8_t *dict, uint64_t n,
                           const uint8_t *packed128) {
+  if (*(uint32_t *)h == DCTX_SMAGIC) {
+    ZxchDctxS *d = (ZxchDctxS *)h;
+    if (!dict || !n) {
+      d->dict_len = 0;
+      d->has_cl = 0;
+      return 0;
+    }
+    if (n > d->dict_cap || n > (1ull << 20)) return -17;
+    memcpy(d->dictp(), dict, n);
+    d->dict_len = n;
+    d->has_cl = packed128 != nullptr;
+    if (packed128)
+      for (int i = 0; i < 128; i++) {
+        d->cl()[2 * i] = (uint8_t)(packed128[i] & 0x0F);
+        d->cl()[2 * i + 1] = (uint8_t)(packed128[i] >> 4);
+      }
+    return 0;
+  }
   ZxchDctx *d = (ZxchDctx *)h;
   if (!dict || !n) {
     d->dict.clear();
@@ -5375,6 +5532,12 @@ int zxch_dctx_attach_dict(void *h, const uint8_t *dict, uint64_t n,
 // One-shot frame decode under the context's sticky options.
 int64_t zxch_dctx_decompress(void *h, const uint8_t *src, uint64_t n,
                              uint8_t *dst, uint64_t cap) {
+  if (*(uint32_t *)h == DCTX_SMAGIC) {
+    ZxchDctxS *d = (ZxchDctxS *)h;
+    return zxch_simple_decompress(
+        src, n, dst, cap, d->dict_len ? d->dictp() : nullptr,
+        d->dict_len, d->has_cl ? d->cl() : nullptr, d->verify);
+  }
   ZxchDctx *d = (ZxchDctx *)h;
   return zxch_simple_decompress(
       src, n, dst, cap, d->dict.empty() ? nullptr : d->dict.data(),
@@ -5382,7 +5545,9 @@ int64_t zxch_dctx_decompress(void *h, const uint8_t *src, uint64_t n,
       d->verify);
 }
 
-void zxch_dctx_free(void *h) { delete (ZxchDctx *)h; }
+void zxch_dctx_free(void *h) {
+  if (h && *(uint32_t *)h == DCTX_MAGIC) delete (ZxchDctx *)h;
+}
 
 }  // extern "C"
 
