@@ -8,7 +8,10 @@ frame-ordered gather lands on process 0 — the reference's ordering-writer
 role (zxc_driver.c:521-597) mapped to jax.distributed (SURVEY.md section 5
 "distributed communication backend").
 
-Usage: python dist_worker.py <pid> <nproc> <port> [bench]
+Usage: python dist_worker.py <pid> <nproc> <port> [bench] [ndev] [bpd]
+  ndev = virtual CPU devices per process (default 2; 1 = the clean
+         non-oversubscribed configuration, one core per process)
+  bpd  = blocks per DEVICE for the bench (weak scaling; default 4)
 Exit code 0 = this process's shard of every check passed.
 """
 import json
@@ -20,12 +23,17 @@ import time
 def main() -> int:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     bench = len(sys.argv) > 4 and sys.argv[4] == "bench"
+    ndev_pp = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    bpd = int(sys.argv[6]) if len(sys.argv) > 6 else 4
 
     import jax
 
-    # CPU mesh must be configured before first backend use
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 2)
+    # CPU mesh must be configured before first backend use. On a real pod
+    # set ZXC_DIST_PLATFORM=tpu: local devices are then the host's chips
+    # and ndev is ignored (PERF.md section 4 runbook).
+    if os.environ.get("ZXC_DIST_PLATFORM", "cpu") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", ndev_pp)
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                                num_processes=nproc, process_id=pid)
     import numpy as np
@@ -33,9 +41,9 @@ def main() -> int:
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax.experimental import multihost_utils
 
-    assert len(jax.devices()) == 2 * nproc, \
-        f"global devices {len(jax.devices())} != {2 * nproc}"
-    assert len(jax.local_devices()) == 2
+    assert len(jax.devices()) == ndev_pp * nproc, \
+        f"global devices {len(jax.devices())} != {ndev_pp * nproc}"
+    assert len(jax.local_devices()) == ndev_pp
 
     from zxc_tpu import parallel
     from zxc_tpu.parallel import sharding
@@ -45,10 +53,10 @@ def main() -> int:
     from zxc_tpu.ops.batch import _pad_batch, _pow2
 
     # deterministic mini-frame: every process derives the identical plan
-    BLOCK = 4096
+    BLOCK = 4096 if not bench else 16384
     rng = np.random.default_rng(41)
     seg = rng.integers(0, 256, 467, dtype=np.uint8).tobytes()
-    n_blocks = 4 * nproc
+    n_blocks = bpd * ndev_pp * nproc
     data = (seg * (BLOCK * n_blocks // len(seg) + 1) +
             b"repeatable tail " * 64)[:BLOCK * n_blocks]
     archive = frame.compress(data, EncodeOpts(level=3, block_size=BLOCK))
@@ -58,9 +66,10 @@ def main() -> int:
 
     # ---- dp x sp over the GLOBAL mesh (2 sp shards inside each process
     # pair, dp crossing the process boundary) ----
-    ndev = 2 * nproc
+    ndev = ndev_pp * nproc
+    sp = 2 if ndev % 2 == 0 and ndev_pp > 1 else 1
     mesh = parallel.make_mesh(jax.devices(), axes=("dp", "sp"),
-                              shape=(ndev // 2, 2))
+                              shape=(ndev // sp, sp))
     sh = NamedSharding(mesh, P("dp"))
     kern = sharding.dp_sp_kernel(BLOCK, sharding._mesh_key(mesh))
 
@@ -97,6 +106,19 @@ def main() -> int:
     assert got2 == data, "dp multi-process decode mismatch"
 
     if bench:
+        # ICI-analog dictionary broadcast (the "dict + shared table
+        # broadcast once" role, SURVEY.md section 5): one 64 KiB + 128 B
+        # payload from process 0 to every process, timed separately from
+        # the decode loop.
+        dict_blob = (rng.integers(0, 256, 65536 + 128, dtype=np.uint8)
+                     if pid == 0 else
+                     np.zeros(65536 + 128, np.uint8))
+        multihost_utils.sync_global_devices("bcast_start")
+        t0 = time.perf_counter()
+        got_d = multihost_utils.broadcast_one_to_all(dict_blob)
+        t_bcast = time.perf_counter() - t0
+        assert got_d.shape == (65536 + 128,)
+
         multihost_utils.sync_global_devices("bench_start")
         reps = 5
         best = 1e9
@@ -107,8 +129,9 @@ def main() -> int:
             jax.block_until_ready(r)
             best = min(best, time.perf_counter() - t0)
         if pid == 0:
-            print(json.dumps({"nproc": nproc, "bytes": len(data),
-                              "best_s": best}), flush=True)
+            print(json.dumps({"nproc": nproc, "ndev": ndev,
+                              "bytes": len(data), "best_s": best,
+                              "bcast_s": t_bcast}), flush=True)
 
     multihost_utils.sync_global_devices("done")
     return 0

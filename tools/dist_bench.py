@@ -27,14 +27,15 @@ def _free_port() -> int:
     return port
 
 
-def run(nproc: int) -> dict:
+def run(nproc: int, ndev: int = 1, bpd: int = 16) -> dict:
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = (_REPO + os.pathsep + "/root/.axon_site"
                          + os.pathsep + env.get("PYTHONPATH", ""))
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(pid), str(nproc), str(port), "bench"],
+        [sys.executable, WORKER, str(pid), str(nproc), str(port), "bench",
+         str(ndev), str(bpd)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for pid in range(nproc)]
     result = None
@@ -52,16 +53,22 @@ def run(nproc: int) -> dict:
 
 
 def main():
-    rows = [run(n) for n in (1, 2, 4)]
+    # clean configuration: ONE virtual device per process, one core per
+    # process on this 4-core host (no oversubscription at N <= 4);
+    # blocks-per-device constant (weak scaling)
+    import multiprocessing
+    ncpu = multiprocessing.cpu_count()
+    ns = [n for n in (1, 2, 4) if n <= ncpu]
+    rows = [run(n, ndev=1, bpd=16) for n in ns]
     t1 = rows[0]["best_s"]
     print(f"{'nproc':>6} {'devices':>8} {'bytes':>10} {'time_s':>9} "
-          f"{'per-dev MB/s':>13} {'weak-scale eff':>15}")
+          f"{'per-dev MB/s':>13} {'weak-scale eff':>15} {'bcast_ms':>9}")
     for r in rows:
         n = r["nproc"]
         eff = t1 / r["best_s"]
-        rate = r["bytes"] / r["best_s"] / 1e6 / (2 * n)
-        print(f"{n:>6} {2*n:>8} {r['bytes']:>10} {r['best_s']:>9.4f} "
-              f"{rate:>13.1f} {eff:>14.0%}")
+        rate = r["bytes"] / r["best_s"] / 1e6 / r["ndev"]
+        print(f"{n:>6} {r['ndev']:>8} {r['bytes']:>10} {r['best_s']:>9.4f} "
+              f"{rate:>13.1f} {eff:>14.0%} {r['bcast_s']*1e3:>9.2f}")
 
 
 if __name__ == "__main__":
