@@ -98,6 +98,17 @@ int64_t zxch_decompress_frame(const uint8_t *src, uint64_t n,
                               int verify, const uint8_t *dict,
                               uint64_t n_dict, const uint8_t *dict_cl256,
                               uint8_t *dst, uint64_t dst_alloc);
+/* Multi-threaded variant: fork-join pool over contiguous block ranges
+ * (blocks land at deterministic i*block_size offsets). Bit-identical
+ * output and error codes to zxch_decompress_frame; any archive shape
+ * that breaks the offset mapping falls back to the sequential walk.
+ * threads <= 1 IS the sequential walk.                               */
+int64_t zxch_decompress_frame_mt(const uint8_t *src, uint64_t n,
+                                 uint64_t block_size, int has_checksum,
+                                 int verify, const uint8_t *dict,
+                                 uint64_t n_dict, const uint8_t *dict_cl256,
+                                 uint8_t *dst, uint64_t dst_alloc,
+                                 int threads);
 /* Decode one data-block payload; out needs block_size + 64 bytes.    */
 int64_t zxch_decode_block(int block_type, const uint8_t *payload,
                           uint64_t plen, uint8_t *out, uint64_t block_size,

@@ -329,12 +329,12 @@ def test_version_and_help():
 
 
 def test_decode_path_choice_pinned(wd):
-    """The CLI decodes through the ONE-SHOT frame path regardless of -T
-    (the MT stream path is read/hash/write-bound and ~4x slower than
-    one-shot for in-memory decode, PERF 3.9); -T affects compression
-    only. Pinned by asserting -T does not change decode output or
-    success, and that compression DOES use the stream pipeline at -T>1
-    (its block layout is identical, so bytes stay byte-equal too)."""
+    """-T on decode rides the native fork-join MT frame decode
+    (zxch_decompress_frame_mt; round 4 — replaces the old
+    one-shot-only pin, PERF 3.9): output must be bit-identical to the
+    sequential walk at every thread count, and compression keeps using
+    the stream pipeline at -T>1 (its block layout is identical, so
+    bytes stay byte-equal too)."""
     zxc("-z", "-k", "-T", "4", "t.txt", cwd=wd)
     a = zxc("-d", "-c", "-T", "1", "t.txt.zxc", cwd=wd)
     b = zxc("-d", "-c", "-T", "4", "t.txt.zxc", cwd=wd)

@@ -1,0 +1,137 @@
+"""Multi-threaded one-shot frame decode (zxch_decompress_frame_mt).
+
+The reference decodes archives through its pthread stream engine
+(zxc_driver.c:639-1035: N workers with thread-local dctx + an ordering
+writer) and its seekable MT range decode (zxc_seekable.c:1005-1123:
+fork-join, striped blocks). Our format decodes blocks to deterministic
+i*block_size offsets, so the MT frame decode is a fork-join pool over
+contiguous block ranges with bit-identical semantics to the sequential
+walk — these tests pin that equivalence: bytes, error codes, checksum
+verification, dictionaries, and degenerate shapes.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from gen_corpus import gen_corpus
+from zxc_tpu import runtime
+from zxc_tpu.codec import frame
+from zxc_tpu.codec.frame import DecodeOpts, EncodeOpts
+from zxc_tpu.errors import ZxcError
+
+pytestmark = pytest.mark.skipif(runtime.lib() is None,
+                                reason="native library unavailable")
+
+BS = 64 * 1024
+
+
+def _corpus(n):
+    return gen_corpus(n)
+
+
+@pytest.mark.parametrize("level", [1, 2, 3, 5, 6])
+@pytest.mark.parametrize("threads", [2, 3, 8])
+def test_mt_roundtrip_levels(level, threads):
+    raw = _corpus(2 << 20)
+    arc = frame.compress(raw, EncodeOpts(level=level, block_size=BS))
+    assert frame.decompress(arc, DecodeOpts(threads=threads)) == raw
+
+
+@pytest.mark.parametrize("threads", [2, 4])
+def test_mt_checksum_verify(threads):
+    raw = _corpus(1 << 20)
+    arc = frame.compress(raw, EncodeOpts(level=3, block_size=BS,
+                                         checksum=True))
+    assert frame.decompress(
+        arc, DecodeOpts(threads=threads, checksum=True)) == raw
+
+
+def test_mt_detects_corrupt_block_checksum():
+    raw = _corpus(1 << 20)
+    arc = bytearray(frame.compress(raw, EncodeOpts(level=3, block_size=BS,
+                                                   checksum=True)))
+    # flip one payload byte mid-archive: per-block rapidhash must fail
+    arc[len(arc) // 2] ^= 0xFF
+    with pytest.raises(ZxcError):
+        frame.decompress(bytes(arc), DecodeOpts(threads=4, checksum=True))
+
+
+def test_mt_error_code_matches_sequential():
+    raw = _corpus(1 << 20)
+    base = frame.compress(raw, EncodeOpts(level=3, block_size=BS,
+                                          checksum=True))
+    rng = np.random.default_rng(7)
+    checked = 0
+    for _ in range(40):
+        arc = bytearray(base)
+        i = int(rng.integers(16, len(arc) - 12))
+        arc[i] ^= int(rng.integers(1, 256))
+        blob = bytes(arc)
+        try:
+            seq = frame.decompress(blob, DecodeOpts(threads=1,
+                                                    checksum=True))
+            seq_err = None
+        except ZxcError as e:
+            seq_err = e.code
+        try:
+            mt = frame.decompress(blob, DecodeOpts(threads=4,
+                                                   checksum=True))
+            mt_err = None
+        except ZxcError as e:
+            mt_err = e.code
+        if seq_err is None:
+            assert mt_err is None and mt == seq
+        else:
+            assert mt_err == seq_err, (i, seq_err, mt_err)
+            checked += 1
+    assert checked > 0  # the sweep actually exercised corrupt paths
+
+
+def test_mt_dictionary_frames():
+    from zxc_tpu.codec import dict_train
+    rng = np.random.default_rng(3)
+    seg = bytes(rng.integers(97, 105, 400, dtype=np.uint8))
+    samples = [seg + bytes(rng.integers(0, 256, 200, dtype=np.uint8))
+               for _ in range(50)]
+    d = dict_train.dict_train(samples, target_size=4096)
+    raw = b"".join(samples[:40])
+    eo = EncodeOpts(level=3, block_size=BS, dict_content=d.content,
+                    dict_huf=d.huf_lengths)
+    arc = frame.compress(raw, eo)
+    do = DecodeOpts(threads=4, dict_content=d.content,
+                    dict_huf=d.huf_lengths)
+    assert frame.decompress(arc, do) == raw
+
+
+@pytest.mark.parametrize("size", [0, 1, BS - 1, BS, BS + 1,
+                                  3 * BS + 777])
+def test_mt_odd_sizes(size):
+    raw = _corpus(size) if size else b""
+    arc = frame.compress(raw, EncodeOpts(level=2, block_size=BS))
+    assert frame.decompress(arc, DecodeOpts(threads=4)) == raw
+
+
+def test_mt_threads_exceed_blocks():
+    raw = _corpus(BS + 17)  # 2 blocks, 64 threads requested
+    arc = frame.compress(raw, EncodeOpts(level=1, block_size=BS))
+    assert frame.decompress(arc, DecodeOpts(threads=64)) == raw
+
+
+def test_mt_incompressible_raw_blocks():
+    rng = np.random.default_rng(11)
+    raw = bytes(rng.integers(0, 256, (2 << 20) + 123, dtype=np.uint8))
+    arc = frame.compress(raw, EncodeOpts(level=1, block_size=BS))
+    assert frame.decompress(arc, DecodeOpts(threads=4)) == raw
+
+
+def test_mt_matches_sequential_bytes_exactly():
+    raw = _corpus(4 << 20)
+    for level in (1, 3):
+        arc = frame.compress(raw, EncodeOpts(level=level, block_size=BS))
+        a = frame.decompress(arc, DecodeOpts(threads=1))
+        b = frame.decompress(arc, DecodeOpts(threads=5))
+        assert a == b == raw

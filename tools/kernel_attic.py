@@ -2658,3 +2658,121 @@ def decode_blocks_v21(pieces_list, lit_list, totals, block: int,
         out = outs[j // B][j % B]
         res.append(out.reshape(-1)[:totals[j]].astype(np.uint8).tobytes())
     return res
+
+
+# ---------------------------------------------------------------------------
+# v24: v19 with an f32 data plane (no per-quad int casts).
+#
+# v19 casts the gathered data f32 -> i32 after the gather matmul and
+# c -> bf16 before the permute matmul, and accumulates the tile in i32 —
+# three (128,128) elementwise passes per quad that exist only to change
+# dtype. Byte values 0..255 are exact in f32 (and in the bf16 one-hot
+# matmul inputs), and masked sub-op contributions are lane-disjoint, so
+# the whole data plane can stay f32: gather -> rotate-gather (f32 data,
+# i32 indices: 32-bit widths match, unlike the Mosaic-rejected bf16
+# form) -> mask -> permute matmul -> f32 accumulator, with ONE i32 cast
+# per output tile instead of two casts per quad. Control extracts stay
+# i32 (unchanged).
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel_v24(K: int):
+    def _kernel_v24(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref,
+                    out_ref):
+        b = pl.program_id(0)
+        NST = out_ref.shape[1] // 128
+        G32 = pctrl_ref.shape[1] // K
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        row128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+        def contrib_quad(q):
+            base = pl.multiple_of(qbase_ref[b, q], 16)
+            win = litb_ref[0, pl.ds(base, 128), :]
+
+            def plane_bc(j):
+                bcs = []
+                for u in range(4):
+                    bat = 4 * q + u
+                    grp = pctrl_ref[0, pl.ds(j * G32 + (bat >> 7) * 32, 32),
+                                    :]
+                    bcs.append(jnp.take_along_axis(
+                        grp, jnp.full((32, 128), bat & 127, jnp.int32),
+                        axis=1))
+                return jnp.concatenate(bcs, axis=0)
+
+            bc0 = plane_bc(0)
+            rowrel = jax.lax.shift_right_logical(bc0, 21)
+            onehot = jnp.where(rowiota == rowrel[:, :1],
+                               jnp.float32(1), jnp.float32(0))
+            gath = jax.lax.dot_general(
+                onehot.astype(jnp.bfloat16), win, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = ((lane128 >= ((bc0 >> 7) & 127))
+                 & (lane128 <= ((bc0 >> 14) & 127)))
+            bsel = bc0
+            for j in range(1, K):
+                bcj = plane_bc(j)
+                mj = ((lane128 >= ((bcj >> 7) & 127))
+                      & (lane128 <= ((bcj >> 14) & 127)))
+                bsel = jnp.where(mj, bcj, bsel)
+                m = m | mj
+            sh = jnp.take_along_axis(gath, (lane128 + (bsel & 127)) & 127,
+                                     axis=1)
+            c = jnp.where(m, sh, jnp.float32(0))
+            tgt = tq_ref[0, q, :][None, :]
+            pt = jnp.where(row128 == tgt, jnp.float32(1), jnp.float32(0))
+            return jax.lax.dot_general(
+                pt.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        for t in range(NST):
+            q0 = qs_ref[b, t]
+            q1 = qs_ref[b, t + 1]
+
+            def qbody(g, acc):
+                q = q0 + 2 * g
+                return acc + contrib_quad(q) + contrib_quad(q + 1)
+
+            tile = jax.lax.fori_loop(0, (q1 - q0) >> 1, qbody,
+                                     jnp.zeros((128, 128), jnp.float32))
+            out_ref[0, t * 128:(t + 1) * 128, :] = tile.astype(jnp.int32)
+
+    return _kernel_v24
+
+
+@functools.lru_cache(maxsize=32)
+def v24_kernel(block: int, MAXQ: int, RLP: int, K: int = 2,
+               interpret: bool = False):
+    NR = block // 128
+    NB = MAXQ * 4
+    G32 = 32 * (-(-NB // 128))
+    body = _make_kernel_v24(K)
+
+    def call(qs, qbase, pctrl, tq, lit8):
+        litb = lit8.astype(jnp.bfloat16)
+        tq = tq.astype(jnp.int32)
+        B = pctrl.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, K * G32, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, MAXQ, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RLP, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            body,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(qs, qbase, pctrl, tq, litb)
+
+    return jax.jit(call)

@@ -52,8 +52,11 @@ def parse_variant(variant):
 def get_pack_kern(variant):
     variant, ksub, _ = parse_variant(variant)
     qa = {"13": 2, "15": 2, "16": 4, "17": 2, "19": 2, "20": 2,
-          "21": 2, "22": 2, "23": 2}.get(variant, 1)
-    if variant == "23":
+          "21": 2, "22": 2, "23": 2, "24": 2}.get(variant, 1)
+    if variant == "24":
+        pack = functools.partial(PD.pack_blocks_v19, K=ksub)
+        kern = lambda b, q, r: PD.v24_kernel(b, q, r, ksub)
+    elif variant == "23":
         pack = functools.partial(PD.pack_blocks_v23, K=ksub)
         kern = lambda b, q, r: PD.v23_kernel(b, q, r, ksub)
     elif variant == "22":

@@ -320,9 +320,13 @@ def cmd_compress(args, log: Log) -> int:
 
 def cmd_decompress(args, log: Log) -> int:
     d = _load_dict(args.dict)
+    # -T N (N != 1) rides the native fork-join MT frame decode; -T 0
+    # means auto (all cores), matching the compress-side semantics
+    nthreads = os.cpu_count() or 1 if args.threads == 0 else args.threads
     dopts = DecodeOpts(checksum=args.checksum,
                        dict_content=d.content if d else None,
-                       dict_huf=d.huf_lengths if d else None)
+                       dict_huf=d.huf_lengths if d else None,
+                       threads=max(1, nthreads))
     # positional OUTPUT-FILE: `zxc -d INPUT OUTPUT` (reference
     # tests/test_cli.sh section 28.3) — two positionals where the second
     # does not exist and no -o/-m means the second names the output

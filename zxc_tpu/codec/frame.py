@@ -25,6 +25,7 @@ class DecodeOpts:
     checksum: bool = False         # verify per-block + global checksums
     dict_content: bytes | None = None
     dict_huf: bytes | None = None  # 128-byte packed shared table
+    threads: int = 1               # >1: fork-join native MT block decode
 
 
 def _dict_state(opts: DecodeOpts | None):
@@ -78,7 +79,8 @@ def decompress(archive: bytes, opts: DecodeOpts | None = None) -> bytes:
         from .. import runtime
         nat = runtime.decompress_frame(
             archive, fh.block_size, fh.has_checksum, verify, dict_buf,
-            None if dict_tree is None else dict_tree.code_len)
+            None if dict_tree is None else dict_tree.code_len,
+            threads=(opts.threads if opts else 1))
         if nat is not None:
             return nat
     except ImportError:

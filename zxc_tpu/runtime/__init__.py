@@ -77,7 +77,7 @@ def _isa_flags() -> list[str]:
 
 def _build() -> bool:
     cmd = (["g++", "-O3"] + _isa_flags()
-           + ["-shared", "-fPIC", "-o", _SO + ".tmp", _SRC])
+           + ["-pthread", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC])
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(_SO + ".tmp", _SO)
@@ -198,6 +198,9 @@ def lib() -> ctypes.CDLL | None:
         L.zxch_decompress_frame.restype = i64
         L.zxch_decompress_frame.argtypes = [vp, u64, u64, ci, ci, vp, u64,
                                             vp, vp, u64]
+        L.zxch_decompress_frame_mt.restype = i64
+        L.zxch_decompress_frame_mt.argtypes = [vp, u64, u64, ci, ci, vp,
+                                               u64, vp, vp, u64, ci]
         L.zxch_encode_ghi.restype = i64
         L.zxch_encode_ghi.argtypes = [vp, u64, u64, ci, ci, ci, ci, ci, ci,
                                       ci, vp, u64]
@@ -392,10 +395,13 @@ def decode_block(block_type: int, payload: np.ndarray, block_size: int,
 
 def decompress_frame(archive, block_size: int, has_checksum: bool,
                      verify: bool, dict_buf: np.ndarray | None = None,
-                     dict_cl: np.ndarray | None = None) -> bytes | None:
+                     dict_cl: np.ndarray | None = None,
+                     threads: int = 1) -> bytes | None:
     """Whole-frame native decode: one C call per archive (the host decode
     hot path). None when unavailable; raises ZxcError on malformed input
-    with the same codes as the Python frame loop."""
+    with the same codes as the Python frame loop. threads > 1 rides the
+    fork-join pthread pool (zxch_decompress_frame_mt) — blocks decode to
+    deterministic i*block_size offsets, bit-identical output."""
     L = lib()
     if L is None:
         return None
@@ -435,10 +441,17 @@ def decompress_frame(archive, block_size: int, has_checksum: bool,
     cap = min(dsize, int(nb) * block_size)
     out = _pyapi.PyBytes_FromStringAndSize(None, cap)
     ptr = _pyapi.PyBytes_AsString(out)
-    w = L.zxch_decompress_frame(
-        src.ctypes.data_as(ctypes.c_void_p), n, block_size,
-        1 if has_checksum else 0, 1 if verify else 0,
-        d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr, ptr, cap)
+    if threads > 1:
+        w = L.zxch_decompress_frame_mt(
+            src.ctypes.data_as(ctypes.c_void_p), n, block_size,
+            1 if has_checksum else 0, 1 if verify else 0,
+            d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr, ptr, cap,
+            int(threads))
+    else:
+        w = L.zxch_decompress_frame(
+            src.ctypes.data_as(ctypes.c_void_p), n, block_size,
+            1 if has_checksum else 0, 1 if verify else 0,
+            d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr, ptr, cap)
     if w < 0:
         from ..errors import ZxcError
         raise ZxcError(int(w), "native frame decode")

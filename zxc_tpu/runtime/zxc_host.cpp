@@ -16,6 +16,10 @@
 #include <cstdlib>
 #include <vector>
 #include <algorithm>
+#include <atomic>
+#include <memory>
+#include <mutex>
+#include <thread>
 
 #if defined(__AVX512VBMI2__) && defined(__AVX512BW__) && defined(__BMI2__)
 #include <immintrin.h>
@@ -3793,6 +3797,208 @@ int64_t zxch_decompress_frame(const uint8_t *src, uint64_t n,
   memcpy(&stored_hash, src + n - 4, 4);
   if (stored_size != w_total) return -8;  // footer size mismatch
   if (verify && stored_hash != ghash) return -7;
+  return (int64_t)w_total;
+}
+
+// Worker scratch pool for the MT frame decode: fork-join workers are
+// born and die per call, so thread_local reuse (the T=1 path's trick)
+// does not apply — a fresh 2 MB new[] per worker per call would re-pay
+// mmap + first-touch page faults inside the parallel region every
+// frame. Buffers are pooled process-wide and only ever grow to the
+// high-water concurrency (bounded: pool keeps at most 16 entries).
+static std::mutex g_dec_scratch_mu;
+struct DecScratchSlot {
+  uint64_t cap;
+  uint8_t *ptr;
+};
+static std::vector<DecScratchSlot> g_dec_scratch_pool;
+
+static uint8_t *dec_scratch_acquire(uint64_t need) {
+  {
+    std::lock_guard<std::mutex> g(g_dec_scratch_mu);
+    for (size_t k = 0; k < g_dec_scratch_pool.size(); k++) {
+      if (g_dec_scratch_pool[k].cap >= need) {
+        uint8_t *p = g_dec_scratch_pool[k].ptr;
+        g_dec_scratch_pool.erase(g_dec_scratch_pool.begin() + k);
+        return p;
+      }
+    }
+  }
+  return new uint8_t[need];
+}
+
+static void dec_scratch_release(uint8_t *p, uint64_t cap) {
+  std::lock_guard<std::mutex> g(g_dec_scratch_mu);
+  if (g_dec_scratch_pool.size() >= 16) {
+    delete[] p;
+    return;
+  }
+  g_dec_scratch_pool.push_back({cap, p});
+}
+
+// Multi-threaded whole-frame decode (the reference decodes archives
+// through its pthread stream engine, zxc_driver.c:639-1035 — N workers
+// with thread-local contexts and an ordering writer; our blocks decode
+// to deterministic offsets i*block_size, so the "writer" degenerates to
+// writing in place and only a fork-join pool remains, the same shape as
+// the reference's seekable MT range decode, zxc_seekable.c:1005-1123).
+//
+// Semantics are bit-identical to zxch_decompress_frame, including error
+// codes on corrupt archives: any frame-walk error or any block shape
+// that breaks the i*block_size output mapping (a non-final block that
+// does not decode to exactly block_size — our encoder and the reference
+// never emit one, but a crafted archive may) falls back to the
+// sequential walk, which is the semantics oracle.
+int64_t zxch_decompress_frame_mt(const uint8_t *src, uint64_t n,
+                                 uint64_t block_size, int has_checksum,
+                                 int verify, const uint8_t *dict,
+                                 uint64_t n_dict, const uint8_t *dict_cl,
+                                 uint8_t *dst, uint64_t dst_alloc,
+                                 int threads) {
+  if (threads <= 1 || block_size == 0)
+    return zxch_decompress_frame(src, n, block_size, has_checksum, verify,
+                                 dict, n_dict, dict_cl, dst, dst_alloc);
+  if (n < 16 + 12) return -3;
+  const uint64_t bound = 8 + block_size + 4;
+  const uint64_t tail = has_checksum ? 4 : 0;
+  uint64_t stored_size;
+  uint32_t stored_hash;
+  memcpy(&stored_size, src + n - 12, 8);
+  memcpy(&stored_hash, src + n - 4, 4);
+  // size the block table from the footer, NOT n/8 (that upper bound is
+  // ~n/8 entries and its zero-fill alone would cost more than the
+  // decode). A valid offset-mapped frame has ceil(size/bs) blocks;
+  // anything longer (e.g. empty RAW blocks) overflows the walk and
+  // takes the sequential fallback, which owns those semantics anyway.
+  if (stored_size > ((uint64_t)1 << 62))
+    return zxch_decompress_frame(src, n, block_size, has_checksum, verify,
+                                 dict, n_dict, dict_cl, dst, dst_alloc);
+  uint64_t max_blocks = stored_size / block_size + 16;
+  std::unique_ptr<uint64_t[]> pos(new uint64_t[max_blocks]);
+  std::unique_ptr<uint64_t[]> comp(new uint64_t[max_blocks]);
+  std::unique_ptr<uint8_t[]> typ(new uint8_t[max_blocks]);
+  uint64_t eof = 0;
+  int64_t nb = zxch_walk_frame(src, n, has_checksum, bound, 16, pos.get(),
+                               typ.get(), comp.get(), max_blocks, &eof);
+  if (nb < 0)  // corrupt walk / overflow: sequential owns the semantics
+    return zxch_decompress_frame(src, n, block_size, has_checksum, verify,
+                                 dict, n_dict, dict_cl, dst, dst_alloc);
+  // the offset mapping requires every non-final block to produce exactly
+  // block_size; the footer can reject most violations upfront
+  if (nb == 0) {
+    if (stored_size != 0) return -8;
+    return 0;
+  }
+  if (stored_size > (uint64_t)nb * block_size ||
+      (nb > 1 && stored_size <= (uint64_t)(nb - 1) * block_size))
+    return zxch_decompress_frame(src, n, block_size, has_checksum, verify,
+                                 dict, n_dict, dict_cl, dst, dst_alloc);
+  int nt = threads;
+  if ((int64_t)nt > nb) nt = (int)nb;
+  if (nt > 64) nt = 64;
+  // static contiguous ranges: a block's wild copies write up to 64 B of
+  // slack past its logical end, which the SEQUENTIAL walk overwrites
+  // when it decodes the next block. Interleaved block claiming lets a
+  // neighbor decode first and then get its first bytes trampled by that
+  // slack, so each worker owns a contiguous range, decodes it in order
+  // (its own slack is overwritten by its own next block), and bounces
+  // its FINAL block through scratch — no worker ever stores outside its
+  // own output region.
+  std::atomic<int> had_err(0);
+  std::vector<int64_t> out_n((size_t)nb, 0);
+  std::vector<int64_t> berr((size_t)nb, 0);
+  const uint64_t per = ((uint64_t)nb + nt - 1) / nt;
+  const uint64_t scratch_need = 4 * block_size + 128;
+  auto worker = [&](uint64_t b0, uint64_t b1) {
+    uint8_t *mem = dec_scratch_acquire(scratch_need);
+    DecScratch S = {mem, mem + block_size + 64, mem + 2 * block_size + 64};
+    uint8_t *bounce = mem + 3 * block_size + 64;
+    for (uint64_t i = b0; i < b1; i++) {
+      // no cross-range early bail: each worker walks its range in order
+      // and stops only on ITS error, so the post-join min-index scan
+      // returns exactly the sequential walk's first error
+      const uint64_t poff = pos[i] + 8, csz = comp[i];
+      const uint8_t *pl = src + poff;
+      const uint8_t bt = typ[i];
+      int64_t rc;
+      if (has_checksum && verify) {
+        uint32_t stored;
+        memcpy(&stored, src + poff + csz, 4);
+        if (zxch_rapidhash32(pl, csz, 0) != stored) {
+          berr[i] = -7;
+          had_err.store(1, std::memory_order_relaxed);
+          break;
+        }
+      }
+      const uint64_t off = i * block_size;
+      const int direct =
+          (i + 1 < b1) && (off + block_size + 64 <= dst_alloc);
+      uint8_t *bdst = direct ? dst + off : bounce;
+      const int payload_wild = (poff + csz + 32 <= n);
+      if (bt == 0) {  // RAW
+        rc = (csz > block_size || off + csz > dst_alloc) ? -10
+                                                         : (int64_t)csz;
+        if (rc >= 0) memcpy(dst + off, pl, csz);
+      } else if (bt == 1 || bt == 2) {
+        rc = decode_gnr_block(bt == 1, pl, csz, bdst, block_size, dict,
+                              n_dict, dict_cl, &S, payload_wild);
+        if (rc >= 0 && !direct) {
+          if (off + (uint64_t)rc > dst_alloc)
+            rc = -8;  // output exceeds the footer-declared size
+          else
+            memcpy(dst + off, bounce, (size_t)rc);
+        }
+      } else {
+        rc = -13;
+      }
+      if (rc < 0) {
+        berr[i] = rc;
+        had_err.store(1, std::memory_order_relaxed);
+        break;
+      }
+      out_n[i] = rc;
+    }
+    dec_scratch_release(mem, scratch_need);
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(nt - 1);
+  for (int t = 1; t < nt; t++) {
+    uint64_t b0 = (uint64_t)t * per;
+    uint64_t b1 = b0 + per;
+    if (b0 > (uint64_t)nb) b0 = (uint64_t)nb;
+    if (b1 > (uint64_t)nb) b1 = (uint64_t)nb;
+    pool.emplace_back(worker, b0, b1);
+  }
+  worker(0, per > (uint64_t)nb ? (uint64_t)nb : per);
+  for (auto &th : pool) th.join();
+  if (had_err.load()) {
+    // lowest failing block == the sequential walk's first error (all
+    // blocks before it decoded clean in their owning ranges)
+    for (int64_t i = 0; i < nb; i++)
+      if (berr[(size_t)i] < 0) return berr[(size_t)i];
+  }
+  uint64_t w_total = 0;
+  for (int64_t i = 0; i < nb; i++) {
+    if (i + 1 < nb && (uint64_t)out_n[i] != block_size)
+      // offset mapping violated but every block decoded: the sequential
+      // walk is the semantics oracle (concatenated, not strided)
+      return zxch_decompress_frame(src, n, block_size, has_checksum,
+                                   verify, dict, n_dict, dict_cl, dst,
+                                   dst_alloc);
+    w_total += (uint64_t)out_n[i];
+  }
+  if (stored_size != w_total) return -8;
+  if (verify && has_checksum) {
+    uint32_t ghash = 0;
+    for (int64_t i = 0; i < nb; i++) {
+      uint32_t stored;
+      memcpy(&stored, src + pos[i] + 8 + comp[i], 4);
+      ghash = ((ghash << 1) | (ghash >> 31)) ^ stored;
+    }
+    if (stored_hash != ghash) return -7;
+  }
+  (void)tail;
+  (void)eof;
   return (int64_t)w_total;
 }
 
