@@ -103,6 +103,20 @@ int64_t zxch_decompress_frame(const uint8_t *src, uint64_t n,
  * output and error codes to zxch_decompress_frame; any archive shape
  * that breaks the offset mapping falls back to the sequential walk.
  * threads <= 1 IS the sequential walk.                               */
+/* Multi-threaded frame encode: the per-block dispatch fanned over a
+ * persistent worker pool, stitched in order by the calling thread.
+ * Archive bytes are identical to zxch_compress_frame at every thread
+ * count. threads <= 1 (or a single-block input) IS the sequential
+ * encoder.                                                           */
+int64_t zxch_compress_frame_mt(const uint8_t *data, uint64_t n, int level,
+                               int max_probes, int lazy, int sufficient_len,
+                               int step_base, int step_shift, int cover_base,
+                               int min_emit,
+                               uint64_t block_size, int block_size_code,
+                               int checksum, int seekable,
+                               const uint8_t *dict, uint64_t dict_len,
+                               const uint8_t *dict_cl256, uint32_t dict_id,
+                               uint8_t *out, uint64_t cap, int threads);
 int64_t zxch_decompress_frame_mt(const uint8_t *src, uint64_t n,
                                  uint64_t block_size, int has_checksum,
                                  int verify, const uint8_t *dict,

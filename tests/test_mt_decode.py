@@ -135,3 +135,74 @@ def test_mt_matches_sequential_bytes_exactly():
         a = frame.decompress(arc, DecodeOpts(threads=1))
         b = frame.decompress(arc, DecodeOpts(threads=5))
         assert a == b == raw
+
+
+# -- MT frame ENCODE (zxch_compress_frame_mt): byte-identical archives --
+
+@pytest.mark.parametrize("level", [1, 2, 3, 5, 6])
+def test_mt_encode_bytes_identical(level):
+    raw = _corpus(1 << 20)
+    a = frame.compress(raw, EncodeOpts(level=level, block_size=BS))
+    b = frame.compress(raw, EncodeOpts(level=level, block_size=BS,
+                                       threads=4))
+    assert a == b
+    assert frame.decompress(b) == raw
+
+
+@pytest.mark.parametrize("checksum,seekable", [(True, False), (False, True),
+                                               (True, True)])
+def test_mt_encode_checksum_seekable(checksum, seekable):
+    raw = _corpus(1 << 20)
+    eo1 = EncodeOpts(level=3, block_size=BS, checksum=checksum,
+                     seekable=seekable)
+    eo4 = EncodeOpts(level=3, block_size=BS, checksum=checksum,
+                     seekable=seekable, threads=4)
+    a = frame.compress(raw, eo1)
+    b = frame.compress(raw, eo4)
+    assert a == b
+    assert frame.decompress(b, DecodeOpts(checksum=checksum)) == raw
+
+
+def test_mt_encode_with_dictionary():
+    from zxc_tpu.codec import dict_train
+    rng = np.random.default_rng(9)
+    seg = bytes(rng.integers(97, 105, 400, dtype=np.uint8))
+    samples = [seg + bytes(rng.integers(0, 256, 200, dtype=np.uint8))
+               for _ in range(50)]
+    d = dict_train.dict_train(samples, target_size=4096)
+    raw = b"".join(samples[:40])
+    kw = dict(level=3, block_size=16384, dict_content=d.content,
+              dict_huf=d.huf_lengths)
+    a = frame.compress(raw, EncodeOpts(**kw))
+    b = frame.compress(raw, EncodeOpts(**kw, threads=4))
+    assert a == b
+    do = DecodeOpts(threads=3, dict_content=d.content,
+                    dict_huf=d.huf_lengths)
+    assert frame.decompress(b, do) == raw
+
+
+def test_mt_encode_dict_switch_between_frames():
+    # the per-thread dict staging re-copies per frame (epoch tag): two
+    # frames with DIFFERENT dicts back-to-back must not reuse a stale
+    # prefix in any worker
+    from zxc_tpu.codec import dict_train
+    rng = np.random.default_rng(13)
+    mk = lambda seed: dict_train.dict_train(
+        [bytes(np.random.default_rng(seed + i).integers(
+            97, 120, 600, dtype=np.uint8)) for i in range(40)],
+        target_size=2048)
+    d1, d2 = mk(100), mk(500)
+    raw = _corpus(256 * 1024)
+    for d in (d1, d2, d1):
+        kw = dict(level=2, block_size=16384, dict_content=d.content,
+                  dict_huf=d.huf_lengths)
+        a = frame.compress(raw, EncodeOpts(**kw))
+        b = frame.compress(raw, EncodeOpts(**kw, threads=4))
+        assert a == b
+
+
+def test_mt_encode_small_input_delegates():
+    raw = _corpus(1000)  # below one block: sequential path
+    a = frame.compress(raw, EncodeOpts(level=3, block_size=BS))
+    b = frame.compress(raw, EncodeOpts(level=3, block_size=BS, threads=8))
+    assert a == b

@@ -274,22 +274,36 @@ def cmd_compress(args, log: Log) -> int:
                 checksum=eopts.checksum)
             prog.update(len(data))
         elif args.threads != 1:
-            import io as _io
-            from .codec import stream as _stream
+            # in-memory MT compression rides the native worker pool
+            # (zxch_compress_frame_mt — byte-identical archives at every
+            # thread count); the Python stream pipeline remains the
+            # bounded-memory FILE* surface (codec/stream.py) and the
+            # fallback when the native library is absent
+            from . import runtime as _rt
+            nthreads = (os.cpu_count() or 1) if args.threads == 0 \
+                else args.threads
+            if _rt.lib() is not None:
+                out = frame.compress(
+                    data, EncodeOpts(**{**eopts.__dict__,
+                                        "threads": max(1, nthreads)}))
+                prog.update(len(data))
+            else:
+                import io as _io
+                from .codec import stream as _stream
 
-            # writer-side progress (per block, after it is emitted) —
-            # the reference's callback semantics, include/zxc_opts.h:38
-            done_prev = [0]
+                # writer-side progress (per block, after it is emitted)
+                # — reference callback semantics, include/zxc_opts.h:38
+                done_prev = [0]
 
-            def _cb(done, total):
-                prog.update(done - done_prev[0])
-                done_prev[0] = done
+                def _cb(done, total):
+                    prog.update(done - done_prev[0])
+                    done_prev[0] = done
 
-            buf = _io.BytesIO()
-            _stream.stream_compress(_io.BytesIO(data), buf, eopts,
-                                    args.threads, progress=_cb,
-                                    total_bytes=len(data))
-            out = buf.getvalue()
+                buf = _io.BytesIO()
+                _stream.stream_compress(_io.BytesIO(data), buf, eopts,
+                                        args.threads, progress=_cb,
+                                        total_bytes=len(data))
+                out = buf.getvalue()
         else:
             out = frame.compress(data, eopts)
             prog.update(len(data))

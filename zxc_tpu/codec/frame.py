@@ -222,6 +222,7 @@ class EncodeOpts:
     seekable: bool = False
     dict_content: bytes | None = None
     dict_huf: bytes | None = None
+    threads: int = 1               # >1: native MT per-block fan-out
 
 
 def compress(data: bytes, opts: EncodeOpts | None = None) -> bytes:
@@ -259,7 +260,7 @@ def compress(data: bytes, opts: EncodeOpts | None = None) -> bytes:
         dict_buf=None if dict_state is None else dict_state.content,
         dict_cl=None if dict_state is None or dict_state.tree is None
         else dict_state.tree.code_len,
-        dict_id=dict_id)
+        dict_id=dict_id, threads=opts.threads)
     if nat is not None:
         return nat
     out = bytearray()

@@ -221,6 +221,10 @@ def lib() -> ctypes.CDLL | None:
         L.zxch_compress_frame.argtypes = [vp, u64, ci, ci, ci, ci, ci, ci,
                                           ci, ci, u64, ci, ci, ci, vp, u64,
                                           vp, u32, vp, u64]
+        L.zxch_compress_frame_mt.restype = i64
+        L.zxch_compress_frame_mt.argtypes = [vp, u64, ci, ci, ci, ci, ci,
+                                             ci, ci, ci, u64, ci, ci, ci,
+                                             vp, u64, vp, u32, vp, u64, ci]
         L.zxch_v19_prep_block.restype = i64
         L.zxch_v19_prep_block.argtypes = [vp, u64, ci, u64, vp, u64, vp,
                                           ci, ci, vp, vp, vp, vp, vp,
@@ -702,10 +706,12 @@ def compress_frame(data: np.ndarray, level: int, max_probes: int,
                    seekable: bool, min_emit: int = 5,
                    dict_buf: np.ndarray | None = None,
                    dict_cl: np.ndarray | None = None,
-                   dict_id: int = 0) -> bytes | None:
-    """Whole-frame one-shot encode, levels 1-5 (with or without a
-    dictionary window / shared table); byte-identical with the Python
-    frame assembly. None when unavailable."""
+                   dict_id: int = 0, threads: int = 1) -> bytes | None:
+    """Whole-frame one-shot encode (with or without a dictionary
+    window / shared table); byte-identical with the Python frame
+    assembly. threads > 1 fans the per-block dispatch over the
+    persistent native worker pool (zxch_compress_frame_mt) — archive
+    bytes are identical at every thread count. None when unavailable."""
     L = lib()
     if L is None:
         return None
@@ -714,13 +720,23 @@ def compress_frame(data: np.ndarray, level: int, max_probes: int,
     db, cl8, cl_ptr = _as_dict_args(dict_buf, dict_cl)
     n_blocks = (n + block_size - 1) // block_size
     cap = 16 + 12 + n + n_blocks * (8 + 4 + 64) + n // 4 + 4 * n_blocks + 8 + 4096
-    out, w = _native_into_bytes("encbuf", cap, lambda ptr: L.zxch_compress_frame(
-        d8.ctypes.data_as(ctypes.c_void_p), n, level,
-        max_probes, 1 if lazy else 0, sufficient_len,
-        step_base, step_shift, cover_base, min_emit, block_size,
-        block_size_code, 1 if checksum else 0, 1 if seekable else 0,
-        db.ctypes.data_as(ctypes.c_void_p), len(db), cl_ptr,
-        ctypes.c_uint32(dict_id), ptr, cap))
+    if threads > 1:
+        call = lambda ptr: L.zxch_compress_frame_mt(
+            d8.ctypes.data_as(ctypes.c_void_p), n, level,
+            max_probes, 1 if lazy else 0, sufficient_len,
+            step_base, step_shift, cover_base, min_emit, block_size,
+            block_size_code, 1 if checksum else 0, 1 if seekable else 0,
+            db.ctypes.data_as(ctypes.c_void_p), len(db), cl_ptr,
+            ctypes.c_uint32(dict_id), ptr, cap, int(threads))
+    else:
+        call = lambda ptr: L.zxch_compress_frame(
+            d8.ctypes.data_as(ctypes.c_void_p), n, level,
+            max_probes, 1 if lazy else 0, sufficient_len,
+            step_base, step_shift, cover_base, min_emit, block_size,
+            block_size_code, 1 if checksum else 0, 1 if seekable else 0,
+            db.ctypes.data_as(ctypes.c_void_p), len(db), cl_ptr,
+            ctypes.c_uint32(dict_id), ptr, cap)
+    out, w = _native_into_bytes("encbuf", cap, call)
     if w < 0:
         return None
     return out

@@ -17,6 +17,8 @@
 #include <vector>
 #include <algorithm>
 #include <atomic>
+#include <condition_variable>
+#include <functional>
 #include <memory>
 #include <mutex>
 #include <thread>
@@ -1026,11 +1028,14 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
   if (!seed_hit) {
     memset(head, 0xFF, sizeof(head));  // 0xFFFFFFFF = empty (pos > any n)
     if (fast_tier) memset(tags8, 0, sizeof(tags8));
-  } else if (fast_tier) {
-    // seeded path: tags8 must reflect the head state; rebuild cheap
-    for (int i = 0; i < (1 << HASH_BITS); i++)
-      tags8[i] = (uint8_t)(head[i] >> 24);
   }
+  // NOTE the seeded-path tags8 rebuild lives BELOW, after head is
+  // restored from the snapshot. Rebuilding here (as round 4 first did)
+  // read the PREVIOUS call's final head state — an inconsistent
+  // tags8<->head pair whose tag filter tie-broke matches differently
+  // depending on which block a thread had encoded before (found when
+  // the MT frame encoder's byte-equality test caught frame-loop vs
+  // block-order divergence on dict fast-tier archives).
   // reusable per-thread chain buffer (grown on demand): skips the per-call
   // allocation + first-touch page faults of new[]
   static thread_local uint32_t *chain_buf = nullptr;
@@ -1179,6 +1184,9 @@ done:
     if (seed_hit) {
       memcpy(head, seed_head, sizeof(head));
       memcpy(chain, seed_chain, SB * sizeof(uint32_t));
+      if (fast_tier)  // rebuild from the RESTORED head (see note above)
+        for (int i = 0; i < (1 << HASH_BITS); i++)
+          tags8[i] = (uint8_t)(head[i] >> 24);
     } else {
       for (uint64_t p = 0; p < SB; p++) insert(p);
       if (SB > 0) {
@@ -2880,6 +2888,232 @@ static int64_t zxch_encode_hufflit(const uint8_t *data, uint64_t P,
 // Byte-identical with the Python frame assembly.
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// Persistent worker pool for the MT frame codec. The reference's stream
+// engine keeps its workers alive for the whole file (zxc_driver.c:
+// 420-494, thread-local cctx per worker); ours live for the process.
+// Persistence is not just spawn cost: the encode hot path owns large
+// `static thread_local` state (match-finder head/chain tables, Huffman
+// scratch, parse arrays — several MB), which per-call fork-join threads
+// would re-fault every frame and LEAK at thread death (raw-pointer TLS
+// has no destructor). Pool threads reuse it exactly like the
+// single-thread path. pool_run is non-reentrant (internal mutex
+// serializes concurrent frames; jobs must not call pool_run).
+// ---------------------------------------------------------------------------
+namespace {
+class WorkPool {
+ public:
+  // run fn(slot) for slot in [0, nt): slots 1..nt-1 on pool threads,
+  // slot 0 on the caller. Blocks until all complete.
+  void run(int nt, const std::function<void(int)> &fn) {
+    std::lock_guard<std::mutex> user(user_mu_);
+    grow(nt - 1);
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      job_ = &fn;
+      nt_ = nt;
+      pending_ = nt - 1;
+      gen_++;
+      cv_.notify_all();
+    }
+    fn(0);
+    std::unique_lock<std::mutex> lk(mu_);
+    done_cv_.wait(lk, [&] { return pending_ == 0; });
+    job_ = nullptr;
+  }
+
+ private:
+  void grow(int need) {
+    std::unique_lock<std::mutex> lk(mu_);
+    while ((int)threads_.size() < need) {
+      int slot = (int)threads_.size() + 1;
+      // the generation is snapshotted UNDER mu_ before run() increments
+      // it, so a slowly-starting thread can never miss its first job
+      uint64_t g0 = gen_;
+      std::thread t([this, slot, g0] { worker(slot, g0); });
+      t.detach();  // process-lifetime pool; never joined
+      threads_.push_back(slot);
+    }
+  }
+  void worker(int slot, uint64_t seen) {
+    std::unique_lock<std::mutex> lk(mu_);
+    for (;;) {
+      cv_.wait(lk, [&] { return gen_ != seen; });
+      seen = gen_;
+      // every slot in [1, nt_) runs the job exactly once per generation
+      // (gen_ cannot advance until run() saw pending_ == 0)
+      if (job_ && slot < nt_) {
+        const std::function<void(int)> *j = job_;
+        lk.unlock();
+        (*j)(slot);
+        lk.lock();
+        if (--pending_ == 0) done_cv_.notify_all();
+      }
+    }
+  }
+  std::mutex user_mu_;  // serializes pool users (non-reentrant)
+  std::mutex mu_;
+  std::condition_variable cv_, done_cv_;
+  const std::function<void(int)> *job_ = nullptr;
+  std::vector<int> threads_;
+  uint64_t gen_ = 0;
+  int nt_ = 0;
+  int pending_ = 0;
+};
+
+WorkPool &work_pool() {
+  // intentionally leaked: a static instance would run ~WorkPool at exit
+  // and destroy the mutex/condvar while detached workers still wait on
+  // them (observed as a hang after main returns). The workers and the
+  // pool die with the process.
+  static WorkPool *p = new WorkPool();
+  return *p;
+}
+}  // namespace
+
+// Per-frame epoch: the per-thread dict-prefix staging below re-copies
+// the dictionary once per frame per thread (a pointer tag alone could
+// go stale if a caller frees one dict and allocates another at the
+// same address between frames).
+static std::atomic<uint64_t> g_enc_frame_epoch{1};
+
+// Per-block encode dispatch shared by the sequential and MT frame
+// encoders (byte-identical by construction: both paths call exactly
+// this). Writes the winning payload into payload[0..pcap), returns its
+// size (RAW fallback included) and sets *btype_out.
+static int64_t zxch_encode_block_dispatch(
+    const uint8_t *bdata, uint64_t len, int level, int max_probes,
+    int lazy, int sufficient_len, int step_base, int step_shift,
+    int cover_base, int min_emit, const uint8_t *dict, uint64_t dict_len,
+    const uint8_t *dict_cl, uint8_t *payload, uint64_t pcap,
+    int *btype_out) {
+  const uint64_t BH = 8;
+  // dict window: parse/emit run on [dict || block] with start=dict_len
+  // (find_parse seeds chains from the prefix; offsets may reach into
+  // it). The concat scratch is per-thread; the dict prefix is
+  // (re)copied when this thread last staged a different dict.
+  static thread_local uint8_t *cat = nullptr;
+  static thread_local uint64_t cat_cap = 0;
+  static thread_local uint64_t cat_epoch = 0;
+  if (dict_len) {
+    uint64_t needc = dict_len + len + 64;
+    if (needc > cat_cap) {
+      delete[] cat;
+      cat = new uint8_t[needc];
+      cat_cap = needc;
+      cat_epoch = 0;
+    }
+    uint64_t ep = g_enc_frame_epoch.load(std::memory_order_relaxed);
+    if (cat_epoch != ep) {
+      memcpy(cat, dict, dict_len);
+      cat_epoch = ep;
+    }
+  }
+  int64_t psz;
+  int btype;
+  if (level >= 6) {
+    // archival levels: DP optimal parse + premium auction (the Python
+    // L6/7 path runs no hufflit competitor — the GLO auction's
+    // all-literal Huffman case covers it)
+    if (dict_len) {
+      memcpy(cat + dict_len, bdata, len);
+      psz = zxch_encode_glo_opt(cat, dict_len + len, dict_len, level,
+                                max_probes, dict_cl, payload, pcap);
+    } else {
+      psz = zxch_encode_glo_opt(bdata, len, 0, level, max_probes,
+                                dict_cl, payload, pcap);
+    }
+    btype = 1;  // GLO
+  } else if (level >= 2) {
+    // Levels 2-5 ride GLO (round-2c): the GLO sections beat GHI
+    // packing at the same greedy parse on every gate corpus AND emit
+    // faster; a GLO block at any level is wire-legal (block types
+    // are self-describing). The all-literal Huffman candidate
+    // competes at every fast GLO level — below ULTRA the literal
+    // section prices only RAW/RLE, so on low-entropy or match-poor
+    // data the 0-sequence Huffman block wins outright (L5 elf
+    // -0.4 -> -6.5%, tinyalpha -3.6 -> -41%). It encodes into a
+    // scratch so the GLO payload survives a loss.
+    if (dict_len) {
+      memcpy(cat + dict_len, bdata, len);
+      psz = zxch_encode_glo(cat, dict_len + len, dict_len, max_probes,
+                            lazy, sufficient_len, step_base, step_shift,
+                            cover_base, min_emit, dict_cl, payload, pcap);
+    } else {
+      psz = zxch_encode_glo(bdata, len, 0, max_probes, lazy,
+                            sufficient_len, step_base, step_shift,
+                            cover_base, min_emit, dict_cl, payload, pcap);
+    }
+    btype = 1;  // GLO
+    static const int no_hl2 = getenv("ZXCH_NO_HUFLIT") != nullptr;
+    if (!no_hl2) {
+      uint64_t budget = len > BH ? len - BH : 0;
+      if (psz >= 0 && (uint64_t)psz < budget) budget = (uint64_t)psz;
+      static thread_local std::vector<uint8_t> hlbuf2;
+      if (hlbuf2.size() < len + 1024) hlbuf2.resize(len + 1024);
+      int64_t hl = zxch_encode_hufflit(bdata, len, hlbuf2.data(),
+                                       hlbuf2.size(), budget);
+      if (hl >= 0 && (uint64_t)hl <= pcap) {
+        memcpy(payload, hlbuf2.data(), (size_t)hl);
+        psz = hl;
+      }
+    }
+  } else if (level <= 1) {
+    // parse once; the GHI payload size is exact BEFORE emission (raw
+    // literals + fixed-width words), so the entropy-fallback decision
+    // runs first and only the winning encode is emitted — byte-
+    // identical to emit-then-compare, without the double encode
+    uint64_t max_seq = len / 5 + 8;
+    zxch_parse_scratch(max_seq);
+    const uint8_t *pdat = bdata;
+    uint64_t pstart = 0;
+    if (dict_len) {
+      memcpy(cat + dict_len, bdata, len);
+      pdat = cat;
+      pstart = dict_len;
+    }
+    int64_t nseq = zxch_find_parse(pdat, pstart + len, pstart, max_probes,
+                                   lazy, sufficient_len, step_base,
+                                   step_shift, cover_base, min_emit,
+                                   g_mp, g_ml, g_mo, max_seq);
+    uint64_t lit_total = 0, n_ext = 0;
+    int64_t ghi_need = nseq >= 0
+        ? (int64_t)zxch_ghi_size(g_mp, g_ml, nseq, len, &lit_total,
+                                 &n_ext)
+        : -10;
+    static const int no_hl = getenv("ZXCH_NO_HUFLIT") != nullptr;
+    uint64_t budget = len > BH ? len - BH : 0;
+    if (ghi_need >= 0 && (uint64_t)ghi_need < budget)
+      budget = (uint64_t)ghi_need;
+    int64_t hl = no_hl ? -1
+        : zxch_encode_hufflit(bdata, len, payload, pcap, budget);
+    if (hl >= 0) {
+      psz = hl;
+      btype = 1;  // GLO (all-literal Huffman)
+    } else if (ghi_need >= 0 && (uint64_t)ghi_need <= pcap) {
+      psz = zxch_emit_ghi(pdat, pstart, len, g_mp, g_ml, g_mo, nseq,
+                          lit_total, n_ext, payload);
+      btype = 2;  // GHI
+    } else {
+      psz = -10;
+      btype = 2;
+    }
+  } else {
+    psz = zxch_encode_glo(bdata, len, 0, max_probes, lazy,
+                          sufficient_len, step_base, step_shift,
+                          cover_base, min_emit, nullptr, payload, pcap);
+    btype = 1;  // GLO
+  }
+  if (psz < 0 || (uint64_t)(BH + psz) >= len) {
+    // RAW fallback (encode_chunk expansion rule, block_encode.py)
+    memmove(payload, bdata, len);
+    psz = (int64_t)len;
+    btype = 0;
+  }
+  *btype_out = btype;
+  return psz;
+}
+
 extern "C" {
 
 int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
@@ -2893,6 +3127,7 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
                             uint8_t *out, uint64_t cap) {
   const uint64_t HDR = 16, BH = 8, FOOT = 12;
   uint64_t w = 0;
+  g_enc_frame_epoch.fetch_add(1, std::memory_order_relaxed);
   if (cap < HDR) return -10;
   // file header (headers.py:20)
   memset(out, 0, HDR);
@@ -2912,19 +3147,6 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
   uint64_t n_blocks = (n + block_size - 1) / block_size;
   uint32_t *seek_sizes = seekable && n_blocks
       ? new uint32_t[n_blocks] : nullptr;
-  // dict window: parse/emit run on [dict || block] with start=dict_len
-  // (find_parse seeds chains from the prefix; offsets may reach into it)
-  static thread_local uint8_t *cat = nullptr;
-  static thread_local uint64_t cat_cap = 0;
-  if (dict_len) {
-    uint64_t needc = dict_len + block_size + 64;
-    if (needc > cat_cap) {
-      delete[] cat;
-      cat = new uint8_t[needc];
-      cat_cap = needc;
-    }
-    memcpy(cat, dict, dict_len);
-  }
   uint32_t global_hash = 0;
   uint64_t bi = 0;
   for (uint64_t pos = 0; pos < n; pos += block_size, bi++) {
@@ -2935,107 +3157,11 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
     }
     uint8_t *payload = out + w + BH;
     uint64_t pcap = cap - w - BH - 8;
-    int64_t psz;
     int btype;
-    if (level >= 6) {
-      // archival levels: DP optimal parse + premium auction (the Python
-      // L6/7 path runs no hufflit competitor — the GLO auction's
-      // all-literal Huffman case covers it)
-      if (dict_len) {
-        memcpy(cat + dict_len, data + pos, len);
-        psz = zxch_encode_glo_opt(cat, dict_len + len, dict_len, level,
-                                  max_probes, dict_cl, payload, pcap);
-      } else {
-        psz = zxch_encode_glo_opt(data + pos, len, 0, level, max_probes,
-                                  dict_cl, payload, pcap);
-      }
-      btype = 1;  // GLO
-    } else if (level >= 2) {
-      // Levels 2-5 ride GLO (round-2c): the GLO sections beat GHI
-      // packing at the same greedy parse on every gate corpus AND emit
-      // faster; a GLO block at any level is wire-legal (block types
-      // are self-describing). The all-literal Huffman candidate
-      // competes at every fast GLO level — below ULTRA the literal
-      // section prices only RAW/RLE, so on low-entropy or match-poor
-      // data the 0-sequence Huffman block wins outright (L5 elf
-      // -0.4 -> -6.5%, tinyalpha -3.6 -> -41%). It encodes into a
-      // scratch so the GLO payload survives a loss.
-      if (dict_len) {
-        memcpy(cat + dict_len, data + pos, len);
-        psz = zxch_encode_glo(cat, dict_len + len, dict_len, max_probes,
-                              lazy, sufficient_len, step_base, step_shift,
-                              cover_base, min_emit, dict_cl, payload, pcap);
-      } else {
-        psz = zxch_encode_glo(data + pos, len, 0, max_probes, lazy,
-                              sufficient_len, step_base, step_shift,
-                              cover_base, min_emit, dict_cl, payload, pcap);
-      }
-      btype = 1;  // GLO
-      static const int no_hl2 = getenv("ZXCH_NO_HUFLIT") != nullptr;
-      if (!no_hl2) {
-        uint64_t budget = len > BH ? len - BH : 0;
-        if (psz >= 0 && (uint64_t)psz < budget) budget = (uint64_t)psz;
-        static thread_local std::vector<uint8_t> hlbuf2;
-        if (hlbuf2.size() < len + 1024) hlbuf2.resize(len + 1024);
-        int64_t hl = zxch_encode_hufflit(data + pos, len, hlbuf2.data(),
-                                         hlbuf2.size(), budget);
-        if (hl >= 0 && (uint64_t)hl <= pcap) {
-          memcpy(payload, hlbuf2.data(), (size_t)hl);
-          psz = hl;
-        }
-      }
-    } else if (level <= 1) {
-      // parse once; the GHI payload size is exact BEFORE emission (raw
-      // literals + fixed-width words), so the entropy-fallback decision
-      // runs first and only the winning encode is emitted — byte-
-      // identical to emit-then-compare, without the double encode
-      uint64_t max_seq = len / 5 + 8;
-      zxch_parse_scratch(max_seq);
-      const uint8_t *pdat = data + pos;
-      uint64_t pstart = 0;
-      if (dict_len) {
-        memcpy(cat + dict_len, data + pos, len);
-        pdat = cat;
-        pstart = dict_len;
-      }
-      int64_t nseq = zxch_find_parse(pdat, pstart + len, pstart, max_probes,
-                                     lazy, sufficient_len, step_base,
-                                     step_shift, cover_base, min_emit,
-                                     g_mp, g_ml, g_mo, max_seq);
-      uint64_t lit_total = 0, n_ext = 0;
-      int64_t ghi_need = nseq >= 0
-          ? (int64_t)zxch_ghi_size(g_mp, g_ml, nseq, len, &lit_total,
-                                   &n_ext)
-          : -10;
-      static const int no_hl = getenv("ZXCH_NO_HUFLIT") != nullptr;
-      uint64_t budget = len > BH ? len - BH : 0;
-      if (ghi_need >= 0 && (uint64_t)ghi_need < budget)
-        budget = (uint64_t)ghi_need;
-      int64_t hl = no_hl ? -1
-          : zxch_encode_hufflit(data + pos, len, payload, pcap, budget);
-      if (hl >= 0) {
-        psz = hl;
-        btype = 1;  // GLO (all-literal Huffman)
-      } else if (ghi_need >= 0 && (uint64_t)ghi_need <= pcap) {
-        psz = zxch_emit_ghi(pdat, pstart, len, g_mp, g_ml, g_mo, nseq,
-                            lit_total, n_ext, payload);
-        btype = 2;  // GHI
-      } else {
-        psz = -10;
-        btype = 2;
-      }
-    } else {
-      psz = zxch_encode_glo(data + pos, len, 0, max_probes, lazy,
-                            sufficient_len, step_base, step_shift,
-                            cover_base, min_emit, nullptr, payload, pcap);
-      btype = 1;  // GLO
-    }
-    if (psz < 0 || (uint64_t)(BH + psz) >= len) {
-      // RAW fallback (encode_chunk expansion rule, block_encode.py)
-      memmove(payload, data + pos, len);
-      psz = (int64_t)len;
-      btype = 0;
-    }
+    int64_t psz = zxch_encode_block_dispatch(
+        data + pos, len, level, max_probes, lazy, sufficient_len,
+        step_base, step_shift, cover_base, min_emit, dict, dict_len,
+        dict_cl, payload, pcap, &btype);
     // block header (headers.py:64)
     uint8_t *bh = out + w;
     memset(bh, 0, BH);
@@ -3085,6 +3211,151 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
   }
   delete[] seek_sizes;
   // footer: <QI> src_size, global_hash (0 when checksums off)
+  for (int i = 0; i < 8; i++) out[w + i] = (uint8_t)((n >> (8 * i)) & 0xFF);
+  uint32_t gh = checksum ? global_hash : 0;
+  for (int i = 0; i < 4; i++)
+    out[w + 8 + i] = (uint8_t)((gh >> (8 * i)) & 0xFF);
+  w += FOOT;
+  return (int64_t)w;
+}
+
+// Multi-threaded frame encode: the same per-block dispatch
+// (zxch_encode_block_dispatch) fanned over the persistent worker pool.
+// Blocks are encoded into per-block staging slots in waves (bounded
+// memory: one wave = 4*threads slots), then stitched in order on the
+// calling thread — headers, per-block rapidhash, the rolling global
+// hash, and the SEK table are all writer-side, the same split as the
+// reference's stream engine (workers own cctx + payload bytes, the
+// ordered writer owns wire framing; zxc_driver.c:420-597). Archive
+// bytes are identical to zxch_compress_frame because the dispatch and
+// the stitch order are.
+int64_t zxch_compress_frame_mt(const uint8_t *data, uint64_t n, int level,
+                               int max_probes, int lazy, int sufficient_len,
+                               int step_base, int step_shift, int cover_base,
+                               int min_emit,
+                               uint64_t block_size, int block_size_code,
+                               int checksum, int seekable,
+                               const uint8_t *dict, uint64_t dict_len,
+                               const uint8_t *dict_cl, uint32_t dict_id,
+                               uint8_t *out, uint64_t cap, int threads) {
+  if (threads <= 1 || block_size == 0 || n <= block_size)
+    return zxch_compress_frame(data, n, level, max_probes, lazy,
+                               sufficient_len, step_base, step_shift,
+                               cover_base, min_emit, block_size,
+                               block_size_code, checksum, seekable, dict,
+                               dict_len, dict_cl, dict_id, out, cap);
+  const uint64_t HDR = 16, BH = 8, FOOT = 12;
+  uint64_t w = 0;
+  g_enc_frame_epoch.fetch_add(1, std::memory_order_relaxed);
+  if (cap < HDR) return -10;
+  memset(out, 0, HDR);
+  out[0] = 0xF5; out[1] = 0x2E; out[2] = 0xB0; out[3] = 0x9C;
+  out[4] = 7;
+  out[5] = (uint8_t)block_size_code;
+  out[6] = checksum ? (uint8_t)0x80 : 0;
+  if (dict_id) {
+    out[6] |= 0x40;
+    memcpy(out + 7, &dict_id, 4);
+  }
+  uint16_t h16 = zxch_hash16(out);
+  out[14] = (uint8_t)(h16 & 0xFF);
+  out[15] = (uint8_t)(h16 >> 8);
+  w = HDR;
+
+  uint64_t n_blocks = (n + block_size - 1) / block_size;
+  int nt = threads;
+  if ((uint64_t)nt > n_blocks) nt = (int)n_blocks;
+  if (nt > 64) nt = 64;
+  const uint64_t W = 4ull * nt;  // wave width (staging slots)
+  // slot sizing: generous vs the sequential per-block guarantee
+  // (len + len/4 + 64) so tight-pcap failure paths cannot diverge
+  const uint64_t slot = block_size + block_size / 2 + 1024;
+  std::unique_ptr<uint8_t[]> stage(new uint8_t[W * slot]);
+  std::vector<int64_t> psz(W);
+  std::vector<int> btype(W);
+  std::vector<uint32_t> csum(W);
+  uint32_t *seek_sizes = seekable ? new uint32_t[n_blocks] : nullptr;
+  uint32_t global_hash = 0;
+
+  for (uint64_t wave = 0; wave < n_blocks; wave += W) {
+    const uint64_t wn = n_blocks - wave < W ? n_blocks - wave : W;
+    std::atomic<uint64_t> widx(0);
+    work_pool().run(nt, [&](int) {
+      for (;;) {
+        uint64_t j = widx.fetch_add(1, std::memory_order_relaxed);
+        if (j >= wn) break;
+        const uint64_t bi = wave + j;
+        const uint64_t pos = bi * block_size;
+        const uint64_t len = n - pos < block_size ? n - pos : block_size;
+        uint8_t *payload = stage.get() + j * slot;
+        int bt;
+        psz[j] = zxch_encode_block_dispatch(
+            data + pos, len, level, max_probes, lazy, sufficient_len,
+            step_base, step_shift, cover_base, min_emit, dict, dict_len,
+            dict_cl, payload, slot - 64, &bt);
+        btype[j] = bt;
+        if (checksum && psz[j] >= 0)
+          csum[j] = zxch_rapidhash32(payload, (size_t)psz[j], 0);
+      }
+    });
+    // ordered stitch (writer role)
+    for (uint64_t j = 0; j < wn; j++) {
+      const uint64_t bi = wave + j;
+      const uint64_t pos = bi * block_size;
+      const uint64_t len = n - pos < block_size ? n - pos : block_size;
+      if (w + BH + len + 64 + len / 4 > cap || psz[j] < 0) {
+        delete[] seek_sizes;
+        return -10;
+      }
+      uint8_t *bh = out + w;
+      memset(bh, 0, BH);
+      bh[0] = (uint8_t)btype[j];
+      uint32_t ps = (uint32_t)psz[j];
+      bh[3] = (uint8_t)(ps & 0xFF);
+      bh[4] = (uint8_t)((ps >> 8) & 0xFF);
+      bh[5] = (uint8_t)((ps >> 16) & 0xFF);
+      bh[6] = (uint8_t)((ps >> 24) & 0xFF);
+      bh[7] = zxch_hash8(bh);
+      memcpy(out + w + BH, stage.get() + j * slot, (size_t)psz[j]);
+      w += BH + (uint64_t)psz[j];
+      uint64_t blk_bytes = BH + (uint64_t)psz[j];
+      if (checksum) {
+        uint32_t cs = csum[j];
+        out[w] = (uint8_t)(cs & 0xFF);
+        out[w + 1] = (uint8_t)((cs >> 8) & 0xFF);
+        out[w + 2] = (uint8_t)((cs >> 16) & 0xFF);
+        out[w + 3] = (uint8_t)((cs >> 24) & 0xFF);
+        w += 4;
+        blk_bytes += 4;
+        global_hash = ((global_hash << 1) | (global_hash >> 31)) ^ cs;
+      }
+      if (seek_sizes) seek_sizes[bi] = (uint32_t)blk_bytes;
+    }
+  }
+
+  // EOF + SEK + footer: identical to the sequential writer
+  if (w + BH + FOOT > cap) { delete[] seek_sizes; return -10; }
+  uint8_t *eof = out + w;
+  memset(eof, 0, BH);
+  eof[0] = 0xFF;
+  eof[7] = zxch_hash8(eof);
+  w += BH;
+  if (seek_sizes && n_blocks) {
+    uint64_t body = 4 * n_blocks;
+    if (w + BH + body + FOOT > cap) { delete[] seek_sizes; return -10; }
+    uint8_t *sh = out + w;
+    memset(sh, 0, BH);
+    sh[0] = 0xFE;
+    sh[3] = (uint8_t)(body & 0xFF);
+    sh[4] = (uint8_t)((body >> 8) & 0xFF);
+    sh[5] = (uint8_t)((body >> 16) & 0xFF);
+    sh[6] = (uint8_t)((body >> 24) & 0xFF);
+    sh[7] = zxch_hash8(sh);
+    w += BH;
+    memcpy(out + w, seek_sizes, body);
+    w += body;
+  }
+  delete[] seek_sizes;
   for (int i = 0; i < 8; i++) out[w + i] = (uint8_t)((n >> (8 * i)) & 0xFF);
   uint32_t gh = checksum ? global_hash : 0;
   for (int i = 0; i < 4; i++)
@@ -3800,6 +4071,7 @@ int64_t zxch_decompress_frame(const uint8_t *src, uint64_t n,
   return (int64_t)w_total;
 }
 
+
 // Worker scratch pool for the MT frame decode: fork-join workers are
 // born and die per call, so thread_local reuse (the T=1 path's trick)
 // does not apply — a fresh 2 MB new[] per worker per call would re-pay
@@ -3909,7 +4181,7 @@ int64_t zxch_decompress_frame_mt(const uint8_t *src, uint64_t n,
   std::vector<int64_t> berr((size_t)nb, 0);
   const uint64_t per = ((uint64_t)nb + nt - 1) / nt;
   const uint64_t scratch_need = 4 * block_size + 128;
-  auto worker = [&](uint64_t b0, uint64_t b1) {
+  auto range_worker = [&](uint64_t b0, uint64_t b1) {
     uint8_t *mem = dec_scratch_acquire(scratch_need);
     DecScratch S = {mem, mem + block_size + 64, mem + 2 * block_size + 64};
     uint8_t *bounce = mem + 3 * block_size + 64;
@@ -3960,17 +4232,13 @@ int64_t zxch_decompress_frame_mt(const uint8_t *src, uint64_t n,
     }
     dec_scratch_release(mem, scratch_need);
   };
-  std::vector<std::thread> pool;
-  pool.reserve(nt - 1);
-  for (int t = 1; t < nt; t++) {
+  work_pool().run(nt, [&](int t) {
     uint64_t b0 = (uint64_t)t * per;
     uint64_t b1 = b0 + per;
     if (b0 > (uint64_t)nb) b0 = (uint64_t)nb;
     if (b1 > (uint64_t)nb) b1 = (uint64_t)nb;
-    pool.emplace_back(worker, b0, b1);
-  }
-  worker(0, per > (uint64_t)nb ? (uint64_t)nb : per);
-  for (auto &th : pool) th.join();
+    range_worker(b0, b1);
+  });
   if (had_err.load()) {
     // lowest failing block == the sequential walk's first error (all
     // blocks before it decoded clean in their owning ranges)
