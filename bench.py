@@ -570,6 +570,30 @@ def main():
               f"ratio {ratio:.2f}%, encode {len(data)/1e6/t_enc:.1f} MB/s",
               file=sys.stderr)
 
+    # host MT one-shot decode (round 4: zxch_decompress_frame_mt, all
+    # cores) — the production HOST wall-clock rate on this box, reported
+    # alongside the device kernel metrics (the two are different
+    # deployment targets; PERF 3.9 has the scaling table)
+    try:
+        from zxc_tpu import runtime as _rt
+        from zxc_tpu.codec.frame import DecodeOpts as _DO
+        from zxc_tpu.codec import frame as _frame
+        if _rt.lib() is not None:
+            _nt = os.cpu_count() or 1
+            assert _frame.decompress(archive, _DO(threads=_nt)) == data
+            best = 1e9
+            for _ in range(3):
+                t0 = time.time()
+                _frame.decompress(archive, _DO(threads=_nt))
+                best = min(best, time.time() - t0)
+            gb = len(data) / 1e9 / best
+            print(json.dumps({
+                "metric": f"silesia_like_decode_level{LEVEL}_host_mt{_nt}",
+                "value": round(gb, 3), "unit": "GB/s",
+                "vs_baseline": round(gb / BASELINE_GBPS, 3)}), flush=True)
+    except Exception as e:  # host metric must never sink the device bench
+        print(f"# host MT metric skipped: {e}", file=sys.stderr)
+
     t0 = time.time()
     plan = plan_frame(archive)
     t_plan = time.time() - t0

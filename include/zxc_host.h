@@ -155,6 +155,17 @@ int64_t zxch_compress_bound(uint64_t n, uint64_t block_size);
 int64_t zxch_simple_compress(const uint8_t *data, uint64_t n, int level,
                              uint64_t block_size, int checksum, int seekable,
                              uint8_t *dst, uint64_t dst_cap);
+/* MT variants of the one-call codec: same bytes / same error codes at
+ * every thread count; threads <= 1 runs the sequential paths.        */
+int64_t zxch_simple_compress_mt(const uint8_t *data, uint64_t n, int level,
+                                uint64_t block_size, int checksum,
+                                int seekable, uint8_t *dst,
+                                uint64_t dst_cap, int threads);
+int64_t zxch_simple_decompress_mt(const uint8_t *src, uint64_t n,
+                                  uint8_t *dst, uint64_t dst_cap,
+                                  const uint8_t *dict, uint64_t n_dict,
+                                  const uint8_t *dict_cl256, int verify,
+                                  int threads);
 /* 32-bit id binding a (content, packed-table) pair; huf128 may be NULL. */
 uint32_t zxch_dict_id(const uint8_t *content, uint64_t n,
                       const uint8_t *huf128);

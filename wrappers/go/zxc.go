@@ -87,6 +87,33 @@ func Compress(data []byte, opts *CompressOptions) ([]byte, error) {
 	return dst[:w], nil
 }
 
+// CompressMT is Compress over the native multi-threaded frame encoder
+// (zxch_simple_compress_mt): archive bytes are identical to Compress
+// at every thread count; threads <= 1 runs sequentially.
+func CompressMT(data []byte, opts *CompressOptions, threads int) ([]byte, error) {
+	o := CompressOptions{Level: 3}
+	if opts != nil {
+		o = *opts
+	}
+	if o.Level == 0 {
+		o.Level = 3
+	}
+	bs := o.BlockSize
+	if bs == 0 {
+		bs = 512 * 1024
+	}
+	cap := int64(C.zxch_compress_bound(C.uint64_t(len(data)), C.uint64_t(bs)))
+	dst := make([]byte, cap)
+	w := int64(C.zxch_simple_compress_mt(ptr(data), C.uint64_t(len(data)),
+		C.int(o.Level), C.uint64_t(o.BlockSize), boolInt(o.Checksum),
+		boolInt(o.Seekable), ptr(dst), C.uint64_t(len(dst)),
+		C.int(threads)))
+	if w < 0 {
+		return nil, Error(w)
+	}
+	return dst[:w], nil
+}
+
 // GetDecompressedSize returns the footer-declared size of an archive.
 func GetDecompressedSize(archive []byte) (int64, error) {
 	s := int64(C.zxch_get_decompressed_size(ptr(archive),
@@ -108,6 +135,25 @@ func Decompress(archive []byte, verify bool) ([]byte, error) {
 	w := int64(C.zxch_simple_decompress(ptr(archive),
 		C.uint64_t(len(archive)), ptr(dst), C.uint64_t(bound), nil, 0, nil,
 		boolInt(verify)))
+	if w < 0 {
+		return nil, Error(w)
+	}
+	return dst[:w], nil
+}
+
+// DecompressMT is Decompress over the native multi-threaded frame
+// decoder (zxch_simple_decompress_mt): output bytes AND error codes
+// are identical to Decompress at every thread count.
+func DecompressMT(archive []byte, verify bool, threads int) ([]byte, error) {
+	bound := int64(C.zxch_simple_decompress_bound(ptr(archive),
+		C.uint64_t(len(archive))))
+	if bound < 0 {
+		return nil, Error(bound)
+	}
+	dst := make([]byte, bound+1)
+	w := int64(C.zxch_simple_decompress_mt(ptr(archive),
+		C.uint64_t(len(archive)), ptr(dst), C.uint64_t(bound), nil, 0, nil,
+		boolInt(verify), C.int(threads)))
 	if w < 0 {
 		return nil, Error(w)
 	}

@@ -9,15 +9,15 @@
 const addon = require('./build/Release/zxc_addon.node');
 
 function compress(data, opts = {}) {
-  const { level = 3, blockSize = 0, checksum = false, seekable = false } =
-      opts;
+  const { level = 3, blockSize = 0, checksum = false, seekable = false,
+          threads = 1 } = opts;
   return addon.compress(Buffer.from(data), level, blockSize, checksum,
-                        seekable);
+                        seekable, threads);
 }
 
 function decompress(archive, opts = {}) {
-  const { verify = true } = opts;
-  return addon.decompress(Buffer.from(archive), verify);
+  const { verify = true, threads = 1 } = opts;
+  return addon.decompress(Buffer.from(archive), verify, threads);
 }
 
 /** Shared-dictionary encode/decode: dict = {content, codeLen?} where

@@ -43,10 +43,12 @@ static int64_t get_int(napi_env env, napi_value v, int64_t dflt) {
 }
 
 /* compress(data: Buffer, level=3, blockSize=0, checksum=false,
- *          seekable=false) -> Buffer */
+ *          seekable=false, threads=1) -> Buffer
+ * threads > 1 rides the native MT frame encoder; archive bytes are
+ * identical at every thread count. */
 static napi_value Compress(napi_env env, napi_callback_info info) {
-  size_t argc = 5;
-  napi_value args[5];
+  size_t argc = 6;
+  napi_value args[6];
   napi_get_cb_info(env, info, &argc, args, NULL, NULL);
   uint8_t *data;
   size_t n;
@@ -56,11 +58,15 @@ static napi_value Compress(napi_env env, napi_callback_info info) {
   bool checksum = false, seekable = false;
   if (argc > 3) napi_get_value_bool(env, args[3], &checksum);
   if (argc > 4) napi_get_value_bool(env, args[4], &seekable);
+  int64_t threads = argc > 5 ? get_int(env, args[5], 1) : 1;
   int64_t cap = zxch_compress_bound(n, bs ? bs : 512 * 1024);
   uint8_t *dst = (uint8_t *)malloc(cap);
   if (!dst) return throw_code(env, -1);
-  int64_t w = zxch_simple_compress(data, n, (int)level, bs, checksum,
-                                   seekable, dst, cap);
+  int64_t w = threads > 1
+      ? zxch_simple_compress_mt(data, n, (int)level, bs, checksum,
+                                seekable, dst, cap, (int)threads)
+      : zxch_simple_compress(data, n, (int)level, bs, checksum,
+                             seekable, dst, cap);
   if (w < 0) {
     free(dst);
     return throw_code(env, w);
@@ -71,22 +77,28 @@ static napi_value Compress(napi_env env, napi_callback_info info) {
   return out;
 }
 
-/* decompress(archive: Buffer, verify=true) -> Buffer */
+/* decompress(archive: Buffer, verify=true, threads=1) -> Buffer
+ * threads > 1 rides the native MT frame decoder (identical output and
+ * error codes at every thread count). */
 static napi_value Decompress(napi_env env, napi_callback_info info) {
-  size_t argc = 2;
-  napi_value args[2];
+  size_t argc = 3;
+  napi_value args[3];
   napi_get_cb_info(env, info, &argc, args, NULL, NULL);
   uint8_t *arc;
   size_t n;
   if (!get_buffer(env, args[0], &arc, &n)) return NULL;
   bool verify = true;
   if (argc > 1) napi_get_value_bool(env, args[1], &verify);
+  int64_t threads = argc > 2 ? get_int(env, args[2], 1) : 1;
   int64_t bound = zxch_simple_decompress_bound(arc, n);
   if (bound < 0) return throw_code(env, bound);
   uint8_t *dst = (uint8_t *)malloc((size_t)bound + 1);
   if (!dst) return throw_code(env, -1);
-  int64_t w = zxch_simple_decompress(arc, n, dst, (uint64_t)bound, NULL, 0,
-                                     NULL, verify);
+  int64_t w = threads > 1
+      ? zxch_simple_decompress_mt(arc, n, dst, (uint64_t)bound, NULL, 0,
+                                  NULL, verify, (int)threads)
+      : zxch_simple_decompress(arc, n, dst, (uint64_t)bound, NULL, 0,
+                               NULL, verify);
   if (w < 0) {
     free(dst);
     return throw_code(env, w);

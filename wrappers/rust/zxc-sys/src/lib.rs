@@ -132,6 +132,28 @@ extern "C" {
         dst: *mut u8,
         dst_cap: u64,
     ) -> i64;
+    pub fn zxch_simple_compress_mt(
+        data: *const u8,
+        n: u64,
+        level: i32,
+        block_size: u64,
+        checksum: i32,
+        seekable: i32,
+        dst: *mut u8,
+        dst_cap: u64,
+        threads: i32,
+    ) -> i64;
+    pub fn zxch_simple_decompress_mt(
+        src: *const u8,
+        n: u64,
+        dst: *mut u8,
+        dst_cap: u64,
+        dict: *const u8,
+        n_dict: u64,
+        dict_cl256: *const u8,
+        verify: i32,
+        threads: i32,
+    ) -> i64;
     pub fn zxch_seekable_range(
         src: *const u8,
         n: u64,

@@ -88,6 +88,33 @@ pub fn compress(data: &[u8], opts: &CompressOptions) -> Result<Vec<u8>, Error> {
     Ok(dst)
 }
 
+/// `compress` over the native multi-threaded frame encoder
+/// (`zxch_simple_compress_mt`): archive bytes are identical to
+/// `compress` at every thread count; `threads <= 1` runs sequentially.
+pub fn compress_mt(data: &[u8], opts: &CompressOptions, threads: i32)
+    -> Result<Vec<u8>, Error> {
+    let bs = if opts.block_size == 0 { 512 * 1024 } else { opts.block_size };
+    let cap = unsafe { sys::zxch_compress_bound(data.len() as u64, bs) };
+    let cap = check(cap)? as usize;
+    let mut dst = vec![0u8; cap];
+    let w = unsafe {
+        sys::zxch_simple_compress_mt(
+            data.as_ptr(),
+            data.len() as u64,
+            opts.level,
+            opts.block_size,
+            opts.checksum as i32,
+            opts.seekable as i32,
+            dst.as_mut_ptr(),
+            cap as u64,
+            threads,
+        )
+    };
+    let w = check(w)? as usize;
+    dst.truncate(w);
+    Ok(dst)
+}
+
 /// Shared compression dictionary: a parse-window prefix plus an
 /// optional shared literal code table (256 unpacked per-symbol
 /// lengths). Mirrors the reference crate's dictionary surface.
@@ -273,6 +300,35 @@ pub fn decompress(archive: &[u8], verify: bool) -> Result<Vec<u8>, Error> {
             0,
             core::ptr::null(),
             verify as i32,
+        )
+    };
+    let w = check(w)? as usize;
+    dst.truncate(w);
+    Ok(dst)
+}
+
+/// `decompress` over the native multi-threaded frame decoder
+/// (`zxch_simple_decompress_mt`): output bytes AND error codes are
+/// identical to `decompress` at every thread count.
+pub fn decompress_mt(archive: &[u8], verify: bool, threads: i32)
+    -> Result<Vec<u8>, Error> {
+    let bound = unsafe {
+        sys::zxch_simple_decompress_bound(archive.as_ptr(),
+                                          archive.len() as u64)
+    };
+    let bound = check(bound)? as usize;
+    let mut dst = vec![0u8; bound + 1];
+    let w = unsafe {
+        sys::zxch_simple_decompress_mt(
+            archive.as_ptr(),
+            archive.len() as u64,
+            dst.as_mut_ptr(),
+            bound as u64,
+            core::ptr::null(),
+            0,
+            core::ptr::null(),
+            verify as i32,
+            threads,
         )
     };
     let w = check(w)? as usize;

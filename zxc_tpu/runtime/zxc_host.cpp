@@ -4351,6 +4351,35 @@ int64_t zxch_simple_decompress(const uint8_t *src, uint64_t n, uint8_t *dst,
                                dict_cl, dst, dst_cap);
 }
 
+// zxch_simple_decompress over the MT frame decode (threads <= 1 is the
+// sequential walk; output and error codes identical at every count).
+int64_t zxch_simple_decompress_mt(const uint8_t *src, uint64_t n,
+                                  uint8_t *dst, uint64_t dst_cap,
+                                  const uint8_t *dict, uint64_t n_dict,
+                                  const uint8_t *dict_cl, int verify,
+                                  int threads) {
+  uint64_t bs;
+  int ck;
+  uint32_t did;
+  int rc = zxch_frame_info(src, n, &bs, &ck, &did);
+  if (rc) return rc;
+  if (did != 0 && dict == nullptr) return -15;  // DICT_REQUIRED
+  uint64_t max_blocks = n / 8 + 2;
+  uint64_t *pos = new uint64_t[max_blocks];
+  uint64_t *comp = new uint64_t[max_blocks];
+  uint8_t *typ = new uint8_t[max_blocks];
+  uint64_t eof = 0;
+  int64_t nb = zxch_walk_frame(src, n, ck, 8 + bs + 4, 16, pos, typ, comp,
+                               max_blocks, &eof);
+  delete[] pos;
+  delete[] comp;
+  delete[] typ;
+  if (nb < 0) return nb;
+  if ((uint64_t)nb * bs + 64 > dst_cap) return -2;  // DST_TOO_SMALL
+  return zxch_decompress_frame_mt(src, n, bs, ck, verify, dict, n_dict,
+                                  dict_cl, dst, dst_cap, threads);
+}
+
 // Safe capacity for zxch_simple_decompress's dst buffer.
 int64_t zxch_simple_decompress_bound(const uint8_t *src, uint64_t n) {
   uint64_t bs;
@@ -4404,6 +4433,32 @@ int64_t zxch_simple_compress(const uint8_t *data, uint64_t n, int level,
                              block_size, code,
                              checksum, seekable, nullptr, 0, nullptr, 0,
                              dst, dst_cap);
+}
+
+// zxch_simple_compress over the MT frame encode (same bytes at every
+// thread count; threads <= 1 or a single-block input is sequential).
+int64_t zxch_simple_compress_mt(const uint8_t *data, uint64_t n, int level,
+                                uint64_t block_size, int checksum,
+                                int seekable, uint8_t *dst,
+                                uint64_t dst_cap, int threads) {
+  if (level < 1) level = 1;
+  if (level > 7) level = 7;
+  if (block_size == 0) block_size = 512 * 1024;
+  if (block_size & (block_size - 1)) return -14;
+  int code = 0;
+  while ((1ull << code) < block_size) code++;
+  if (code < 12 || code > 21) return -14;
+  struct Par { int probes, lazy, suff, sb, ss, cover, min_emit; };
+  static const Par tab[7] = {{2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
+                             {5, 1, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
+                             {64, 1, 256, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
+                             {192, 1, 0, 1, 0, 1, 5}};
+  Par p = tab[level - 1];
+  return zxch_compress_frame_mt(data, n, level, p.probes, p.lazy, p.suff,
+                                p.sb, p.ss, p.cover, p.min_emit,
+                                block_size, code, checksum, seekable,
+                                nullptr, 0, nullptr, 0, dst, dst_cap,
+                                threads);
 }
 
 // 32-bit id binding a (content, table) pair (FORMAT.md section 12;
