@@ -56,6 +56,14 @@ def main():
             d8.ctypes.data_as(vp), 0, None,
             scratch.ctypes.data_as(vp), len(scratch))
 
+    NCPU = os.cpu_count() or 1
+
+    def ours_mt(src_np, ck):
+        return NL.zxch_decompress_frame_mt(
+            src_np.ctypes.data_as(vp), len(src_np), BS, ck, 0,
+            d8.ctypes.data_as(vp), 0, None,
+            scratch.ctypes.data_as(vp), len(scratch), NCPU)
+
     print(f"# {MB} MiB pinned corpus, {BS//1024} KiB blocks, "
           f"{ROUNDS} interleaved rounds (medians). ours-API returns fresh"
           f" bytes; both -core columns reuse a preallocated buffer.")
@@ -66,25 +74,29 @@ def main():
         assert frame.decompress(arc) == raw
         assert ref_core(arc) == raw
         assert ours_core(src_np, ck) == len(raw)             and bytes(scratch[:len(raw)]) == raw
-        t = {"ours": [], "core": [], "ref": []}
+        t = {"ours": [], "core": [], "mt": [], "ref": []}
         for r in range(ROUNDS):
-            ks = ("ours", "core", "ref")
+            ks = ("ours", "core", "mt", "ref")
             for k in (ks if r % 2 == 0 else ks[::-1]):
                 t0 = time.time()
                 if k == "ours":
                     frame.decompress(arc)
                 elif k == "core":
                     ours_core(src_np, ck)
+                elif k == "mt":
+                    ours_mt(src_np, ck)
                 else:
                     L.zxc_decompress(arc, len(arc), dst, len(raw),
                                      ctypes.byref(opts))
                 t[k].append(time.time() - t0)
         mo = statistics.median(t["ours"])
         mc = statistics.median(t["core"])
+        mm = statistics.median(t["mt"])
         mr = statistics.median(t["ref"])
         print(f"L{lvl}: ours-API {MB/mo:6.0f}  ours-core {MB/mc:6.0f}  "
+              f"ours-mt{NCPU} {MB/mm:6.0f}  "
               f"ref-core {MB/mr:6.0f} MB/s  API/ref {mr/mo:.2f}x  "
-              f"core/core {mr/mc:.2f}x")
+              f"core/core {mr/mc:.2f}x  mt/ref {mr/mm:.2f}x")
 
 
 if __name__ == "__main__":
