@@ -382,15 +382,21 @@ class DictState:
 
 
 def _build_sequences(data: np.ndarray, level: int,
-                     dict_state: DictState | None, sequences=None):
+                     dict_state: DictState | None, sequences=None,
+                     probes: int | None = None):
     """Shared front half: match find + parse. Returns a non-empty list of
     candidate (ll, ml, off, literals) stream tuples in block coordinates —
     more than one when the parser proposes alternative encodings (e.g.
     8-bit-only offset mode) for the caller to price exactly.
 
     ``sequences`` short-circuits the matcher with precomputed
-    (m_pos, m_len, m_off) — the device-matcher entry (ops.encode)."""
+    (m_pos, m_len, m_off) — the device-matcher entry (ops.encode).
+    ``probes`` overrides the level's chain-walk depth (the L6 adaptive
+    deepening pass)."""
     params = level_params(level)
+    if probes is not None:
+        import dataclasses
+        params = dataclasses.replace(params, n_candidates=probes)
     if sequences is not None:
         m_pos, m_len, m_off = (np.asarray(a, np.int64) for a in sequences)
         return [_sequences_to_streams(data, m_pos, m_len, m_off)]
@@ -444,11 +450,26 @@ def _build_sequences(data: np.ndarray, level: int,
             if cl is None:
                 cost = np.full(256, 8, np.uint16)
             else:
-                # absent symbols: finite pessimistic cost (+1 smoothing
-                # would force a uniform 8-bit code over all 256 symbols
-                # and poison the model on small alphabets)
-                cost = np.where(cl > 0, cl,
-                                params.max_code_len + 2).astype(np.uint16)
+                # regime check first: on high-entropy data (machine
+                # code) the literal section will WIN the auction as RAW,
+                # so Huffman per-symbol prices (avg < 8 bits) under-value
+                # matches and the DP keeps literals a RAW section then
+                # pays 8 bits for. Price flat 8 whenever the Huffman
+                # estimate (+ the 128-byte lengths table) loses to RAW
+                # on the first-pass histogram — the regime the final
+                # auction will pick. (Found via the L6 ELF size gate:
+                # +0.03..0.10% vs reference on libc/libstdc++ bytes.)
+                hb = int((freq * np.where(cl > 0, cl, 0)).sum())
+                tot = int(freq.sum())
+                if hb + 128 * 8 >= tot * 8:
+                    cost = np.full(256, 8, np.uint16)
+                else:
+                    # absent symbols: finite pessimistic cost (+1
+                    # smoothing would force a uniform 8-bit code over
+                    # all 256 symbols and poison the model on small
+                    # alphabets)
+                    cost = np.where(cl > 0, cl,
+                                    params.max_code_len + 2).astype(np.uint16)
             # ULTRA Huffman-codes the token stream too; price tokens at
             # 5 bits so the DP trades literals for matches the way the
             # final sections will actually charge (empirically the best
@@ -583,7 +604,20 @@ def encode_block_glo(data: np.ndarray, level: int,
             pass
     cands = _build_sequences(data, level, dict_state, sequences)
     pays = [_glo_payload(data, level, dict_state, c) for c in cands]
-    return min(pays, key=len)
+    best = min(pays, key=len)
+    # adaptive deepening (L6; mirrors zxch_encode_block_dispatch): on
+    # poorly-compressing blocks (payload > 45% of input — machine code)
+    # re-run the whole pipeline at 3x chain depth and keep the smaller
+    # payload. Compressible corpora never trigger.
+    if (level == 6 and sequences is None
+            and len(best) * 20 > len(data) * 9):
+        deep = _build_sequences(data, level, dict_state, None,
+                                probes=level_params(level).n_candidates * 3)
+        dpays = [_glo_payload(data, level, dict_state, c) for c in deep]
+        d = min(dpays, key=len)
+        if len(d) < len(best):
+            best = d
+    return best
 
 
 def _glo_payload(data: np.ndarray, level: int,

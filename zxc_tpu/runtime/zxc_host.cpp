@@ -2372,8 +2372,23 @@ int64_t zxch_encode_glo_opt(const uint8_t *data, uint64_t n, uint64_t start,
     for (int64_t q = cursor; q < (int64_t)P; q++) freq[data[start + q]]++;
     uint8_t cl[256];
     if (zxch_build_code_lengths(freq, maxlen, cl) > 0) {
-      for (int s2 = 0; s2 < 256; s2++)
-        cost[s2] = cl[s2] ? cl[s2] : (uint16_t)(maxlen + 2);
+      // regime check (mirrors block_encode.py): when the Huffman
+      // estimate (+ the 128-byte lengths table) loses to RAW on the
+      // first-pass histogram, the final auction will emit RAW literals
+      // — price them flat 8 so the DP values matches against what they
+      // actually displace (high-entropy/machine-code blocks were
+      // under-matching: L6 ELF gate +0.03..0.10% vs reference)
+      uint64_t tot = 0, hb = 0;
+      for (int s2 = 0; s2 < 256; s2++) {
+        tot += freq[s2];
+        hb += freq[s2] * cl[s2];
+      }
+      if (hb + 128 * 8 >= tot * 8) {
+        for (int s2 = 0; s2 < 256; s2++) cost[s2] = 8;
+      } else {
+        for (int s2 = 0; s2 < 256; s2++)
+          cost[s2] = cl[s2] ? cl[s2] : (uint16_t)(maxlen + 2);
+      }
     } else {
       for (int s2 = 0; s2 < 256; s2++) cost[s2] = 8;
     }
@@ -3024,6 +3039,34 @@ static int64_t zxch_encode_block_dispatch(
                                 dict_cl, payload, pcap);
     }
     btype = 1;  // GLO
+    // adaptive deepening (L6, mirrored in block_encode.py): on
+    // poorly-compressing blocks (payload > 45% of input — machine
+    // code: libc/libstdc++/our own .so measured +0.03..0.10% vs the
+    // reference at depth 64) the depth-64 chain walk is what's
+    // missing, not the cost model (flat-8 literal pricing measured
+    // ZERO effect; depth 128+ flips every measured ELF corpus).
+    // Re-encode those blocks at 3x depth and keep the smaller
+    // payload; compressible corpora never trigger, so the pinned/
+    // csrc speed ratio is untouched.
+    if (level == 6 && psz >= 0 && (uint64_t)psz * 20 > len * 9) {
+      // scratch bounded by the block (pcap may be a whole archive's
+      // remaining capacity); any p2 we would accept is < psz <= ~len
+      const uint64_t deep_cap = len + len / 4 + 1024;
+      static thread_local std::vector<uint8_t> deep;
+      if (deep.size() < deep_cap) deep.resize(deep_cap);
+      int64_t p2;
+      if (dict_len)
+        p2 = zxch_encode_glo_opt(cat, dict_len + len, dict_len, level,
+                                 max_probes * 3, dict_cl, deep.data(),
+                                 deep_cap);
+      else
+        p2 = zxch_encode_glo_opt(bdata, len, 0, level, max_probes * 3,
+                                 dict_cl, deep.data(), deep_cap);
+      if (p2 >= 0 && p2 < psz) {
+        memcpy(payload, deep.data(), (size_t)p2);
+        psz = p2;
+      }
+    }
   } else if (level >= 2) {
     // Levels 2-5 ride GLO (round-2c): the GLO sections beat GHI
     // packing at the same greedy parse on every gate corpus AND emit
