@@ -98,11 +98,6 @@ int64_t zxch_decompress_frame(const uint8_t *src, uint64_t n,
                               int verify, const uint8_t *dict,
                               uint64_t n_dict, const uint8_t *dict_cl256,
                               uint8_t *dst, uint64_t dst_alloc);
-/* Multi-threaded variant: fork-join pool over contiguous block ranges
- * (blocks land at deterministic i*block_size offsets). Bit-identical
- * output and error codes to zxch_decompress_frame; any archive shape
- * that breaks the offset mapping falls back to the sequential walk.
- * threads <= 1 IS the sequential walk.                               */
 /* Multi-threaded frame encode: the per-block dispatch fanned over a
  * persistent worker pool, stitched in order by the calling thread.
  * Archive bytes are identical to zxch_compress_frame at every thread
@@ -117,6 +112,11 @@ int64_t zxch_compress_frame_mt(const uint8_t *data, uint64_t n, int level,
                                const uint8_t *dict, uint64_t dict_len,
                                const uint8_t *dict_cl256, uint32_t dict_id,
                                uint8_t *out, uint64_t cap, int threads);
+/* Multi-threaded variant: fork-join pool over contiguous block ranges
+ * (blocks land at deterministic i*block_size offsets). Bit-identical
+ * output and error codes to zxch_decompress_frame; any archive shape
+ * that breaks the offset mapping falls back to the sequential walk.
+ * threads <= 1 IS the sequential walk.                               */
 int64_t zxch_decompress_frame_mt(const uint8_t *src, uint64_t n,
                                  uint64_t block_size, int has_checksum,
                                  int verify, const uint8_t *dict,

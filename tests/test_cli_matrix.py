@@ -329,12 +329,12 @@ def test_version_and_help():
 
 
 def test_decode_path_choice_pinned(wd):
-    """-T on decode rides the native fork-join MT frame decode
-    (zxch_decompress_frame_mt; round 4 — replaces the old
-    one-shot-only pin, PERF 3.9): output must be bit-identical to the
-    sequential walk at every thread count, and compression keeps using
-    the stream pipeline at -T>1 (its block layout is identical, so
-    bytes stay byte-equal too)."""
+    """-T rides the native MT frame codec on BOTH directions (round
+    4): decode via zxch_decompress_frame_mt, compression via
+    zxch_compress_frame_mt when the native library is present (the
+    Python stream pipeline remains the no-toolchain fallback, with an
+    identical block layout either way). Output must be bit-identical
+    to -T 1 at every thread count."""
     zxc("-z", "-k", "-T", "4", "t.txt", cwd=wd)
     a = zxc("-d", "-c", "-T", "1", "t.txt.zxc", cwd=wd)
     b = zxc("-d", "-c", "-T", "4", "t.txt.zxc", cwd=wd)

@@ -206,3 +206,89 @@ def test_mt_encode_small_input_delegates():
     a = frame.compress(raw, EncodeOpts(level=3, block_size=BS))
     b = frame.compress(raw, EncodeOpts(level=3, block_size=BS, threads=8))
     assert a == b
+
+
+# -- review-finding regressions (round 4) --
+
+def _hash8(b: bytes) -> int:
+    from zxc_tpu.format.hashes import hash8
+    return hash8(b)
+
+
+def test_mt_short_nonfinal_block_falls_back_to_sequential():
+    """A conforming-per-format archive whose non-final block decodes to
+    less than block_size breaks the i*block_size offset mapping AND can
+    overflow the footer-sized buffer at strided offsets — the MT path
+    must take the sequential fallback (which decodes it fine), not
+    return a capacity error (review finding)."""
+    from zxc_tpu.format import headers
+    from zxc_tpu import constants as C
+    bs = 4096
+    part0 = bytes(range(10))
+    part1 = os.urandom(bs)
+    arc = bytearray(headers.write_file_header(bs, False))
+    arc += headers.write_block_header(0, len(part0)) + part0
+    arc += headers.write_block_header(0, len(part1)) + part1
+    arc += headers.write_block_header(C.BLOCK_EOF, 0)
+    arc += headers.write_file_footer(len(part0) + len(part1), 0, False)
+    blob = bytes(arc)
+    seq = frame.decompress(blob, DecodeOpts(threads=1))
+    mt = frame.decompress(blob, DecodeOpts(threads=4))
+    assert seq == mt == part0 + part1
+
+
+def test_mt_verify_semantics_match_sequential_without_checksums():
+    """Sequential checks `stored_hash != ghash` under verify even for
+    non-checksum frames (ghash stays 0); the MT path must reject the
+    same archives with the same -7 (review finding)."""
+    import ctypes
+    import numpy as np
+    L = runtime.lib()
+    raw = _corpus(256 * 1024)
+    arc = bytearray(frame.compress(raw, EncodeOpts(level=1, block_size=BS,
+                                                   checksum=False)))
+    arc[-4:] = b"\xde\xad\xbe\xef"  # nonzero footer hash, no checksums
+    blob = bytes(arc)
+    src = np.frombuffer(blob, np.uint8)
+    out = np.zeros(len(raw) + (1 << 17), np.uint8)
+    vp = ctypes.c_void_p
+    rcs = []
+    for t in (1, 4):
+        rcs.append(L.zxch_decompress_frame_mt(
+            src.ctypes.data_as(vp), len(blob), BS, 0, 1,
+            None, 0, None, out.ctypes.data_as(vp), len(out), t))
+    assert rcs[0] == rcs[1] == -7, rcs
+
+
+def test_mt_concurrent_frames_with_different_dicts():
+    """Two Python threads MT-encoding frames with DIFFERENT dicts
+    concurrently must both produce their sequential bytes (the
+    per-frame epoch snapshot; review finding: a global epoch re-read
+    per block let one frame's workers tag the other frame's epoch on a
+    stale dict prefix)."""
+    import threading
+    from zxc_tpu.codec import dict_train
+    mk = lambda seed: dict_train.dict_train(
+        [bytes(np.random.default_rng(seed + i).integers(
+            97, 120, 600, dtype=np.uint8)) for i in range(40)],
+        target_size=2048)
+    d1, d2 = mk(300), mk(900)
+    raw = _corpus(512 * 1024)
+    kws = [dict(level=2, block_size=16384, dict_content=d.content,
+                dict_huf=d.huf_lengths) for d in (d1, d2)]
+    expected = [frame.compress(raw, EncodeOpts(**kw)) for kw in kws]
+    results = {}
+
+    def job(idx):
+        for _ in range(6):
+            results.setdefault(idx, []).append(
+                frame.compress(raw, EncodeOpts(**kws[idx], threads=4)))
+
+    ts = [threading.Thread(target=job, args=(i,)) for i in (0, 1)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for idx in (0, 1):
+        for got in results[idx]:
+            assert got == expected[idx], f"dict {idx} archive corrupted"

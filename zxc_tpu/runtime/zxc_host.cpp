@@ -3026,7 +3026,7 @@ static int64_t zxch_encode_block_dispatch(
     int lazy, int sufficient_len, int step_base, int step_shift,
     int cover_base, int min_emit, const uint8_t *dict, uint64_t dict_len,
     const uint8_t *dict_cl, uint8_t *payload, uint64_t pcap,
-    int *btype_out) {
+    int *btype_out, uint64_t frame_epoch) {
   const uint64_t BH = 8;
   // dict window: parse/emit run on [dict || block] with start=dict_len
   // (find_parse seeds chains from the prefix; offsets may reach into
@@ -3043,10 +3043,15 @@ static int64_t zxch_encode_block_dispatch(
       cat_cap = needc;
       cat_epoch = 0;
     }
-    uint64_t ep = g_enc_frame_epoch.load(std::memory_order_relaxed);
-    if (cat_epoch != ep) {
+    // frame_epoch is the CALLER's per-frame snapshot, not a fresh read
+    // of the global counter: a concurrent frame with a different dict
+    // bumps the global mid-encode, and a worker that re-read it here
+    // would tag ITS dict copy with the OTHER frame's epoch — the other
+    // frame's workers would then skip their re-copy and encode against
+    // a stale prefix (review finding, round 4).
+    if (cat_epoch != frame_epoch) {
       memcpy(cat, dict, dict_len);
-      cat_epoch = ep;
+      cat_epoch = frame_epoch;
     }
   }
   int64_t psz;
@@ -3195,7 +3200,8 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
                             uint8_t *out, uint64_t cap) {
   const uint64_t HDR = 16, BH = 8, FOOT = 12;
   uint64_t w = 0;
-  g_enc_frame_epoch.fetch_add(1, std::memory_order_relaxed);
+  const uint64_t frame_epoch =
+      g_enc_frame_epoch.fetch_add(1, std::memory_order_relaxed) + 1;
   if (cap < HDR) return -10;
   // file header (headers.py:20)
   memset(out, 0, HDR);
@@ -3229,7 +3235,7 @@ int64_t zxch_compress_frame(const uint8_t *data, uint64_t n, int level,
     int64_t psz = zxch_encode_block_dispatch(
         data + pos, len, level, max_probes, lazy, sufficient_len,
         step_base, step_shift, cover_base, min_emit, dict, dict_len,
-        dict_cl, payload, pcap, &btype);
+        dict_cl, payload, pcap, &btype, frame_epoch);
     // block header (headers.py:64)
     uint8_t *bh = out + w;
     memset(bh, 0, BH);
@@ -3314,7 +3320,8 @@ int64_t zxch_compress_frame_mt(const uint8_t *data, uint64_t n, int level,
                                dict_len, dict_cl, dict_id, out, cap);
   const uint64_t HDR = 16, BH = 8, FOOT = 12;
   uint64_t w = 0;
-  g_enc_frame_epoch.fetch_add(1, std::memory_order_relaxed);
+  const uint64_t frame_epoch =
+      g_enc_frame_epoch.fetch_add(1, std::memory_order_relaxed) + 1;
   if (cap < HDR) return -10;
   memset(out, 0, HDR);
   out[0] = 0xF5; out[1] = 0x2E; out[2] = 0xB0; out[3] = 0x9C;
@@ -3360,7 +3367,7 @@ int64_t zxch_compress_frame_mt(const uint8_t *data, uint64_t n, int level,
         psz[j] = zxch_encode_block_dispatch(
             data + pos, len, level, max_probes, lazy, sufficient_len,
             step_base, step_shift, cover_base, min_emit, dict, dict_len,
-            dict_cl, payload, slot - 64, &bt);
+            dict_cl, payload, slot - 64, &bt, frame_epoch);
         btype[j] = bt;
         if (checksum && psz[j] >= 0)
           csum[j] = zxch_rapidhash32(payload, (size_t)psz[j], 0);
@@ -4153,17 +4160,21 @@ struct DecScratchSlot {
 };
 static std::vector<DecScratchSlot> g_dec_scratch_pool;
 
-static uint8_t *dec_scratch_acquire(uint64_t need) {
+static uint8_t *dec_scratch_acquire(uint64_t need, uint64_t *cap_out) {
   {
     std::lock_guard<std::mutex> g(g_dec_scratch_mu);
     for (size_t k = 0; k < g_dec_scratch_pool.size(); k++) {
       if (g_dec_scratch_pool[k].cap >= need) {
         uint8_t *p = g_dec_scratch_pool[k].ptr;
+        // hand back the TRUE capacity: releasing at `need` would
+        // permanently shrink a larger pooled slot (review finding)
+        *cap_out = g_dec_scratch_pool[k].cap;
         g_dec_scratch_pool.erase(g_dec_scratch_pool.begin() + k);
         return p;
       }
     }
   }
+  *cap_out = need;
   return new uint8_t[need];
 }
 
@@ -4227,6 +4238,7 @@ int64_t zxch_decompress_frame_mt(const uint8_t *src, uint64_t n,
   // block_size; the footer can reject most violations upfront
   if (nb == 0) {
     if (stored_size != 0) return -8;
+    if (verify && stored_hash != 0) return -7;  // sequential: ghash==0
     return 0;
   }
   if (stored_size > (uint64_t)nb * block_size ||
@@ -4245,12 +4257,14 @@ int64_t zxch_decompress_frame_mt(const uint8_t *src, uint64_t n,
   // its FINAL block through scratch — no worker ever stores outside its
   // own output region.
   std::atomic<int> had_err(0);
+  std::atomic<int> need_seq(0);  // offset-mapping/capacity anomaly
   std::vector<int64_t> out_n((size_t)nb, 0);
   std::vector<int64_t> berr((size_t)nb, 0);
   const uint64_t per = ((uint64_t)nb + nt - 1) / nt;
   const uint64_t scratch_need = 4 * block_size + 128;
   auto range_worker = [&](uint64_t b0, uint64_t b1) {
-    uint8_t *mem = dec_scratch_acquire(scratch_need);
+    uint64_t scratch_cap = 0;
+    uint8_t *mem = dec_scratch_acquire(scratch_need, &scratch_cap);
     DecScratch S = {mem, mem + block_size + 64, mem + 2 * block_size + 64};
     uint8_t *bounce = mem + 3 * block_size + 64;
     for (uint64_t i = b0; i < b1; i++) {
@@ -4276,17 +4290,29 @@ int64_t zxch_decompress_frame_mt(const uint8_t *src, uint64_t n,
       uint8_t *bdst = direct ? dst + off : bounce;
       const int payload_wild = (poff + csz + 32 <= n);
       if (bt == 0) {  // RAW
-        rc = (csz > block_size || off + csz > dst_alloc) ? -10
-                                                         : (int64_t)csz;
-        if (rc >= 0) memcpy(dst + off, pl, csz);
+        if (csz > block_size) {
+          rc = -10;  // position-independent: sequential rejects too
+        } else if (off + csz > dst_alloc) {
+          // only reachable when an EARLIER short block shifted the
+          // sequential write cursor below i*block_size — the
+          // sequential walk (w_total-relative bounds) may accept this
+          // archive, so it owns the semantics (review finding)
+          need_seq.store(1, std::memory_order_relaxed);
+          break;
+        } else {
+          rc = (int64_t)csz;
+          memcpy(dst + off, pl, csz);
+        }
       } else if (bt == 1 || bt == 2) {
         rc = decode_gnr_block(bt == 1, pl, csz, bdst, block_size, dict,
                               n_dict, dict_cl, &S, payload_wild);
         if (rc >= 0 && !direct) {
-          if (off + (uint64_t)rc > dst_alloc)
-            rc = -8;  // output exceeds the footer-declared size
-          else
-            memcpy(dst + off, bounce, (size_t)rc);
+          if (off + (uint64_t)rc > dst_alloc) {
+            // same offset-mapping anomaly as the RAW case above
+            need_seq.store(1, std::memory_order_relaxed);
+            break;
+          }
+          memcpy(dst + off, bounce, (size_t)rc);
         }
       } else {
         rc = -13;
@@ -4298,7 +4324,7 @@ int64_t zxch_decompress_frame_mt(const uint8_t *src, uint64_t n,
       }
       out_n[i] = rc;
     }
-    dec_scratch_release(mem, scratch_need);
+    dec_scratch_release(mem, scratch_cap);
   };
   work_pool().run(nt, [&](int t) {
     uint64_t b0 = (uint64_t)t * per;
@@ -4307,6 +4333,9 @@ int64_t zxch_decompress_frame_mt(const uint8_t *src, uint64_t n,
     if (b1 > (uint64_t)nb) b1 = (uint64_t)nb;
     range_worker(b0, b1);
   });
+  if (need_seq.load())
+    return zxch_decompress_frame(src, n, block_size, has_checksum, verify,
+                                 dict, n_dict, dict_cl, dst, dst_alloc);
   if (had_err.load()) {
     // lowest failing block == the sequential walk's first error (all
     // blocks before it decoded clean in their owning ranges)
@@ -4324,13 +4353,16 @@ int64_t zxch_decompress_frame_mt(const uint8_t *src, uint64_t n,
     w_total += (uint64_t)out_n[i];
   }
   if (stored_size != w_total) return -8;
-  if (verify && has_checksum) {
+  if (verify) {
+    // sequential checks `stored_hash != ghash` UNCONDITIONALLY under
+    // verify; ghash is 0 when the frame carries no checksums
     uint32_t ghash = 0;
-    for (int64_t i = 0; i < nb; i++) {
-      uint32_t stored;
-      memcpy(&stored, src + pos[i] + 8 + comp[i], 4);
-      ghash = ((ghash << 1) | (ghash >> 31)) ^ stored;
-    }
+    if (has_checksum)
+      for (int64_t i = 0; i < nb; i++) {
+        uint32_t stored;
+        memcpy(&stored, src + pos[i] + 8 + comp[i], 4);
+        ghash = ((ghash << 1) | (ghash >> 31)) ^ stored;
+      }
     if (stored_hash != ghash) return -7;
   }
   (void)tail;
@@ -4393,30 +4425,24 @@ int64_t zxch_get_decompressed_size(const uint8_t *src, uint64_t n) {
 // output), decode. dst_cap must be >= zxch_get_decompressed_size() +
 // block_size + 64 (wild-copy slack; zxch_simple_decompress_bound gives
 // this). dict/dict_cl may be NULL (non-dictionary frames).
+int64_t zxch_simple_decompress_mt(const uint8_t *src, uint64_t n,
+                                  uint8_t *dst, uint64_t dst_cap,
+                                  const uint8_t *dict, uint64_t n_dict,
+                                  const uint8_t *dict_cl, int verify,
+                                  int threads);
+int64_t zxch_simple_compress_mt(const uint8_t *data, uint64_t n, int level,
+                                uint64_t block_size, int checksum,
+                                int seekable, uint8_t *dst,
+                                uint64_t dst_cap, int threads);
+
 int64_t zxch_simple_decompress(const uint8_t *src, uint64_t n, uint8_t *dst,
                                uint64_t dst_cap, const uint8_t *dict,
                                uint64_t n_dict, const uint8_t *dict_cl,
                                int verify) {
-  uint64_t bs;
-  int ck;
-  uint32_t did;
-  int rc = zxch_frame_info(src, n, &bs, &ck, &did);
-  if (rc) return rc;
-  if (did != 0 && dict == nullptr) return -15;  // DICT_REQUIRED
-  uint64_t max_blocks = n / 8 + 2;
-  uint64_t *pos = new uint64_t[max_blocks];
-  uint64_t *comp = new uint64_t[max_blocks];
-  uint8_t *typ = new uint8_t[max_blocks];
-  uint64_t eof = 0;
-  int64_t nb = zxch_walk_frame(src, n, ck, 8 + bs + 4, 16, pos, typ, comp,
-                               max_blocks, &eof);
-  delete[] pos;
-  delete[] comp;
-  delete[] typ;
-  if (nb < 0) return nb;
-  if ((uint64_t)nb * bs + 64 > dst_cap) return -2;  // DST_TOO_SMALL
-  return zxch_decompress_frame(src, n, bs, ck, verify, dict, n_dict,
-                               dict_cl, dst, dst_cap);
+  // the _mt variant at threads=1 IS the sequential path (shared
+  // preamble; review finding: the two bodies had drifted into copies)
+  return zxch_simple_decompress_mt(src, n, dst, dst_cap, dict, n_dict,
+                                   dict_cl, verify, 1);
 }
 
 // zxch_simple_decompress over the MT frame decode (threads <= 1 is the
@@ -4482,25 +4508,10 @@ int64_t zxch_compress_bound(uint64_t n, uint64_t block_size) {
 int64_t zxch_simple_compress(const uint8_t *data, uint64_t n, int level,
                              uint64_t block_size, int checksum, int seekable,
                              uint8_t *dst, uint64_t dst_cap) {
-  if (level < 1) level = 1;
-  if (level > 7) level = 7;
-  if (block_size == 0) block_size = 512 * 1024;
-  if (block_size & (block_size - 1)) return -14;
-  int code = 0;
-  while ((1ull << code) < block_size) code++;
-  if (code < 12 || code > 21) return -14;
-  // level-param table mirror (codec/block_encode.py level_params)
-  struct Par { int probes, lazy, suff, sb, ss, cover, min_emit; };
-  static const Par tab[7] = {{2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
-                             {5, 1, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
-                             {64, 1, 256, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
-                             {192, 1, 0, 1, 0, 1, 5}};
-  Par p = tab[level - 1];
-  return zxch_compress_frame(data, n, level, p.probes, p.lazy, p.suff,
-                             p.sb, p.ss, p.cover, p.min_emit,
-                             block_size, code,
-                             checksum, seekable, nullptr, 0, nullptr, 0,
-                             dst, dst_cap);
+  // the _mt variant at threads=1 IS the sequential encoder; the
+  // level-param table lives in one place (review finding)
+  return zxch_simple_compress_mt(data, n, level, block_size, checksum,
+                                 seekable, dst, dst_cap, 1);
 }
 
 // zxch_simple_compress over the MT frame encode (same bytes at every
