@@ -2683,9 +2683,182 @@ static int64_t zxch_pivco_core(const uint8_t *data, uint64_t n,
     w += (nbits_node[nid] + 7) / 8;
   }
   if (!emit) return (int64_t)w;  // price-only: exact size, no pass 2
-  // +8: the packing loop flushes with unaligned u64 |= whose tail bytes
-  // carry only zero bits but must be addressable
+  // +8: the packing loops flush with unaligned u64 stores whose tail
+  // bytes carry only zero bits but must be addressable
   if (w + 8 > cap) return -10;
+
+#if defined(ZXCH_HAVE_VBMI2) && defined(ZXCH_HAVE_VBMI)
+  // ---- pass 2, vectorized (v2): level-order radix partition ----
+  // The scalar item loop below pays ~20+ cycles per PATH STEP (register
+  // -starved per-node accumulator RMWs through memory, a serial
+  // store-to-load chain whenever consecutive bytes hit the same node —
+  // the root sees every byte) and measured 42-49 MB/s on entropy-coded
+  // 512 KiB sections. This path restructures the pack as a per-LEVEL
+  // stable partition of the byte stream down the trie: at depth d every
+  // live byte contributes bit d of its code, so one 256->bit LUT (two
+  // vpermi2b + top-bit blend) turns 64 bytes into the next control mask,
+  // vpmovb-to-mask IS the emitted bit run for the owning node, and two
+  // vpcompressb split the segment into the child segments. Flat subtrees
+  // (the common case under the 8-bit cap) terminate in one shot: a
+  // 256->value LUT + _pext_u64 packs eight D-bit codes per iteration.
+  // Bits, run layout, and byte offsets are identical to the scalar pass
+  // (golden + conformance + the forced-scalar A/B test pin it); runs are
+  // written as plain sequential u64 bursts in BFS==emission order, so
+  // the full-output memset disappears too. ZXCH_PIVCO_SCALAR=1 forces
+  // the scalar pass (A/B + differential testing).
+  static const int force_scalar = getenv("ZXCH_PIVCO_SCALAR") != nullptr;
+  if (!force_scalar && n >= 2048) {
+    static thread_local std::vector<uint8_t> sbufa, sbufb, sside;
+    if (sbufa.size() < n) {
+      sbufa.resize(n);
+      sbufb.resize(n);
+      sside.resize(n);
+    }
+    struct Seg { int16_t nid; uint32_t lo; uint32_t len; };
+    static thread_local std::vector<Seg> segs, nsegs;
+    segs.clear();
+    segs.push_back({0, 0, (uint32_t)n});
+    const uint8_t *src = data;       // level 0 reads the caller's bytes
+    uint8_t *wbuf = sbufa.data();    // partition target, ping-pong
+    uint8_t *obuf = sbufb.data();
+    uint8_t *side = sside.data();
+    for (int d = 0; d < max_depth && !segs.empty(); d++) {
+      alignas(64) uint8_t lutb[256];
+      for (int s = 0; s < 256; s++) {
+        int l = code_len[s];
+        lutb[s] = (l > d) ? (uint8_t)((codes[s] >> (l - 1 - d)) & 1u) : 0;
+      }
+      const __m512i L0 = _mm512_load_si512(lutb);
+      const __m512i L1 = _mm512_load_si512(lutb + 64);
+      const __m512i L2 = _mm512_load_si512(lutb + 128);
+      const __m512i L3 = _mm512_load_si512(lutb + 192);
+      const __m512i ONE = _mm512_set1_epi8(1);
+      nsegs.clear();
+      uint64_t ncur = 0;
+      for (size_t sgi = 0; sgi < segs.size(); sgi++) {
+        const Seg sg = segs[sgi];
+        const int nid = sg.nid;
+        const uint8_t *sp = src + sg.lo;
+        if (flat_d[nid]) {
+          // flat subtree: emit packed D-bit values, segment terminates
+          const int D = flat_d[nid];
+          alignas(64) uint8_t lutv[256];
+          for (int s = 0; s < 256; s++) {
+            int l = code_len[s];
+            uint8_t v = 0;
+            if (l >= d + D)
+              for (int j = 0; j < D; j++)
+                v |= (uint8_t)(((codes[s] >> (l - 1 - (d + j))) & 1u)
+                               << j);
+            lutv[s] = v;
+          }
+          const __m512i V0 = _mm512_load_si512(lutv);
+          const __m512i V1 = _mm512_load_si512(lutv + 64);
+          const __m512i V2 = _mm512_load_si512(lutv + 128);
+          const __m512i V3 = _mm512_load_si512(lutv + 192);
+          uint8_t *ow = out + byte_off[nid];
+          uint64_t acc = 0;
+          unsigned cnt = 0;
+          const uint64_t pmask =
+              0x0101010101010101ull * (uint64_t)((1u << D) - 1);
+          const unsigned nb8 = 8u * (unsigned)D;
+          alignas(64) uint8_t vals[64];
+          uint64_t i = 0;
+          for (; i + 64 <= sg.len; i += 64) {
+            __m512i x = _mm512_loadu_si512(sp + i);
+            __m512i r01 = _mm512_permutex2var_epi8(V0, x, V1);
+            __m512i r23 = _mm512_permutex2var_epi8(V2, x, V3);
+            __mmask64 hi = _mm512_movepi8_mask(x);
+            _mm512_store_si512(vals, _mm512_mask_blend_epi8(hi, r01, r23));
+            for (int k = 0; k < 64; k += 8) {
+              uint64_t v8;
+              memcpy(&v8, vals + k, 8);
+              uint64_t pk8 = _pext_u64(v8, pmask);
+              acc |= pk8 << cnt;
+              if (cnt + nb8 >= 64) {
+                memcpy(ow, &acc, 8);
+                ow += 8;
+                acc = cnt ? (pk8 >> (64 - cnt)) : 0;
+                cnt = cnt + nb8 - 64;
+              } else {
+                cnt += nb8;
+              }
+            }
+          }
+          for (; i < sg.len; i++) {
+            uint64_t v = lutv[sp[i]];
+            acc |= v << cnt;
+            cnt += (unsigned)D;
+            if (cnt >= 64) {
+              memcpy(ow, &acc, 8);
+              ow += 8;
+              cnt -= 64;
+              acc = cnt ? (v >> ((unsigned)D - cnt)) : 0;
+            }
+          }
+          if (cnt) memcpy(ow, &acc, 8);
+          continue;
+        }
+        // 1-bit node: vpmovb mask is both the emitted run and the split
+        const int c0 = child[nid][0], c1 = child[nid][1];
+        const int keep0 = c0 >= 0 && sym[c0] < 0;
+        const int keep1 = c1 >= 0 && sym[c1] < 0;
+        uint8_t *ow = out + byte_off[nid];
+        uint64_t acc = 0;
+        unsigned cnt = 0;
+        uint8_t *w0 = wbuf + ncur;
+        uint64_t n0 = 0, n1 = 0;
+        for (uint64_t i = 0; i < sg.len; i += 64) {
+          const uint64_t rem = sg.len - i;
+          const __mmask64 lm =
+              rem >= 64 ? ~0ull : ((1ull << rem) - 1);
+          __m512i x = _mm512_maskz_loadu_epi8(lm, sp + i);
+          __m512i r01 = _mm512_permutex2var_epi8(L0, x, L1);
+          __m512i r23 = _mm512_permutex2var_epi8(L2, x, L3);
+          __mmask64 hi = _mm512_movepi8_mask(x);
+          __m512i b = _mm512_mask_blend_epi8(hi, r01, r23);
+          const uint64_t mm =
+              (uint64_t)_mm512_test_epi8_mask(b, ONE) & lm;
+          const unsigned len = rem >= 64 ? 64u : (unsigned)rem;
+          acc |= mm << cnt;
+          if (cnt + len >= 64) {
+            memcpy(ow, &acc, 8);
+            ow += 8;
+            acc = cnt ? (mm >> (64 - cnt)) : 0;
+            cnt = cnt + len - 64;
+          } else {
+            cnt += len;
+          }
+          if (keep0) {
+            const __mmask64 m0 = (__mmask64)(~mm & lm);
+            _mm512_mask_compressstoreu_epi8(w0 + n0, m0, x);
+            n0 += (uint64_t)_mm_popcnt_u64(~mm & lm);
+          }
+          if (keep1) {
+            _mm512_mask_compressstoreu_epi8(side + n1, (__mmask64)mm, x);
+            n1 += (uint64_t)_mm_popcnt_u64(mm);
+          }
+        }
+        if (cnt) memcpy(ow, &acc, 8);
+        if (keep0) {
+          nsegs.push_back({(int16_t)c0, (uint32_t)ncur, (uint32_t)n0});
+          ncur += n0;
+        }
+        if (keep1) {
+          memcpy(wbuf + ncur, side, n1);
+          nsegs.push_back({(int16_t)c1, (uint32_t)ncur, (uint32_t)n1});
+          ncur += n1;
+        }
+      }
+      segs.swap(nsegs);
+      src = wbuf;
+      uint8_t *t = wbuf;
+      wbuf = obuf;
+      obuf = t;
+    }
+    return (int64_t)w;
+  }
+#endif
   memset(out, 0, w + 8);
 
   // pass 2: pack bits (LSB-first within each node run) through per-node
