@@ -61,9 +61,13 @@ def level_params(level: int) -> LevelParams:
         # retuned round 2c (tools/retune_fast.py): the fast levels sat
         # 6-9 pp INSIDE the per-level size gate at 0.3-0.6x reference
         # speed; these points keep >=1.8 pp margin on every held-out
-        # corpus and run 1.2-1.7x faster than the previous ladder
+        # corpus and run 1.2-1.7x faster than the previous ladder.
+        # Round 4: n_candidates <= 2 with lazy=False selects the NATIVE
+        # depth-1 tier (no hash chain, store-only inserts — PERF 2); L2
+        # moved 3 -> 2 candidates for it, spending 2 pp of its fattest-
+        # in-ladder size margin for 0.60x -> 0.77x reference speed.
         1: LevelParams(2, False, 8, 16, 1, 4, 4),
-        2: LevelParams(3, False, 8, 24, 1, 4, 4),
+        2: LevelParams(2, False, 8, 24, 1, 4, 4),
         3: LevelParams(5, True, 8, 32, 1, 5, 4),
         4: LevelParams(8, True, 8, 64, cover_base=2),
         5: LevelParams(64, True, 8, 256, cover_base=2),

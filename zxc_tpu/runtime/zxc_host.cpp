@@ -1283,6 +1283,102 @@ fdone:
     tags8[h] = (uint8_t)(ht & 0xFF);
   };
 
+  // L1 depth-1 tier probe (max_probes <= 2, no lazy): tags8 gate in
+  // front, single head candidate, store-only inserts.
+  if (fast_tier && max_probes <= 2 && !lazy) {
+    uint64_t nseq = 0;
+    uint64_t p = start;
+    uint64_t anchor = start;
+    while (p < n) {
+      int l = 0;
+      int64_t o = 1;
+      if (p < hend) {
+        const uint64_t max_len = n - p;
+#ifndef ZXCH_NO_REP
+        if (rep_off > 0 && p >= (uint64_t)rep_off) {
+          uint32_t a4, b4;
+          memcpy(&a4, data + p, 4);
+          memcpy(&b4, data + p - (uint64_t)rep_off, 4);
+          if (a4 == b4) {
+            const uint64_t c = p - (uint64_t)rep_off;
+            uint64_t m = 0;
+            while (m + 8 <= max_len) {
+              uint64_t a, b;
+              memcpy(&a, data + c + m, 8);
+              memcpy(&b, data + p + m, 8);
+              uint64_t x = a ^ b;
+              if (x) { m += (uint64_t)(__builtin_ctzll(x) >> 3); break; }
+              m += 8;
+            }
+            if (m + 8 > max_len)
+              while (m < max_len && data[c + m] == data[p + m]) m++;
+            l = (int)m;
+            o = rep_off;
+          }
+        }
+#endif
+        uint32_t ht = hash5t(data + p);
+        uint32_t h = ht >> 8;
+        uint32_t mytag = ht & 0xFF;
+        if (tags8[h] != (uint8_t)mytag) {
+          tags8[h] = (uint8_t)mytag;
+          head[h] = (mytag << 24) | (uint32_t)p;
+        } else {
+          uint32_t cand = head[h];
+          head[h] = (mytag << 24) | (uint32_t)p;
+          if (l < sufficient_len && cand != 0xFFFFFFFFu &&
+              (cand >> 24) == mytag) {
+            uint64_t c = cand & 0xFFFFFF;
+            if (p - c <= WINDOW &&
+                !(l > 0 && (c + (uint64_t)l >= n ||
+                            data[c + l] != data[p + l]))) {
+              uint64_t m = 0;
+              while (m + 8 <= max_len) {
+                uint64_t a, b;
+                memcpy(&a, data + c + m, 8);
+                memcpy(&b, data + p + m, 8);
+                uint64_t x = a ^ b;
+                if (x) { m += (uint64_t)(__builtin_ctzll(x) >> 3); break; }
+                m += 8;
+              }
+              if (m + 8 > max_len)
+                while (m < max_len && data[c + m] == data[p + m]) m++;
+              if ((int)m > l) {
+                l = (int)m;
+                o = (int64_t)(p - c);
+              }
+            }
+          }
+        }
+      }
+      if (l < min_emit) {
+        p += (uint64_t)step_base + ((p - anchor) >> step_shift);
+        continue;
+      }
+      uint64_t bt = 0;
+      while (p - bt > anchor && p - bt > (uint64_t)o &&
+             data[p - bt - 1] == data[p - bt - 1 - (uint64_t)o])
+        bt++;
+      if (nseq >= max_seq) return -10;
+      out_pos[nseq] = (int32_t)(p - bt - start);
+      out_len[nseq] = l + (int32_t)bt;
+      out_off[nseq] = (int32_t)o;
+      rep_off = o;
+      nseq++;
+      uint64_t end = p + (uint64_t)l;
+      uint64_t step = (uint64_t)(l > 32 ? 2 * cover_base : cover_base);
+      for (uint64_t q = p + step; q < end && q < hend; q += step) {
+        uint32_t ht = hash5t(data + q);
+        uint32_t h = ht >> 8;
+        head[h] = ((ht & 0xFF) << 24) | (uint32_t)q;
+        tags8[h] = (uint8_t)(ht & 0xFF);
+      }
+      p = end;
+      anchor = end;
+    }
+    return (int64_t)nseq;
+  }
+
   if (fast_tier) {
     uint64_t nseq = 0;
     uint64_t p = start;
@@ -4701,7 +4797,7 @@ int64_t zxch_simple_compress_mt(const uint8_t *data, uint64_t n, int level,
   while ((1ull << code) < block_size) code++;
   if (code < 12 || code > 21) return -14;
   struct Par { int probes, lazy, suff, sb, ss, cover, min_emit; };
-  static const Par tab[7] = {{2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
+  static const Par tab[7] = {{2, 0, 16, 1, 4, 4, 5},  {2, 0, 24, 1, 4, 4, 5},
                              {5, 1, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
                              {64, 1, 256, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
                              {192, 1, 0, 1, 0, 1, 5}};
@@ -4747,7 +4843,7 @@ int64_t zxch_simple_compress_dict(const uint8_t *data, uint64_t n,
   while ((1ull << code) < block_size) code++;
   if (code < 12 || code > 21) return -14;
   struct Par { int probes, lazy, suff, sb, ss, cover, min_emit; };
-  static const Par tab[7] = {{2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
+  static const Par tab[7] = {{2, 0, 16, 1, 4, 4, 5},  {2, 0, 24, 1, 4, 4, 5},
                              {5, 1, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
                              {64, 1, 256, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
                              {192, 1, 0, 1, 0, 1, 5}};
@@ -5631,7 +5727,7 @@ namespace {
 
 struct PsPar { int probes, lazy, suff, sb, ss, cover, min_emit; };
 static const PsPar kPsTab[7] = {
-    {2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
+    {2, 0, 16, 1, 4, 4, 5},  {2, 0, 24, 1, 4, 4, 5},
     {5, 1, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
     {64, 1, 256, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
     {192, 1, 0, 1, 0, 1, 5}};
@@ -6238,7 +6334,7 @@ int zxch_cctx_attach_dict(void *h, const uint8_t *dict, uint64_t n,
 int64_t zxch_cctx_compress(void *h, const uint8_t *src, uint64_t n,
                            uint8_t *dst, uint64_t cap) {
   static const PsPar tab[7] = {
-      {2, 0, 16, 1, 4, 4, 5},  {3, 0, 24, 1, 4, 4, 5},
+      {2, 0, 16, 1, 4, 4, 5},  {2, 0, 24, 1, 4, 4, 5},
       {5, 1, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
       {64, 1, 256, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
       {192, 1, 0, 1, 0, 1, 5}};
