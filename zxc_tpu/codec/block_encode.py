@@ -68,9 +68,9 @@ def level_params(level: int) -> LevelParams:
         # in-ladder size margin for 0.60x -> 0.77x reference speed.
         1: LevelParams(2, False, 8, 16, 1, 4, 4),
         2: LevelParams(2, False, 8, 24, 1, 4, 4),
-        3: LevelParams(5, True, 8, 32, 1, 5, 4),
+        3: LevelParams(5, False, 8, 32, 1, 5, 4),
         4: LevelParams(8, True, 8, 64, cover_base=2),
-        5: LevelParams(64, True, 8, 256, cover_base=2),
+        5: LevelParams(24, True, 8, 128, cover_base=2),
         6: LevelParams(64, True, 8),
         7: LevelParams(192, True, 11),
     }
