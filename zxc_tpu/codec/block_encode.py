@@ -69,7 +69,7 @@ def level_params(level: int) -> LevelParams:
         1: LevelParams(2, False, 8, 16, 1, 4, 4),
         2: LevelParams(2, False, 8, 24, 1, 4, 4),
         3: LevelParams(5, False, 8, 32, 1, 5, 4),
-        4: LevelParams(8, True, 8, 64, cover_base=2),
+        4: LevelParams(8, False, 8, 64, cover_base=2),
         5: LevelParams(24, True, 8, 128, cover_base=2),
         6: LevelParams(64, True, 8),
         7: LevelParams(192, True, 11),

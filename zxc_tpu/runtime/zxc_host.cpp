@@ -4798,7 +4798,7 @@ int64_t zxch_simple_compress_mt(const uint8_t *data, uint64_t n, int level,
   if (code < 12 || code > 21) return -14;
   struct Par { int probes, lazy, suff, sb, ss, cover, min_emit; };
   static const Par tab[7] = {{2, 0, 16, 1, 4, 4, 5},  {2, 0, 24, 1, 4, 4, 5},
-                             {5, 0, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
+                             {5, 0, 32, 1, 5, 4, 5},  {8, 0, 64, 1, 0, 2, 5},
                              {24, 1, 128, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
                              {192, 1, 0, 1, 0, 1, 5}};
   Par p = tab[level - 1];
@@ -4844,7 +4844,7 @@ int64_t zxch_simple_compress_dict(const uint8_t *data, uint64_t n,
   if (code < 12 || code > 21) return -14;
   struct Par { int probes, lazy, suff, sb, ss, cover, min_emit; };
   static const Par tab[7] = {{2, 0, 16, 1, 4, 4, 5},  {2, 0, 24, 1, 4, 4, 5},
-                             {5, 0, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
+                             {5, 0, 32, 1, 5, 4, 5},  {8, 0, 64, 1, 0, 2, 5},
                              {24, 1, 128, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
                              {192, 1, 0, 1, 0, 1, 5}};
   Par p = tab[level - 1];
@@ -5728,7 +5728,7 @@ namespace {
 struct PsPar { int probes, lazy, suff, sb, ss, cover, min_emit; };
 static const PsPar kPsTab[7] = {
     {2, 0, 16, 1, 4, 4, 5},  {2, 0, 24, 1, 4, 4, 5},
-    {5, 0, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
+    {5, 0, 32, 1, 5, 4, 5},  {8, 0, 64, 1, 0, 2, 5},
     {24, 1, 128, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
     {192, 1, 0, 1, 0, 1, 5}};
 
@@ -6335,7 +6335,7 @@ int64_t zxch_cctx_compress(void *h, const uint8_t *src, uint64_t n,
                            uint8_t *dst, uint64_t cap) {
   static const PsPar tab[7] = {
       {2, 0, 16, 1, 4, 4, 5},  {2, 0, 24, 1, 4, 4, 5},
-      {5, 0, 32, 1, 5, 4, 5},  {8, 1, 64, 1, 0, 2, 5},
+      {5, 0, 32, 1, 5, 4, 5},  {8, 0, 64, 1, 0, 2, 5},
       {24, 1, 128, 1, 0, 2, 5}, {64, 1, 0, 1, 0, 1, 5},
       {192, 1, 0, 1, 0, 1, 5}};
   int level, checksum, seekable;
