@@ -102,7 +102,18 @@ int64_t zxch_decompress_frame(const uint8_t *src, uint64_t n,
  * persistent worker pool, stitched in order by the calling thread.
  * Archive bytes are identical to zxch_compress_frame at every thread
  * count. threads <= 1 (or a single-block input) IS the sequential
- * encoder.                                                           */
+ * encoder.
+ * Concurrency contract: the process-wide pool is SINGLE-FLIGHT —
+ * concurrent *_mt calls from different caller threads queue behind a
+ * mutex rather than run in parallel (each call already fans out over
+ * `threads` workers; embedders wanting concurrent MT frames should
+ * partition cores via the threads argument). Pool threads are
+ * detached, live for the process, and are sized to the largest
+ * `threads` ever requested (capped at 64); their thread-local encoder
+ * state persists with them.
+ * Dictionary windows: dict_len + block_size must stay under 1<<24
+ * (the matcher packs 24-bit positions); larger windows are rejected
+ * by the parse (-10). Our .zxd format caps content at 65535 bytes.  */
 int64_t zxch_compress_frame_mt(const uint8_t *data, uint64_t n, int level,
                                int max_probes, int lazy, int sufficient_len,
                                int step_base, int step_shift, int cover_base,

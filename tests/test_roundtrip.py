@@ -145,3 +145,66 @@ def test_dual_offset_mode_dp():
         if bh.block_type == C.BLOCK_GLO:
             gh, _ = headers.read_gnr_header(arc[24:24 + bh.comp_size], 4)
             assert gh.enc_off == 1, "expected 8-bit offset mode to win"
+
+
+# --- decompress(out=) caller-owned destination (zxc_decompress contract,
+# reference include/zxc_buffer.h:98-210: decode into a caller buffer) ---
+
+def test_decompress_out_bytearray():
+    data = CORPORA["text"]
+    arc = compress(data, EncodeOpts(level=3, checksum=True))
+    out = bytearray(len(data) + 100)        # roomy
+    n = decompress(arc, DecodeOpts(checksum=True), out=out)
+    assert n == len(data) and bytes(out[:n]) == data
+    out2 = bytearray(len(data))             # exact-size
+    n = decompress(arc, out=out2)
+    assert n == len(data) and bytes(out2) == data
+
+
+def test_decompress_out_numpy_and_memoryview():
+    data = CORPORA["repetitive"]
+    arc = compress(data, EncodeOpts(level=1))
+    buf = np.zeros(len(data), np.uint8)
+    n = decompress(arc, out=buf)
+    assert n == len(data) and buf.tobytes() == data
+    ba = bytearray(len(data))
+    n = decompress(arc, out=memoryview(ba))
+    assert n == len(data) and bytes(ba) == data
+
+
+def test_decompress_out_too_small():
+    from zxc_tpu.errors import ZxcError, ERROR_DST_TOO_SMALL
+    data = CORPORA["text"]
+    arc = compress(data, EncodeOpts(level=3))
+    with pytest.raises(ZxcError) as ei:
+        decompress(arc, out=bytearray(len(data) // 2))
+    assert ei.value.code == ERROR_DST_TOO_SMALL
+
+
+def test_decompress_out_mt_and_empty():
+    data = CORPORA["text"] * 4
+    arc = compress(data, EncodeOpts(level=2, block_size=64 * 1024))
+    out = bytearray(len(data))
+    n = decompress(arc, DecodeOpts(threads=4), out=out)
+    assert n == len(data) and bytes(out) == data
+    arc0 = compress(b"", EncodeOpts(level=1))
+    assert decompress(arc0, out=bytearray(8)) == 0
+
+
+def test_decompress_out_pure_python_oracle():
+    data = CORPORA["runs"]
+    arc = compress(data, EncodeOpts(level=3, checksum=True))
+    os.environ["ZXC_NO_NATIVE"] = "1"
+    try:
+        out = bytearray(len(data) + 7)
+        n = decompress(arc, DecodeOpts(checksum=True), out=out)
+        assert n == len(data) and bytes(out[:n]) == data
+    finally:
+        del os.environ["ZXC_NO_NATIVE"]
+
+
+def test_decompress_out_readonly_rejected():
+    data = CORPORA["one_byte"]
+    arc = compress(data, EncodeOpts(level=1))
+    with pytest.raises(TypeError):
+        decompress(arc, out=memoryview(b"\x00" * 16))

@@ -64,23 +64,36 @@ def main():
             d8.ctypes.data_as(vp), 0, None,
             scratch.ctypes.data_as(vp), len(scratch), NCPU)
 
+    # ours-out: the FULL Python API decoding into a warm caller-owned
+    # buffer (frame.decompress(..., out=) — reference contract:
+    # zxc_decompress into caller dst, include/zxc_buffer.h:98-210).
+    # The delta between ours-API and ours-out is fresh-PyBytes page
+    # faults, which dominate at >= 32 MiB.
+    outbuf = np.empty((MB << 20) + 64, np.uint8)
+    outbuf[:] = 0  # touch once
+
     print(f"# {MB} MiB pinned corpus, {BS//1024} KiB blocks, "
           f"{ROUNDS} interleaved rounds (medians). ours-API returns fresh"
-          f" bytes; both -core columns reuse a preallocated buffer.")
+          f" bytes; ours-out is the same API with out=<warm buffer>; "
+          f"both -core columns reuse a preallocated buffer.")
     for lvl in LEVELS:
         arc = ref_oracle.ref_compress(raw, level=lvl, block_size=BS)
         ck = 1 if headers.read_file_header(arc).has_checksum else 0
         src_np = np.frombuffer(arc, np.uint8)
         assert frame.decompress(arc) == raw
+        assert frame.decompress(arc, out=outbuf) == len(raw) \
+            and outbuf[:len(raw)].tobytes() == raw
         assert ref_core(arc) == raw
         assert ours_core(src_np, ck) == len(raw)             and bytes(scratch[:len(raw)]) == raw
-        t = {"ours": [], "core": [], "mt": [], "ref": []}
+        t = {"ours": [], "out": [], "core": [], "mt": [], "ref": []}
         for r in range(ROUNDS):
-            ks = ("ours", "core", "mt", "ref")
+            ks = ("ours", "out", "core", "mt", "ref")
             for k in (ks if r % 2 == 0 else ks[::-1]):
                 t0 = time.time()
                 if k == "ours":
                     frame.decompress(arc)
+                elif k == "out":
+                    frame.decompress(arc, out=outbuf)
                 elif k == "core":
                     ours_core(src_np, ck)
                 elif k == "mt":
@@ -90,12 +103,14 @@ def main():
                                      ctypes.byref(opts))
                 t[k].append(time.time() - t0)
         mo = statistics.median(t["ours"])
+        mu = statistics.median(t["out"])
         mc = statistics.median(t["core"])
         mm = statistics.median(t["mt"])
         mr = statistics.median(t["ref"])
-        print(f"L{lvl}: ours-API {MB/mo:6.0f}  ours-core {MB/mc:6.0f}  "
-              f"ours-mt{NCPU} {MB/mm:6.0f}  "
+        print(f"L{lvl}: ours-API {MB/mo:6.0f}  ours-out {MB/mu:6.0f}  "
+              f"ours-core {MB/mc:6.0f}  ours-mt{NCPU} {MB/mm:6.0f}  "
               f"ref-core {MB/mr:6.0f} MB/s  API/ref {mr/mo:.2f}x  "
+              f"out/ref {mr/mu:.2f}x  out/core {mc/mu:.2f}x  "
               f"core/core {mr/mc:.2f}x  mt/ref {mr/mm:.2f}x")
 
 

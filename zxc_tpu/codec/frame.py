@@ -61,8 +61,19 @@ def iter_blocks(archive: bytes):
             (C.BLOCK_CHECKSUM_SIZE if fh.has_checksum else 0)
 
 
-def decompress(archive: bytes, opts: DecodeOpts | None = None) -> bytes:
-    """One-shot frame decode (zxc_decompress equivalent, always bounds-safe)."""
+def decompress(archive: bytes, opts: DecodeOpts | None = None,
+               out=None) -> bytes | int:
+    """One-shot frame decode (zxc_decompress equivalent, always bounds-safe).
+
+    ``out``: optional caller-owned writable buffer (bytearray, writable
+    memoryview, or 1-D uint8 numpy array). When given, decoded bytes land
+    at ``out[0:dsize]`` and the function returns ``dsize`` instead of a
+    fresh ``bytes`` object — the reference's caller-owned-dst contract
+    (zxc_decompress, include/zxc_buffer.h:98-210). At large sizes a fresh
+    result buffer costs ~55-60% of the decode wall in first-touch page
+    faults (PERF.md §1); reusing a warm buffer via ``out=`` erases that.
+    Raises ERROR_DST_TOO_SMALL when ``out`` is smaller than the decoded
+    size (size it with :func:`get_decompressed_size`)."""
     if len(archive) < C.FILE_HEADER_SIZE + C.FILE_FOOTER_SIZE:
         raise ZxcError(ERROR_SRC_TOO_SMALL)
     fh = headers.read_file_header(archive)
@@ -80,7 +91,7 @@ def decompress(archive: bytes, opts: DecodeOpts | None = None) -> bytes:
         nat = runtime.decompress_frame(
             archive, fh.block_size, fh.has_checksum, verify, dict_buf,
             None if dict_tree is None else dict_tree.code_len,
-            threads=(opts.threads if opts else 1))
+            threads=(opts.threads if opts else 1), out=out)
         if nat is not None:
             return nat
     except ImportError:
@@ -112,11 +123,11 @@ def decompress(archive: bytes, opts: DecodeOpts | None = None) -> bytes:
                              payload_off + bh.comp_size + 4].view("<u4")[0])
             if verify:
                 global_hash = global_hash_update(global_hash, stored)
-        out = block_decode.decode_block(bh.block_type, payload, fh.block_size,
+        blk = block_decode.decode_block(bh.block_type, payload, fh.block_size,
                                         dict_buf, dict_tree,
                                         verify_checksum=verify, stored_checksum=stored)
-        out_parts.append(out)
-        produced += len(out)
+        out_parts.append(blk)
+        produced += len(blk)
         pos = payload_off + bh.comp_size + tail
     if not saw_eof:
         raise ZxcError(ERROR_SRC_TOO_SMALL, "missing EOF block")
@@ -126,6 +137,18 @@ def decompress(archive: bytes, opts: DecodeOpts | None = None) -> bytes:
         raise ZxcError(ERROR_CORRUPT_DATA, "footer size mismatch")
     if verify and stored_hash != global_hash:
         raise ZxcError(ERROR_BAD_CHECKSUM, "global hash mismatch")
+    if out is not None:  # caller-owned destination (oracle path)
+        from ..errors import ERROR_DST_TOO_SMALL
+        dst = np.frombuffer(out, np.uint8) if not isinstance(
+            out, np.ndarray) else out
+        if dst.nbytes < produced:
+            raise ZxcError(ERROR_DST_TOO_SMALL,
+                           f"out= holds {dst.nbytes} bytes, need {produced}")
+        w = 0
+        for part in out_parts:
+            dst[w:w + len(part)] = part
+            w += len(part)
+        return produced
     if not out_parts:
         return b""
     return np.concatenate(out_parts).tobytes()

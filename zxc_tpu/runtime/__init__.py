@@ -400,12 +400,19 @@ def decode_block(block_type: int, payload: np.ndarray, block_size: int,
 def decompress_frame(archive, block_size: int, has_checksum: bool,
                      verify: bool, dict_buf: np.ndarray | None = None,
                      dict_cl: np.ndarray | None = None,
-                     threads: int = 1) -> bytes | None:
+                     threads: int = 1, out=None) -> bytes | int | None:
     """Whole-frame native decode: one C call per archive (the host decode
     hot path). None when unavailable; raises ZxcError on malformed input
     with the same codes as the Python frame loop. threads > 1 rides the
     fork-join pthread pool (zxch_decompress_frame_mt) — blocks decode to
-    deterministic i*block_size offsets, bit-identical output."""
+    deterministic i*block_size offsets, bit-identical output.
+
+    ``out``: optional writable caller-owned buffer (bytearray / writable
+    memoryview / numpy u8 array). Decoded bytes land at out[0:dsize] and
+    the byte count is returned — the reference's caller-owned-dst
+    contract (zxc_decompress, include/zxc_buffer.h:98-210), skipping the
+    fresh-PyBytes allocation + page faults that dominate large-buffer
+    API decode."""
     L = lib()
     if L is None:
         return None
@@ -443,26 +450,48 @@ def decompress_frame(archive, block_size: int, has_checksum: bool,
         archive, (bytes, bytearray)) else src[-12:-4].tobytes(),
         "<u8")[0]) if n >= 12 else 0
     cap = min(dsize, int(nb) * block_size)
-    out = _pyapi.PyBytes_FromStringAndSize(None, cap)
-    ptr = _pyapi.PyBytes_AsString(out)
+    if out is not None:
+        if isinstance(out, np.ndarray):
+            if not (out.flags["C_CONTIGUOUS"] and out.flags["WRITEABLE"]
+                    and out.dtype == np.uint8 and out.ndim == 1):
+                raise TypeError("out= must be a contiguous writable 1-D "
+                                "uint8 array or bytearray/memoryview")
+            out_cap, ptr = out.nbytes, out.ctypes.data_as(ctypes.c_void_p)
+        else:
+            mv = memoryview(out)
+            if mv.readonly:
+                raise TypeError("out= buffer is read-only")
+            out_cap = mv.nbytes
+            ptr = ctypes.addressof(
+                (ctypes.c_uint8 * out_cap).from_buffer(mv.cast("B")))
+        if out_cap < cap:
+            from ..errors import ZxcError, ERROR_DST_TOO_SMALL
+            raise ZxcError(ERROR_DST_TOO_SMALL,
+                           f"out= holds {out_cap} bytes, need {cap}")
+        result = int(cap)
+    else:
+        result = _pyapi.PyBytes_FromStringAndSize(None, cap)
+        ptr = _pyapi.PyBytes_AsString(result)
+        out_cap = cap
     if threads > 1:
         w = L.zxch_decompress_frame_mt(
             src.ctypes.data_as(ctypes.c_void_p), n, block_size,
             1 if has_checksum else 0, 1 if verify else 0,
-            d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr, ptr, cap,
-            int(threads))
+            d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr, ptr,
+            out_cap, int(threads))
     else:
         w = L.zxch_decompress_frame(
             src.ctypes.data_as(ctypes.c_void_p), n, block_size,
             1 if has_checksum else 0, 1 if verify else 0,
-            d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr, ptr, cap)
+            d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr, ptr,
+            out_cap)
     if w < 0:
         from ..errors import ZxcError
         raise ZxcError(int(w), "native frame decode")
     if int(w) != cap:  # footer lied large; native checks stored_size too
         from ..errors import ZxcError
         raise ZxcError(-8, "footer size mismatch")
-    return out
+    return result
 
 
 def decompress_frame_into(buffer: bytearray, comp_size: int,

@@ -1017,6 +1017,12 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
   // in head-table traffic on miss-heavy regions)
   const int fast_tier = (max_probes <= 5);
   if (n < MIN_MATCH + 1) return 0;
+  // head/chain entries pack [tag(8) | pos(24)]: positions must fit 24
+  // bits or match selection silently degrades (output stays valid —
+  // matches verify byte-by-byte — but with no diagnostic). Our own
+  // paths cap dict_len at 65535 and block_size at 2 MiB; reject exotic
+  // C-ABI dict windows instead of corrupting the tag byte.
+  if (n > (1ull << 24)) return -10;
   // dict-seed snapshot state (restored below when the same dict returns)
   static thread_local uint8_t *seed_dict = nullptr;
   static thread_local uint32_t *seed_chain = nullptr;
@@ -1090,8 +1096,13 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
   auto try_cand = [&](uint64_t p, uint64_t c, int *best_len,
                       int64_t *best_off) {
     const uint64_t max_len = n - p;
+    // best_len >= max_len guard: a match already reaching end-of-buffer
+    // cannot be beaten, and data[p + *best_len] would read one past the
+    // buffer (C-ABI callers pass exactly-sized buffers; PyBytes' trailing
+    // NUL masked this). Skipping is byte-identical.
     if (*best_len > 0 &&
-        (c + (uint64_t)*best_len >= n ||
+        ((uint64_t)*best_len >= max_len ||
+         c + (uint64_t)*best_len >= n ||
          data[c + *best_len] != data[p + *best_len]))
       return;
     uint64_t m = 0;
@@ -1146,7 +1157,8 @@ done:
       __builtin_prefetch(data + (nxt & 0xFFFFFF));
       if ((cand >> 24) != mytag ||
           (*best_len > 0 &&
-           (c + (uint64_t)*best_len >= n ||
+           ((uint64_t)*best_len >= max_len ||  // end-of-buffer: overread guard
+            c + (uint64_t)*best_len >= n ||
             data[c + *best_len] != data[p + *best_len]))) {
         cand = nxt;
         continue;
@@ -1249,7 +1261,8 @@ done:
       uint32_t nxt = chain[c];
       if ((cand >> 24) != mytag ||
           (*best_len > 0 &&
-           (c + (uint64_t)*best_len >= n ||
+           ((uint64_t)*best_len >= max_len ||  // end-of-buffer: overread guard
+            c + (uint64_t)*best_len >= n ||
             data[c + *best_len] != data[p + *best_len]))) {
         cand = nxt;
         continue;
@@ -1330,7 +1343,8 @@ fdone:
               (cand >> 24) == mytag) {
             uint64_t c = cand & 0xFFFFFF;
             if (p - c <= WINDOW &&
-                !(l > 0 && (c + (uint64_t)l >= n ||
+                !(l > 0 && ((uint64_t)l >= max_len ||  // overread guard
+                            c + (uint64_t)l >= n ||
                             data[c + l] != data[p + l]))) {
               uint64_t m = 0;
               while (m + 8 <= max_len) {
@@ -3614,11 +3628,17 @@ int64_t zxch_compress_frame_mt(const uint8_t *data, uint64_t n, int level,
   // slot sizing: generous vs the sequential per-block guarantee
   // (len + len/4 + 64) so tight-pcap failure paths cannot diverge
   const uint64_t slot = block_size + block_size / 2 + 1024;
-  std::unique_ptr<uint8_t[]> stage(new uint8_t[W * slot]);
+  // nothrow allocation: std::bad_alloc must not propagate out of this
+  // extern "C" entry into ctypes/cgo/FFI callers (process abort/UB) —
+  // at threads=64 and 2 MiB blocks the wave staging is ~770 MB
+  std::unique_ptr<uint8_t[]> stage(new (std::nothrow) uint8_t[W * slot]);
+  if (!stage) return -1;
   std::vector<int64_t> psz(W);
   std::vector<int> btype(W);
   std::vector<uint32_t> csum(W);
-  uint32_t *seek_sizes = seekable ? new uint32_t[n_blocks] : nullptr;
+  uint32_t *seek_sizes =
+      seekable ? new (std::nothrow) uint32_t[n_blocks] : nullptr;
+  if (seekable && !seek_sizes) return -1;
   uint32_t global_hash = 0;
 
   for (uint64_t wave = 0; wave < n_blocks; wave += W) {
