@@ -88,11 +88,13 @@ def bench_serial(data: bytes, plan, dev, t_plan: float,
     # quad, and materializing every multi-piece source trades cheap host
     # memcpy for 30% fewer quads (2.23 -> 2.52 GB/s measured)
     mf = int(os.environ.get("ZXC_BENCH_MAXFRAG", "1"))
+    sr = int(os.environ.get("ZXC_BENCH_VARIANT", "26")) == 26
     pieces, lits = [], []
     for i in range(plan.n_blocks):
         r = runtime.resolve_pieces(plan.ll[i], plan.ml[i], plan.off[i],
                                    plan.lit[i], plan.dict_buf,
-                                   device_pure=True, max_frag=mf)
+                                   device_pure=True, max_frag=mf,
+                                   self_ref=sr)
         assert r is not None, "piece budget exceeded"
         pieces.append(r[:4])
         lits.append(r[4])
@@ -114,9 +116,9 @@ def bench_serial(data: bytes, plan, dev, t_plan: float,
         totals_all = list(plan.totals) + [0] * pad
     else:
         totals_all = list(plan.totals)
-    variant = int(os.environ.get("ZXC_BENCH_VARIANT", "19"))
+    variant = int(os.environ.get("ZXC_BENCH_VARIANT", "26"))
     ksub = int(os.environ.get("ZXC_BENCH_KSUB", "2"))
-    if variant in (10, 13, 15, 19):
+    if variant in (10, 13, 15, 19, 26):
         # v10: MXU one-hot row-gather kernel — no scalar loads in the hot
         # loop (control rides one lane-gather per batch; source rows come
         # from a bf16 one-hot matmul). One jitted program for the corpus.
@@ -131,7 +133,7 @@ def bench_serial(data: bytes, plan, dev, t_plan: float,
         l10 = lits[:nb10] + [lits[nb10 - 1]] * pad10
         t10 = list(plan.totals) + [0] * pad10
         t0 = time.time()
-        if variant in (13, 15, 19):
+        if variant in (13, 15, 19, 26):
             # v15: 128-row target supertiles (full-size target-permute
             # matmul, 4x less tile fragmentation) — 3.30 vs v13's 2.66
             # GB/s marginal on the 8 MiB probe (tools/tpu_v12_hw.py).
@@ -139,9 +141,18 @@ def bench_serial(data: bytes, plan, dev, t_plan: float,
             # a slot via a per-lane roll select, 30% fewer quads at L3
             # (1.30x v15 interleaved, tools/tpu_ab_probe.py)
             import functools
-            packfn = {19: functools.partial(PD.pack_blocks_v19, K=ksub),
-                      15: PDA.pack_blocks_v15}.get(variant,
-                                                  PD.pack_blocks_v12)
+            if variant == 26:
+                # v26 packs against a PINNED RLP (the unified window is
+                # [lit rows, RLP) ++ [RLP, RLP+NR) decoded tiles)
+                RLP_pin = -(-(max(-(-len(x) // 128) for x in l10) + 1)
+                            // 16) * 16
+                packfn = functools.partial(PD.pack_blocks_v26,
+                                           RLP=RLP_pin, K=ksub)
+            else:
+                packfn = {19: functools.partial(PD.pack_blocks_v19,
+                                                K=ksub),
+                          15: PDA.pack_blocks_v15}.get(variant,
+                                                      PD.pack_blocks_v12)
             raw = [packfn(p10[d * B10:(d + 1) * B10],
                           l10[d * B10:(d + 1) * B10],
                           t10[d * B10:(d + 1) * B10],
@@ -150,13 +161,14 @@ def bench_serial(data: bytes, plan, dev, t_plan: float,
             MAXQ = max(s[1].shape[1] for s in raw)
             RLP = max(s[4].shape[1] for s in raw)
             padfn = (functools.partial(PD.pad_v19_set, K=ksub)
-                     if variant == 19 else PD.pad_v12_set)
+                     if variant in (19, 26) else PD.pad_v12_set)
             sets = [padfn(s, MAXQ, RLP) for s in raw]
             print(f"# v{variant} pack: {time.time()-t0:.3f}s, MAXQ={MAXQ} "
                   f"RLP={RLP} B={B10} ({nd10} kernel calls)", file=sys.stderr)
             dsets = [tuple(jax.device_put(a, dev) for a in s) for s in sets]
             jax.block_until_ready(dsets)
             kern10 = {19: lambda b, q, r: PD.v19_kernel(b, q, r, ksub),
+                      26: lambda b, q, r: PD.v26_kernel(b, q, r, ksub),
                       15: PDA.v15_kernel}.get(
                           variant, PD.v13_kernel)(plan.block_size, MAXQ, RLP)
         else:
@@ -307,12 +319,17 @@ def bench_serial(data: bytes, plan, dev, t_plan: float,
             hint_path = os.path.join(
                 _cdir, f"c{len(data) >> 20}_l{LEVEL}.zxh")
             t0 = time.time()
+            want_variant = 26 if sr else 19
             if not os.path.exists(hint_path):
-                _H.write_hints(archive_bytes, hint_path)
+                _H.write_hints(archive_bytes, hint_path,
+                               variant=want_variant)
             try:
                 hf = _H.HintFile(hint_path, archive_bytes)
-            except Exception:   # stale version/corrupt cache: rebuild
-                _H.write_hints(archive_bytes, hint_path)
+                if hf.geo.variant != want_variant:
+                    raise ValueError("hint variant mismatch")
+            except Exception:   # stale version/variant/corrupt: rebuild
+                _H.write_hints(archive_bytes, hint_path,
+                               variant=want_variant)
                 hf = _H.HintFile(hint_path, archive_bytes)
             t_hint = time.time() - t0
             # host prep rate, both paths (1 core, no device in the loop)

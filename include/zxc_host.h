@@ -63,6 +63,18 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
                             int32_t *pk, uint64_t max_pieces,
                             uint64_t *lit_len_out, int device_pure,
                             int max_frag);
+/* Self-referential variant (v25 device contract): matches whose source
+ * completes before the destination's 16 KiB supertile emit ONE piece
+ * with k == *kout_value and c/s in OUTPUT coordinates
+ * (out[p] = out[c + (p - s)]); requires device_pure.                 */
+int64_t zxch_resolve_pieces_sr(const int32_t *ll, const int32_t *ml,
+                               const int32_t *off, uint64_t n_seq,
+                               uint8_t *lit_full, uint64_t lit_len,
+                               uint64_t lit_cap, uint64_t dict_len,
+                               int32_t *po, int32_t *pc, int32_t *ps,
+                               int32_t *pk, uint64_t max_pieces,
+                               uint64_t *lit_len_out, int device_pure,
+                               int max_frag, int32_t *kout_value);
 int64_t zxch_window_ops(const int32_t *po, const int32_t *pc,
                         const int32_t *ps, const int32_t *pk, uint64_t n,
                         int64_t total, int32_t *ops, int32_t *wstart,

@@ -209,13 +209,18 @@ class DevicePipeline:
 
     def __init__(self, walk: FrameWalk, archive: bytes, K: int = 2,
                  dispatch: int = 16, workers: int | None = None,
-                 hint=None):
+                 hint=None, variant: int = 26):
         if walk.block_size % 16384:
             raise ZxcError(ERROR_CORRUPT_DATA,
                            "e2e pipeline needs block_size % 16384 == 0")
         self.walk = walk
         self.src = np.frombuffer(archive, np.uint8)
         self.K = K
+        # 26 = unified self-referential window (lit8 = literals+patterns
+        # only; matches from earlier supertiles read the kernel's own
+        # decoded rows — round-5 contract, kernel-rate parity with v19 at
+        # 11% less lit8 H2D); 19 = the round-2..4 materializing contract
+        self.variant = variant
         self.B = dispatch
         self.NST = walk.block_size // 16384
         self.workers = workers or min(os.cpu_count() or 1, 8)
@@ -236,6 +241,7 @@ class DevicePipeline:
             self.MAXQ = g.MAXQ
             self.RLP = g.RLP
             self.NG32 = g.NG32
+            self.variant = getattr(g, "variant", 19)
 
     def release(self) -> None:
         """Return this pipeline's group buffers to the module pool. Only
@@ -304,7 +310,8 @@ class DevicePipeline:
             payload, int(w.typ[i]), w.block_size,
             buf.qs[j], buf.qbase[j], buf.pctrl[j], buf.tq[j], buf.lit8[j],
             MAXQ, NG32, RLP, K=self.K,
-            dict_buf=w.dict_buf, dict_cl=w.dict_cl)
+            dict_buf=w.dict_buf, dict_cl=w.dict_cl,
+            self_ref=(self.variant == 26))
         if r is None:
             raise ZxcError(ERROR_CORRUPT_DATA, "native runtime unavailable")
         total, nq, maxrow, litrows = r
@@ -421,9 +428,11 @@ class DevicePipeline:
 
 
 def _kernel_for(block: int, MAXQ: int, RLP: int, K: int,
-                interpret: bool = False):
+                interpret: bool = False, variant: int = 19):
     from . import pallas_decode
-    return pallas_decode.v19_kernel(block, MAXQ, RLP, K, interpret)
+    fn = (pallas_decode.v26_kernel if variant == 26
+          else pallas_decode.v19_kernel)
+    return fn(block, MAXQ, RLP, K, interpret)
 
 
 import functools
@@ -431,13 +440,13 @@ import functools
 
 @functools.lru_cache(maxsize=32)
 def _group_fns(block: int, MAXQ: int, RLP: int, K: int, dispatch: int,
-               interpret: bool):
+               interpret: bool, variant: int = 19):
     """Jitted per-group kernel+fingerprint / kernel+reshape callables,
     cached on shape — a fresh @jax.jit closure per decompress_e2e call
     would retrace (and re-hit the compile cache) every archive."""
     import jax
     import jax.numpy as jnp
-    kern = _kernel_for(block, MAXQ, RLP, K, interpret)
+    kern = _kernel_for(block, MAXQ, RLP, K, interpret, variant)
     NR = block // 128
     flatpos = jnp.arange(NR * 128, dtype=jnp.uint32)
     wgt = (flatpos % 8191).astype(jnp.uint32)
@@ -478,7 +487,8 @@ def decompress_e2e(archive: bytes, opts: DecodeOpts | None = None,
                    dispatch: int = 16, K: int = 2, device=None,
                    workers: int | None = None, _collect: str = "bytes",
                    _phases: dict | None = None, interpret: bool = False,
-                   submit: str = "auto", hint=None):
+                   submit: str = "auto", hint=None,
+                   variant: int | None = None):
     """One-shot end-to-end device decode (every phase on the clock).
 
     ``_collect``:
@@ -504,11 +514,14 @@ def decompress_e2e(archive: bytes, opts: DecodeOpts | None = None,
     if isinstance(hint, (str, bytes, os.PathLike)):
         from .hints import HintFile
         hint = HintFile(os.fspath(hint), archive)
+    if variant is None:
+        variant = int(os.environ.get("ZXC_E2E_VARIANT", "26"))
     w = walk_frame(archive, opts)
     pipe = DevicePipeline(w, archive, K=K, dispatch=dispatch,
-                          workers=workers, hint=hint)
+                          workers=workers, hint=hint, variant=variant)
     if hint is not None:
         K = pipe.K
+    variant = pipe.variant       # hint geometry pins the kernel contract
     NR = w.block_size // 128
     for attempt in range(4):
         try:
@@ -517,7 +530,8 @@ def decompress_e2e(archive: bytes, opts: DecodeOpts | None = None,
             if _phases is not None:
                 _phases.setdefault("walk_size", time.time() - t0)
             group_fp, group_out, mega_fp = _group_fns(
-                w.block_size, pipe.MAXQ, pipe.RLP, K, dispatch, interpret)
+                w.block_size, pipe.MAXQ, pipe.RLP, K, dispatch, interpret,
+                variant)
 
             if _collect == "fingerprint" and submit == "batch":
                 # stage device-put groups; kernels submitted in chunked

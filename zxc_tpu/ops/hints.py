@@ -46,6 +46,10 @@ FLAG_BODY_ZXC = 1   # body is itself a zxc L1 frame (dogfooding: the
 # padded-i32 control layout compresses ~2.2x through our own fast tier,
 # taking the sidecar from ~2.8x of plaintext to ~1.3x on disk; load
 # decompresses through the MT frame decoder into the caller buffer)
+FLAG_V26 = 2        # control carries the v26 unified-window geometry
+# (self-referential sources as scratch rows RLP + out_row; decode must
+# run the v26 kernel — round-5 contract, kernel-rate parity with v19 at
+# ~11% less lit8 H2D and materialization-free lit8 replay)
 
 # header layout (little-endian):
 #   0  magic[8]
@@ -76,6 +80,7 @@ class HintGeometry:
     NG32: int
     RLP: int
     NST: int
+    variant: int = 19
 
 
 class HintFile:
@@ -100,7 +105,8 @@ class HintFile:
                          ^ (len(raw) - HEADER_SIZE)):
             raise ZxcError(ERROR_CORRUPT_DATA, "hint body hash mismatch")
         self.geo = HintGeometry(int(block_size), int(nb), int(K), int(qa),
-                                int(MAXQ), int(NG32), int(RLP), int(NST))
+                                int(MAXQ), int(NG32), int(RLP), int(NST),
+                                26 if flags & FLAG_V26 else 19)
         g = self.geo
         if flags & FLAG_BODY_ZXC:
             # body is a zxc frame of the raw array concatenation: MT
@@ -187,7 +193,8 @@ def _round_up(v: int, m: int) -> int:
 
 
 def write_hints(archive, path: str, opts=None, K: int = 2,
-                quad_align: int = 2, workers: int | None = None) -> str:
+                quad_align: int = 2, workers: int | None = None,
+                variant: int = 26) -> str:
     """Prep every block of ``archive`` and write the .zxh hint sidecar.
 
     Runs at encode time on our own archives, or as a first-decode cache
@@ -245,7 +252,8 @@ def write_hints(archive, path: str, opts=None, K: int = 2,
             r = runtime.v19_prep_block_plan(
                 payload, int(w.typ[i]), bs, qs, qbase, pctrl, tq, lit8,
                 MAXQ0, NG320, RLP0, plan, K=K, quad_align=quad_align,
-                dict_buf=w.dict_buf, dict_cl=w.dict_cl)
+                dict_buf=w.dict_buf, dict_cl=w.dict_cl,
+                self_ref=(variant == 26))
             if r is None:
                 raise ZxcError(ERROR_CORRUPT_DATA, "native runtime required")
             total, nq, maxrow, litrows, n_plan, litlen = r
@@ -286,7 +294,8 @@ def write_hints(archive, path: str, opts=None, K: int = 2,
         r = runtime.v19_prep_block_plan(
             payload, int(w.typ[i]), bs, qs_all[i], qb_all[i], pc_all[i],
             tq_all[i], lit8, MAXQ, NG32, RLP, plan, K=K,
-            quad_align=quad_align, dict_buf=w.dict_buf, dict_cl=w.dict_cl)
+            quad_align=quad_align, dict_buf=w.dict_buf, dict_cl=w.dict_cl,
+            self_ref=(variant == 26))
         total, nq, maxrow, lr, n_plan, ll = r
         if total < 0:
             raise ZxcError(int(total), f"hint prep block {i}")
@@ -302,7 +311,7 @@ def write_hints(archive, path: str, opts=None, K: int = 2,
     from ..format import hashes
     body_parts = [totals, litlen, litrows, plan_off, qs_all, qb_all,
                   tq_all, pc_all, plans]
-    flags = 0
+    flags = FLAG_V26 if variant == 26 else 0
     body = b"".join(np.ascontiguousarray(a).tobytes() for a in body_parts)
     if runtime.lib() is not None:
         # compress the body with our own fast tier (the padded-i32
@@ -310,7 +319,7 @@ def write_hints(archive, path: str, opts=None, K: int = 2,
         from ..codec.frame import compress as _compress, EncodeOpts
         body = _compress(body, EncodeOpts(level=1, block_size=1 << 20,
                                           threads=workers))
-        flags = FLAG_BODY_ZXC
+        flags |= FLAG_BODY_ZXC
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(b"\0" * HEADER_SIZE)

@@ -493,6 +493,558 @@ def pack_blocks_v19(pieces_list, lit_list, totals, block: int,
     return qs, qbase, pctrl, tq, lit8
 
 
+# ---------------------------------------------------------------------------
+# v25: self-referential window — v19 whose quads may read the block's OWN
+# decoded output instead of the shipped lit8 window.
+#
+# The native resolver's self_ref mode (zxch_resolve_pieces_sr) emits
+# KOUT pieces (out[p] = out[c + (p - s)]) for matches whose source
+# completes before the destination's 16 KiB supertile. By the time the
+# kernel's sequential supertile loop processes tile t, tiles < t are in
+# out_ref (VMEM), so a quad whose source rows lie there can one-hot
+# gather from out_ref exactly as lit quads gather from lit8 — no host
+# materialization, no H2D for those bytes. lit8 shrinks toward the
+# literal-section floor (measured 0.58x -> 0.47x of output at L3).
+#
+# Packing: KOUT pieces ride the same native lane-op emission with their
+# source offset moved into a sentinel row space (OUT_SENT_ROWS); sorting
+# by source row then naturally clusters OUT slots apart from lit slots
+# (the >127-row gap means the window chunker never mixes planes in one
+# quad). OUT quads carry qbase = out_row_base + OUT_QB_FLAG; the kernel
+# selects the window source per quad on that flag.
+# ---------------------------------------------------------------------------
+
+OUT_SENT_ROWS = 1 << 15          # sentinel row base for OUT-plane sources
+OUT_SENT_BYTES = OUT_SENT_ROWS * 128
+OUT_QB_FLAG = 1 << 24            # qbase flag: window reads out_ref
+
+
+def lane_ops_blocks_v25(pieces_list, totals):
+    """lane_ops over piece tables that may contain KOUT pieces: their
+    OUT-coordinate sources are shifted into the sentinel row space and
+    the kind rewritten to pure, so the native splitter needs no change."""
+    from .. import runtime
+
+    per = []
+    for (po, pc, ps, pk), total in zip(pieces_list, totals):
+        kout = pk == np.int32(runtime.KOUT)
+        if kout.any():
+            pc = np.where(kout, pc + np.int32(OUT_SENT_BYTES), pc)
+            pk = np.where(kout, np.int32(1 << 30), pk)
+        r = runtime.lane_ops(po, pc, ps, pk, int(total))
+        assert r is not None, "lane_ops budget exceeded"
+        per.append(r)
+    return per
+
+
+def pack_blocks_v25(pieces_list, lit_list, totals, block: int,
+                    per=None, MAXQ=None, RL=None, quad_align: int = 2,
+                    K: int = 2):
+    """Pack the v25 dispatch batch (v19 layout + OUT-plane quads)."""
+    B = len(pieces_list)
+    if per is None:
+        per = lane_ops_blocks_v25(pieces_list, totals)
+    NR = block // 128
+    assert NR % 128 == 0, "v25 needs block >= 16384"
+    GRP = 4
+    NST = NR // 128
+    out_base_max = OUT_SENT_ROWS + NR - 128  # clamp: window must fit NR
+    blocks = []
+    maxq = 1
+    maxrow = 0
+    for (rows, rl, s, e, tile_start) in per:
+        quads = []          # (base, src[], tgt[], ctl[n,K,3])
+        qs_t = [0]
+        nts = len(tile_start) - 1
+        for st in range(NST):
+            parts = []
+            for g in range(GRP):
+                t = st * GRP + g
+                if t >= nts:
+                    break
+                b0, b1 = tile_start[t], tile_start[t + 1]
+                if b1 <= b0:
+                    continue
+                er = rows[b0:b1].reshape(-1)
+                es = s[b0:b1].reshape(-1)
+                ee = e[b0:b1].reshape(-1)
+                erl = rl[b0:b1].reshape(-1)
+                live = np.nonzero(ee > es)[0]
+                if not len(live):
+                    continue
+                tgt = (live & 31) + 32 * g
+                parts.append(np.stack(
+                    [er[live], tgt, erl[live], es[live], ee[live] - 1],
+                    axis=1))
+            if parts:
+                ops = np.concatenate(parts, axis=0)
+                key = ops[:, 0] * 128 + ops[:, 1]
+                order = np.argsort(key, kind="stable")
+                ops = ops[order]
+                ks = key[order]
+                new = np.r_[True, ks[1:] != ks[:-1]]
+                gid = np.cumsum(new) - 1
+                gstart = np.flatnonzero(new)
+                within = np.arange(len(ks)) - gstart[gid]
+                gsizes = np.diff(np.r_[gstart, len(ks)])
+                spg = -(-gsizes // K)
+                sbase = np.r_[0, np.cumsum(spg)[:-1]]
+                slot_of = sbase[gid] + within // K
+                sub_of = within % K
+                n_slots = int(spg.sum())
+                ssrc = np.zeros(n_slots, np.int64)
+                stgt = np.zeros(n_slots, np.int64)
+                sctl = np.zeros((n_slots, K, 3), np.int64)
+                sctl[:, :, 1] = 1          # empty sub-op: s=1 > e-1=0
+                ssrc[slot_of] = ops[:, 0]
+                stgt[slot_of] = ops[:, 1]
+                sctl[slot_of, sub_of, 0] = ops[:, 2]
+                sctl[slot_of, sub_of, 1] = ops[:, 3]
+                sctl[slot_of, sub_of, 2] = ops[:, 4]
+            else:
+                n_slots = 0
+                ssrc = np.zeros(0, np.int64)
+                stgt = np.zeros(0, np.int64)
+                sctl = np.zeros((0, K, 3), np.int64)
+            i = 0
+            n = n_slots
+            while i < n:
+                r0 = int(ssrc[i])
+                if r0 >= OUT_SENT_ROWS:    # OUT plane: clamp into NR rows
+                    base = min(r0 & ~15, out_base_max)
+                else:
+                    base = r0 & ~15
+                j = min(i + 128, n)
+                while ssrc[j - 1] - base > 127:
+                    j -= 1
+                quads.append((base, ssrc[i:j], stgt[i:j], sctl[i:j]))
+                if base < OUT_SENT_ROWS:   # lit windows size RLP; OUT don't
+                    maxrow = max(maxrow, base + 128)
+                i = j
+            if n == 0:
+                quads.append((0, ssrc, stgt, sctl))
+                maxrow = max(maxrow, 128)
+            while (len(quads) - qs_t[-1]) % quad_align:
+                quads.append((0, np.zeros(0, np.int64),
+                              np.zeros(0, np.int64),
+                              np.zeros((0, K, 3), np.int64)))
+                maxrow = max(maxrow, 128)
+            qs_t.append(len(quads))
+        blocks.append((qs_t, quads))
+        maxq = max(maxq, len(quads))
+    if MAXQ is None:
+        MAXQ = maxq
+    assert maxq <= MAXQ, "MAXQ below a block's quad count"
+    if RL is None:
+        RL = max(maxrow, max(-(-len(lit) // 128) for lit in lit_list) + 1)
+    RLP = max(-(-RL // 16) * 16, -(-maxrow // 16) * 16)
+    NB = MAXQ * 4
+    NG32 = 32 * (-(-NB // 128))
+    qs = np.zeros((B, NST + 1), np.int32)
+    qbase = np.zeros((B, MAXQ), np.int32)
+    pctrl = np.full((B, K * NG32, 128), 1 << 7, np.int32)
+    tq = np.zeros((B, MAXQ, 128), np.uint8)
+    lit8 = np.zeros((B, RLP, 128), np.uint8)
+    for j, ((qs_t, quads), lit) in enumerate(zip(blocks, lit_list)):
+        qs[j, :len(qs_t)] = qs_t
+        qs[j, len(qs_t):] = qs_t[-1]
+        for q, (base, ssrc, stgt, sctl) in enumerate(quads):
+            if base >= OUT_SENT_ROWS:
+                qbase[j, q] = (base - OUT_SENT_ROWS) + OUT_QB_FLAG
+            else:
+                qbase[j, q] = base
+            n = len(ssrc)
+            if not n:
+                continue
+            i = np.arange(n)
+            bat = 4 * q + (i >> 5)
+            sub = i & 31
+            p0 = (sctl[:, 0, 0] | (sctl[:, 0, 1] << 7)
+                  | (sctl[:, 0, 2] << 14) | ((ssrc - base) << 21))
+            pctrl[j, 32 * (bat >> 7) + sub, bat & 127] = p0
+            for kk in range(1, K):
+                pk_ = (sctl[:, kk, 0] | (sctl[:, kk, 1] << 7)
+                       | (sctl[:, kk, 2] << 14))
+                pctrl[j, kk * NG32 + 32 * (bat >> 7) + sub, bat & 127] = pk_
+            tq[j, q, i] = stgt
+        flat = np.frombuffer(bytes(lit), np.uint8)
+        lit8[j].reshape(-1)[:len(flat)] = flat
+    return qs, qbase, pctrl, tq, lit8
+
+
+def _make_kernel_v25(K: int):
+    def _kernel_v25(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref,
+                    out_ref):
+        b = pl.program_id(0)
+        NST = out_ref.shape[1] // 128
+        G32 = pctrl_ref.shape[1] // K
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        row128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+        def contrib_quad(q):
+            qb = qbase_ref[b, q]
+            # window source select: OUT quads read the block's own decoded
+            # rows (earlier supertiles, already stored); lit quads read
+            # the shipped window. Branch-free: both windows load (VMEM),
+            # a scalar-broadcast select picks one — a lax.cond form
+            # compiled but FAULTED the TPU worker at execution (kernel
+            # fault, round-5 probe); dynamic-offset ref reads under
+            # scf.if are not safe in this Mosaic.
+            isout = qb >= OUT_QB_FLAG
+            ob = jnp.where(isout, qb - OUT_QB_FLAG, 0)
+            lb = jnp.where(isout, 0, qb)
+            win_lit = litb_ref[0, pl.ds(pl.multiple_of(lb, 16), 128), :]
+            win_out = out_ref[0, pl.ds(pl.multiple_of(ob, 16), 128),
+                              :].astype(jnp.bfloat16)
+            win = jnp.where(isout, win_out, win_lit)
+
+            def plane_bc(j):
+                bcs = []
+                for u in range(4):
+                    bat = 4 * q + u
+                    grp = pctrl_ref[0, pl.ds(j * G32 + (bat >> 7) * 32, 32),
+                                    :]
+                    bcs.append(jnp.take_along_axis(
+                        grp, jnp.full((32, 128), bat & 127, jnp.int32),
+                        axis=1))
+                return jnp.concatenate(bcs, axis=0)   # (128,128) slot-major
+
+            bc0 = plane_bc(0)
+            rowrel = jax.lax.shift_right_logical(bc0, 21)
+            onehot = jnp.where(rowiota == rowrel[:, :1],
+                               jnp.float32(1), jnp.float32(0))
+            gath = jax.lax.dot_general(
+                onehot.astype(jnp.bfloat16), win, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            m = ((lane128 >= ((bc0 >> 7) & 127))
+                 & (lane128 <= ((bc0 >> 14) & 127)))
+            bsel = bc0
+            for j in range(1, K):
+                bcj = plane_bc(j)
+                mj = ((lane128 >= ((bcj >> 7) & 127))
+                      & (lane128 <= ((bcj >> 14) & 127)))
+                bsel = jnp.where(mj, bcj, bsel)
+                m = m | mj
+            sh = jnp.take_along_axis(gath, (lane128 + (bsel & 127)) & 127,
+                                     axis=1)
+            c = jnp.where(m, sh, 0)
+            tgt = tq_ref[0, q, :][None, :]
+            pt = jnp.where(row128 == tgt, jnp.float32(1), jnp.float32(0))
+            return jax.lax.dot_general(
+                pt.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+
+        for t in range(NST):
+            q0 = qs_ref[b, t]
+            q1 = qs_ref[b, t + 1]
+
+            def qbody(g, acc):
+                q = q0 + 2 * g
+                return acc + contrib_quad(q) + contrib_quad(q + 1)
+
+            tile = jax.lax.fori_loop(0, (q1 - q0) >> 1, qbody,
+                                     jnp.zeros((128, 128), jnp.int32))
+            out_ref[0, t * 128:(t + 1) * 128, :] = tile
+
+    return _kernel_v25
+
+
+@functools.lru_cache(maxsize=32)
+def v25_kernel(block: int, MAXQ: int, RLP: int, K: int = 2,
+               interpret: bool = False):
+    NR = block // 128
+    NB = MAXQ * 4
+    G32 = 32 * (-(-NB // 128))
+    body = _make_kernel_v25(K)
+
+    def call(qs, qbase, pctrl, tq, lit8):
+        litb = lit8.astype(jnp.bfloat16)
+        tq = tq.astype(jnp.int32)
+        B = pctrl.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, K * G32, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, MAXQ, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RLP, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            body,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(qs, qbase, pctrl, tq, litb)
+
+    return jax.jit(call)
+
+
+# ---------------------------------------------------------------------------
+# v26: unified self-referential window — the production form of v25.
+#
+# v25's per-quad window select measured 0.85x v19 (plane-segregated
+# chunking cost +10% quads; dual window reads + select cost the rest).
+# v26 removes both: a VMEM scratch holds [lit rows ++ decoded-output rows]
+# in ONE row coordinate space — the lit window is copied in at block
+# start, and every decoded supertile is appended (one i32->bf16 cast per
+# tile) right after its out_ref store. Slots carry plain scratch rows
+# (OUT sources at RLP + out_row), so the quad chunker mixes planes
+# freely and the kernel body is byte-for-byte v19's, reading scratch.
+# ---------------------------------------------------------------------------
+
+
+def pack_blocks_v26(pieces_list, lit_list, totals, block: int, RLP: int,
+                    per=None, MAXQ=None, quad_align: int = 2, K: int = 2):
+    """Pack the v26 dispatch batch: KOUT sources translated to scratch
+    rows RLP + out_row before the tile sort (RLP must be pinned by the
+    caller — scratch height is RLP + NR)."""
+    B = len(pieces_list)
+    if per is None:
+        per = lane_ops_blocks_v25(pieces_list, totals)
+    NR = block // 128
+    assert NR % 128 == 0, "v26 needs block >= 16384"
+    GRP = 4
+    NST = NR // 128
+    shift = RLP - OUT_SENT_ROWS      # sentinel row -> scratch row
+    base_cap = RLP + NR - 128        # window must fit the scratch
+    blocks = []
+    maxq = 1
+    for (rows, rl, s, e, tile_start) in per:
+        quads = []
+        qs_t = [0]
+        nts = len(tile_start) - 1
+        for st in range(NST):
+            parts = []
+            for g in range(GRP):
+                t = st * GRP + g
+                if t >= nts:
+                    break
+                b0, b1 = tile_start[t], tile_start[t + 1]
+                if b1 <= b0:
+                    continue
+                er = rows[b0:b1].reshape(-1)
+                es = s[b0:b1].reshape(-1)
+                ee = e[b0:b1].reshape(-1)
+                erl = rl[b0:b1].reshape(-1)
+                live = np.nonzero(ee > es)[0]
+                if not len(live):
+                    continue
+                erl_ = er[live]
+                erl_ = np.where(erl_ >= OUT_SENT_ROWS, erl_ + shift, erl_)
+                tgt = (live & 31) + 32 * g
+                parts.append(np.stack(
+                    [erl_, tgt, erl[live], es[live], ee[live] - 1],
+                    axis=1))
+            if parts:
+                ops = np.concatenate(parts, axis=0)
+                key = ops[:, 0] * 128 + ops[:, 1]
+                order = np.argsort(key, kind="stable")
+                ops = ops[order]
+                ks = key[order]
+                new = np.r_[True, ks[1:] != ks[:-1]]
+                gid = np.cumsum(new) - 1
+                gstart = np.flatnonzero(new)
+                within = np.arange(len(ks)) - gstart[gid]
+                gsizes = np.diff(np.r_[gstart, len(ks)])
+                spg = -(-gsizes // K)
+                sbase = np.r_[0, np.cumsum(spg)[:-1]]
+                slot_of = sbase[gid] + within // K
+                sub_of = within % K
+                n_slots = int(spg.sum())
+                ssrc = np.zeros(n_slots, np.int64)
+                stgt = np.zeros(n_slots, np.int64)
+                sctl = np.zeros((n_slots, K, 3), np.int64)
+                sctl[:, :, 1] = 1
+                ssrc[slot_of] = ops[:, 0]
+                stgt[slot_of] = ops[:, 1]
+                sctl[slot_of, sub_of, 0] = ops[:, 2]
+                sctl[slot_of, sub_of, 1] = ops[:, 3]
+                sctl[slot_of, sub_of, 2] = ops[:, 4]
+            else:
+                n_slots = 0
+                ssrc = np.zeros(0, np.int64)
+                stgt = np.zeros(0, np.int64)
+                sctl = np.zeros((0, K, 3), np.int64)
+            i = 0
+            n = n_slots
+            while i < n:
+                base = min(int(ssrc[i]) & ~15, base_cap)
+                j = min(i + 128, n)
+                while ssrc[j - 1] - base > 127:
+                    j -= 1
+                quads.append((base, ssrc[i:j], stgt[i:j], sctl[i:j]))
+                i = j
+            if n == 0:
+                quads.append((0, ssrc, stgt, sctl))
+            while (len(quads) - qs_t[-1]) % quad_align:
+                quads.append((0, np.zeros(0, np.int64),
+                              np.zeros(0, np.int64),
+                              np.zeros((0, K, 3), np.int64)))
+            qs_t.append(len(quads))
+        blocks.append((qs_t, quads))
+        maxq = max(maxq, len(quads))
+    if MAXQ is None:
+        MAXQ = maxq
+    assert maxq <= MAXQ, "MAXQ below a block's quad count"
+    for lit in lit_list:
+        assert -(-len(lit) // 128) <= RLP, "RLP below a block's lit rows"
+    NB = MAXQ * 4
+    NG32 = 32 * (-(-NB // 128))
+    qs = np.zeros((B, NST + 1), np.int32)
+    qbase = np.zeros((B, MAXQ), np.int32)
+    pctrl = np.full((B, K * NG32, 128), 1 << 7, np.int32)
+    tq = np.zeros((B, MAXQ, 128), np.uint8)
+    lit8 = np.zeros((B, RLP, 128), np.uint8)
+    for j, ((qs_t, quads), lit) in enumerate(zip(blocks, lit_list)):
+        qs[j, :len(qs_t)] = qs_t
+        qs[j, len(qs_t):] = qs_t[-1]
+        for q, (base, ssrc, stgt, sctl) in enumerate(quads):
+            qbase[j, q] = base
+            n = len(ssrc)
+            if not n:
+                continue
+            i = np.arange(n)
+            bat = 4 * q + (i >> 5)
+            sub = i & 31
+            p0 = (sctl[:, 0, 0] | (sctl[:, 0, 1] << 7)
+                  | (sctl[:, 0, 2] << 14) | ((ssrc - base) << 21))
+            pctrl[j, 32 * (bat >> 7) + sub, bat & 127] = p0
+            for kk in range(1, K):
+                pk_ = (sctl[:, kk, 0] | (sctl[:, kk, 1] << 7)
+                       | (sctl[:, kk, 2] << 14))
+                pctrl[j, kk * NG32 + 32 * (bat >> 7) + sub, bat & 127] = pk_
+            tq[j, q, i] = stgt
+        flat = np.frombuffer(bytes(lit), np.uint8)
+        lit8[j].reshape(-1)[:len(flat)] = flat
+    return qs, qbase, pctrl, tq, lit8
+
+
+def _make_kernel_v26(K: int, RLP: int):
+    def _kernel_v26(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref,
+                    out_ref, win_ref):
+        b = pl.program_id(0)
+        NST = out_ref.shape[1] // 128
+        G32 = pctrl_ref.shape[1] // K
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        row128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+        # unified window: [lit rows 0..RLP) ‖ decoded tiles RLP..RLP+NR)
+        win_ref[0:RLP, :] = litb_ref[0]
+        # zero the output region: windows near the write frontier span
+        # not-yet-appended rows, and the gather matmul multiplies the
+        # WHOLE window by the one-hot — uninitialized bf16 can be NaN,
+        # and NaN * 0 = NaN poisons the sum (found the hard way: block 0
+        # of every dispatch failed, later blocks "passed" off stale
+        # finite values from the previous grid cell)
+        NRv = out_ref.shape[1]
+        win_ref[RLP:RLP + NRv, :] = jnp.zeros((NRv, 128), jnp.bfloat16)
+
+        def contrib_quad(q):
+            base = pl.multiple_of(qbase_ref[b, q], 16)
+            win = win_ref[pl.ds(base, 128), :]       # (128,128) bf16
+
+            def plane_bc(j):
+                bcs = []
+                for u in range(4):
+                    bat = 4 * q + u
+                    grp = pctrl_ref[0, pl.ds(j * G32 + (bat >> 7) * 32, 32),
+                                    :]
+                    bcs.append(jnp.take_along_axis(
+                        grp, jnp.full((32, 128), bat & 127, jnp.int32),
+                        axis=1))
+                return jnp.concatenate(bcs, axis=0)
+
+            bc0 = plane_bc(0)
+            rowrel = jax.lax.shift_right_logical(bc0, 21)
+            onehot = jnp.where(rowiota == rowrel[:, :1],
+                               jnp.float32(1), jnp.float32(0))
+            gath = jax.lax.dot_general(
+                onehot.astype(jnp.bfloat16), win, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            m = ((lane128 >= ((bc0 >> 7) & 127))
+                 & (lane128 <= ((bc0 >> 14) & 127)))
+            bsel = bc0
+            for j in range(1, K):
+                bcj = plane_bc(j)
+                mj = ((lane128 >= ((bcj >> 7) & 127))
+                      & (lane128 <= ((bcj >> 14) & 127)))
+                bsel = jnp.where(mj, bcj, bsel)
+                m = m | mj
+            sh = jnp.take_along_axis(gath, (lane128 + (bsel & 127)) & 127,
+                                     axis=1)
+            c = jnp.where(m, sh, 0)
+            tgt = tq_ref[0, q, :][None, :]
+            pt = jnp.where(row128 == tgt, jnp.float32(1), jnp.float32(0))
+            return jax.lax.dot_general(
+                pt.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+
+        for t in range(NST):
+            q0 = qs_ref[b, t]
+            q1 = qs_ref[b, t + 1]
+
+            def qbody(g, acc):
+                q = q0 + 2 * g
+                return acc + contrib_quad(q) + contrib_quad(q + 1)
+
+            tile = jax.lax.fori_loop(0, (q1 - q0) >> 1, qbody,
+                                     jnp.zeros((128, 128), jnp.int32))
+            out_ref[0, t * 128:(t + 1) * 128, :] = tile
+            # append the decoded tile to the unified window so later
+            # supertiles' quads can source from it
+            win_ref[RLP + t * 128:RLP + (t + 1) * 128, :] = \
+                tile.astype(jnp.bfloat16)
+
+    return _kernel_v26
+
+
+@functools.lru_cache(maxsize=32)
+def v26_kernel(block: int, MAXQ: int, RLP: int, K: int = 2,
+               interpret: bool = False):
+    NR = block // 128
+    NB = MAXQ * 4
+    G32 = 32 * (-(-NB // 128))
+    body = _make_kernel_v26(K, RLP)
+
+    def call(qs, qbase, pctrl, tq, lit8):
+        litb = lit8.astype(jnp.bfloat16)
+        tq = tq.astype(jnp.int32)
+        B = pctrl.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, K * G32, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, MAXQ, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RLP, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((RLP + NR, 128), jnp.bfloat16)],
+        )
+        return pl.pallas_call(
+            body,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(qs, qbase, pctrl, tq, litb)
+
+    return jax.jit(call)
+
+
 def _make_kernel_v19(K: int):
     def _kernel_v19(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref,
                     out_ref):

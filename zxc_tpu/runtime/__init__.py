@@ -24,6 +24,8 @@ _SO = os.path.join(_DIR, "libzxchost.so")
 
 _lock = threading.Lock()
 _lib = None
+KOUT = (1 << 30) + 1   # self-referential piece kind (set from the native
+# library on the first resolve_pieces(self_ref=True) call)
 _tried = False
 _resolve_tl = threading.local()  # resolve_pieces per-thread scratch
 
@@ -171,6 +173,10 @@ def lib() -> ctypes.CDLL | None:
         L.zxch_resolve_pieces.argtypes = [vp, vp, vp, u64, vp, u64, u64,
                                           u64, vp, vp, vp, vp, u64, vp,
                                           ctypes.c_int, ctypes.c_int]
+        L.zxch_resolve_pieces_sr.restype = i64
+        L.zxch_resolve_pieces_sr.argtypes = [vp, vp, vp, u64, vp, u64, u64,
+                                             u64, vp, vp, vp, vp, u64, vp,
+                                             ctypes.c_int, ctypes.c_int, vp]
         L.zxch_optimal_parse.restype = i64
         L.zxch_optimal_parse.argtypes = [vp, vp, u64, vp, vp, ctypes.c_int,
                                          ctypes.c_int, vp,
@@ -235,6 +241,11 @@ def lib() -> ctypes.CDLL | None:
         L.zxch_v19_lit8_load.restype = i64
         L.zxch_v19_lit8_load.argtypes = [vp, u64, ci, u64, vp, u64, vp,
                                          vp, i64, i64, vp, i64]
+        L.zxch_v26_prep_block.restype = i64
+        L.zxch_v26_prep_block.argtypes = L.zxch_v19_prep_block.argtypes
+        L.zxch_v26_prep_block_plan.restype = i64
+        L.zxch_v26_prep_block_plan.argtypes = \
+            L.zxch_v19_prep_block_plan.argtypes
         _lib = L
         _install_fast_paths(L)
         _tried = True
@@ -300,12 +311,21 @@ KBIG = 1 << 30
 def resolve_pieces(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
                    literals: np.ndarray, dict_buf: np.ndarray | None = None,
                    max_pieces: int | None = None, synth_cap: int | None = None,
-                   device_pure: bool = False, max_frag: int = 0):
+                   device_pure: bool = False, max_frag: int = 0,
+                   self_ref: bool = False):
     """Resolve LZ chains into the flat piecewise-literal mapping
     ``out[p] = lit_full[c + (p - s) % k]``.
 
     lit_full = dict ++ literals ++ synthetic bytes (source regions the
     resolver materialized to cap piece amplification).
+
+    ``self_ref`` (v25 kernel contract, requires device_pure): matches
+    whose source completes before the destination's 16 KiB supertile
+    emit ONE piece with k == KOUT and c/s in OUTPUT coordinates
+    (out[p] = out[c + (p - s)]) — the device kernel reads its own
+    decoded rows for them, so those bytes are neither materialized on
+    the host nor shipped over H2D. KOUT is exported as
+    ``runtime.KOUT`` after the first self_ref call.
 
     Returns (out_start, c, s, k, lit_full) — int32 piece tables plus the
     extended uint8 literal buffer — or None when the native library is
@@ -346,16 +366,35 @@ def resolve_pieces(ll: np.ndarray, ml: np.ndarray, off: np.ndarray,
     off32 = np.ascontiguousarray(off, np.int32)
     po, pc, ps, pk = tl.po, tl.pc, tl.ps, tl.pk
     lit_out = ctypes.c_uint64(0)
-    n = L.zxch_resolve_pieces(
-        ll32.ctypes.data_as(ctypes.c_void_p),
-        ml32.ctypes.data_as(ctypes.c_void_p),
-        off32.ctypes.data_as(ctypes.c_void_p), n_seq,
-        lit_full.ctypes.data_as(ctypes.c_void_p), lit_len, len(lit_full),
-        dict_len,
-        po.ctypes.data_as(ctypes.c_void_p), pc.ctypes.data_as(ctypes.c_void_p),
-        ps.ctypes.data_as(ctypes.c_void_p), pk.ctypes.data_as(ctypes.c_void_p),
-        max_pieces, ctypes.byref(lit_out), 1 if device_pure else 0,
-        max_frag)
+    if self_ref:
+        kout = ctypes.c_int32(0)
+        n = L.zxch_resolve_pieces_sr(
+            ll32.ctypes.data_as(ctypes.c_void_p),
+            ml32.ctypes.data_as(ctypes.c_void_p),
+            off32.ctypes.data_as(ctypes.c_void_p), n_seq,
+            lit_full.ctypes.data_as(ctypes.c_void_p), lit_len,
+            len(lit_full), dict_len,
+            po.ctypes.data_as(ctypes.c_void_p),
+            pc.ctypes.data_as(ctypes.c_void_p),
+            ps.ctypes.data_as(ctypes.c_void_p),
+            pk.ctypes.data_as(ctypes.c_void_p),
+            max_pieces, ctypes.byref(lit_out), 1 if device_pure else 0,
+            max_frag, ctypes.byref(kout))
+        global KOUT
+        KOUT = int(kout.value)
+    else:
+        n = L.zxch_resolve_pieces(
+            ll32.ctypes.data_as(ctypes.c_void_p),
+            ml32.ctypes.data_as(ctypes.c_void_p),
+            off32.ctypes.data_as(ctypes.c_void_p), n_seq,
+            lit_full.ctypes.data_as(ctypes.c_void_p), lit_len,
+            len(lit_full), dict_len,
+            po.ctypes.data_as(ctypes.c_void_p),
+            pc.ctypes.data_as(ctypes.c_void_p),
+            ps.ctypes.data_as(ctypes.c_void_p),
+            pk.ctypes.data_as(ctypes.c_void_p),
+            max_pieces, ctypes.byref(lit_out), 1 if device_pure else 0,
+            max_frag)
     if n == -9:
         from ..errors import ZxcError, ERROR_BAD_OFFSET
         raise ZxcError(ERROR_BAD_OFFSET, "piece resolution")
@@ -895,7 +934,8 @@ def v19_prep_block(payload: np.ndarray, block_type: int, block_size: int,
                    lit8_row: np.ndarray, MAXQ: int, NG32: int, RLP: int,
                    K: int = 2, quad_align: int = 2,
                    dict_buf: np.ndarray | None = None,
-                   dict_cl: np.ndarray | None = None):
+                   dict_cl: np.ndarray | None = None,
+                   self_ref: bool = False):
     """Fused device-dispatch prep: one native call takes a block payload to
     its v19 control slices (section parse + entropy literals + piece
     resolution + lane-op packing — pack_blocks_v19 layout, asserted
@@ -915,7 +955,8 @@ def v19_prep_block(payload: np.ndarray, block_type: int, block_size: int,
     maxrow = ctypes.c_int64(0)
     litrows = ctypes.c_int64(0)
     P = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
-    total = L.zxch_v19_prep_block(
+    fn = L.zxch_v26_prep_block if self_ref else L.zxch_v19_prep_block
+    total = fn(
         P(pl), len(pl), block_type, block_size,
         d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr,
         K, quad_align,
@@ -932,7 +973,8 @@ def v19_prep_block_plan(payload: np.ndarray, block_type: int,
                         MAXQ: int, NG32: int, RLP: int,
                         plan: np.ndarray, K: int = 2, quad_align: int = 2,
                         dict_buf: np.ndarray | None = None,
-                        dict_cl: np.ndarray | None = None):
+                        dict_cl: np.ndarray | None = None,
+                        self_ref: bool = False):
     """`v19_prep_block` PLUS the lit8 replay plan (encode-time piece-plan
     hint, SURVEY.md §5): ``plan`` is an (N, 4) i32 array receiving
     {kind, dst, src_or_byte, len} records. Returns (total, nq, maxrow,
@@ -948,7 +990,9 @@ def v19_prep_block_plan(payload: np.ndarray, block_type: int,
     n_plan = ctypes.c_int64(0)
     litlen = ctypes.c_int64(0)
     P = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
-    total = L.zxch_v19_prep_block_plan(
+    fn = (L.zxch_v26_prep_block_plan if self_ref
+          else L.zxch_v19_prep_block_plan)
+    total = fn(
         P(pl), len(pl), block_type, block_size,
         d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr,
         K, quad_align,

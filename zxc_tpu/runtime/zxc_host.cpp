@@ -443,7 +443,7 @@ static int64_t resolve_pieces_impl(const int32_t *ll, const int32_t *ml,
                             uint64_t *lit_len_out, int device_pure,
                             int max_frag,
                             int32_t *plan, int64_t plan_cap,
-                            int64_t *n_plan) {
+                            int64_t *n_plan, int self_ref = 0) {
   bool plan_of = false;
 #define PLAN_REC(kind_, dst_, src_, len_)                                \
   do {                                                                   \
@@ -499,6 +499,27 @@ static int64_t resolve_pieces_impl(const int32_t *ll, const int32_t *ml,
     return (j + 1 < (int64_t)np) ? (int64_t)po[j + 1] : W;
   };
 
+  // resolve out-coordinate *q through self-referential (KOUT) chains to a
+  // concrete lit_full-backed piece, shrinking *run to the tightest span
+  // valid across every chain hop. Chains strictly decrease q (o > 0), so
+  // the walk terminates; the guard bounds adversarial data.
+  auto resolve_seg = [&](int64_t &q, int64_t &run) -> int64_t {
+    int64_t j = find_piece(q);
+    int64_t guard = 1 << 22;
+    while (j >= 0 && pk[j] == ZXCH_KOUT) {
+      int64_t lim = piece_end(j) - q;
+      if (lim < run) run = lim;
+      if (lim <= 0 || --guard == 0) return -1;
+      q = pc[j] + (q - ps[j]);
+      j = find_piece(q);
+    }
+    if (j >= 0) {
+      int64_t lim = piece_end(j) - q;
+      if (lim < run) run = lim;
+    }
+    return j;
+  };
+
   // materialize the bytes of out-range [sa, sa+len) into lit_full's tail;
   // returns the lit_full offset of the materialized range, or -1 on error.
   auto materialize = [&](int64_t sa, int64_t len) -> int64_t {
@@ -513,14 +534,14 @@ static int64_t resolve_pieces_impl(const int32_t *ll, const int32_t *ml,
         q += take; w += take; len -= take;
         continue;
       }
-      int64_t j = find_piece(q);
-      int64_t pe = piece_end(j);
-      int64_t take = (pe - q) < len ? (pe - q) : len;
-      if (take <= 0) return -1;
+      int64_t take = len;
+      int64_t q2 = q;                       // resolve KOUT chains
+      int64_t j = resolve_seg(q2, take);
+      if (j < 0 || take <= 0) return -1;
       int64_t kk = pk[j];
       if (kk >= ZXCH_KBIG) {  // pure: one memcpy
-        memcpy(lit_full + w, lit_full + pc[j] + (q - ps[j]), take);
-        PLAN_REC(0, w, pc[j] + (q - ps[j]), take);
+        memcpy(lit_full + w, lit_full + pc[j] + (q2 - ps[j]), take);
+        PLAN_REC(0, w, pc[j] + (q2 - ps[j]), take);
       } else if (kk == 1) {
         memset(lit_full + w, lit_full[pc[j]], take);
         PLAN_REC(1, w, lit_full[pc[j]], take);
@@ -529,7 +550,7 @@ static int64_t resolve_pieces_impl(const int32_t *ll, const int32_t *ml,
         // (kk <= 1024), so chunks of <= 1024 bytes are contiguous reads
         int64_t t = 0;
         while (t < take) {
-          int64_t ph = (q + t - ps[j]) % kk;
+          int64_t ph = (q2 + t - ps[j]) % kk;
           int64_t c = (take - t) < 1024 ? (take - t) : 1024;
           memcpy(lit_full + w + t, lit_full + pc[j] + ph, c);
           PLAN_REC(0, w + t, pc[j] + ph, c);
@@ -537,7 +558,7 @@ static int64_t resolve_pieces_impl(const int32_t *ll, const int32_t *ml,
         }
       } else {                // periodic: byte loop
         for (int64_t t = 0; t < take; t++)
-          lit_full[w + t] = lit_full[pc[j] + ((q + t - ps[j]) % kk)];
+          lit_full[w + t] = lit_full[pc[j] + ((q2 + t - ps[j]) % kk)];
       }
       q += take; w += take; len -= take;
     }
@@ -565,14 +586,13 @@ static int64_t resolve_pieces_impl(const int32_t *ll, const int32_t *ml,
         q += take; d += take; len -= take;
         continue;
       }
-      int64_t j = find_piece(q);
-      if (j < 0) return -9;
-      int64_t pe = piece_end(j);
-      int64_t take = (pe - q) < len ? (pe - q) : len;
-      if (take <= 0) return -9;
+      int64_t take = len;
+      int64_t q2 = q;                       // resolve KOUT chains
+      int64_t j = resolve_seg(q2, take);
+      if (j < 0 || take <= 0) return -9;
       // k==1 fills keep s verbatim (device_pure stores the fill byte there;
       // the phase shift is irrelevant when the period is 1)
-      EMIT(d, pc[j], pk[j] == 1 ? ps[j] : ps[j] + (d - q), pk[j]);
+      EMIT(d, pc[j], pk[j] == 1 ? ps[j] : ps[j] + (d - q2), pk[j]);
       q += take; d += take; len -= take;
     }
     return 0;
@@ -591,6 +611,20 @@ static int64_t resolve_pieces_impl(const int32_t *ll, const int32_t *ml,
     if (o >= m) {
       // no self-overlap
       int64_t sa = a - o;
+      if (self_ref && device_pure && sa >= 0 &&
+          sa + m <= ((a >> 14) << 14)) {
+        // v25 contract: source completes before the destination's 16 KiB
+        // supertile, so the device kernel reads its own decoded output.
+        // Cheap single-segment resolutions still emit directly (they
+        // point into already-shipped bytes — no H2D to save); everything
+        // else becomes ONE self-referential piece instead of a
+        // fragmented emission or a host materialization.
+        int rc = emit_capped(sa, m, a, 1);
+        if (rc < 0) return rc;
+        if (rc) EMIT(a, sa, a, ZXCH_KOUT);
+        W = a + m;
+        continue;
+      }
       int rc = emit_capped(sa, m, a, MAX_FRAG);
       if (rc < 0) return rc;
       if (rc) {  // > MAX_FRAG pieces: rolled back, materialize instead
@@ -604,11 +638,13 @@ static int64_t resolve_pieces_impl(const int32_t *ll, const int32_t *ml,
       // materialize it unless it is a single clean piece, then emit one
       // periodic piece for the whole match
       int64_t sa = a - o;
-      int64_t j0 = sa >= 0 ? find_piece(sa) : -1;
-      if (sa >= 0 && j0 >= 0 && piece_end(j0) >= a && pk[j0] >= ZXCH_KBIG) {
+      int64_t run0 = o;
+      int64_t sa2 = sa;                     // resolve KOUT chains
+      int64_t j0 = sa >= 0 ? resolve_seg(sa2, run0) : -1;
+      if (sa >= 0 && j0 >= 0 && run0 >= o && pk[j0] >= ZXCH_KBIG) {
         // window inside one pure piece: periodic piece, no wrap inside
-        EMIT(a, pc[j0] + (sa - ps[j0]), a, o);
-      } else if (sa >= 0 && j0 >= 0 && piece_end(j0) >= a && pk[j0] == 1) {
+        EMIT(a, pc[j0] + (sa2 - ps[j0]), a, o);
+      } else if (sa >= 0 && j0 >= 0 && run0 >= o && pk[j0] == 1) {
         EMIT(a, pc[j0], a, 1);  // fill run keeps filling
       } else {
         int64_t base = materialize(sa, o);
@@ -624,10 +660,13 @@ static int64_t resolve_pieces_impl(const int32_t *ll, const int32_t *ml,
         uint8_t b;
         if (sa < 0) b = lit_full[D + sa];
         else {
-          int64_t j = find_piece(sa);
+          int64_t run1 = 1;
+          int64_t sa2 = sa;                 // resolve KOUT chains
+          int64_t j = resolve_seg(sa2, run1);
+          if (j < 0) return -9;
           int64_t kk = pk[j];
-          int64_t idx = (kk >= ZXCH_KBIG) ? pc[j] + (sa - ps[j])
-                                          : pc[j] + ((sa - ps[j]) % kk);
+          int64_t idx = (kk >= ZXCH_KBIG) ? pc[j] + (sa2 - ps[j])
+                                          : pc[j] + ((sa2 - ps[j]) % kk);
           b = lit_full[idx];
         }
         if (fill_cache[b] < 0) {
@@ -702,6 +741,28 @@ int64_t zxch_resolve_pieces(const int32_t *ll, const int32_t *ml,
                              dict_len, po, pc, ps, pk, max_pieces,
                              lit_len_out, device_pure, max_frag,
                              nullptr, 0, nullptr);
+}
+
+// self-referential variant (v25 kernel contract): non-overlapping matches
+// whose source completes before the destination's 16 KiB supertile emit
+// ONE piece with pk == ZXCH_KOUT and pc/ps in OUTPUT coordinates —
+// out[p] = out[pc + (p - ps)] — instead of fragmenting or materializing.
+// Only meaningful with device_pure (the v25 Pallas kernel reads its own
+// out_ref rows for these). kout_value receives ZXCH_KOUT so callers can
+// detect the kind without hardcoding it.
+int64_t zxch_resolve_pieces_sr(const int32_t *ll, const int32_t *ml,
+                               const int32_t *off, uint64_t n_seq,
+                               uint8_t *lit_full, uint64_t lit_len,
+                               uint64_t lit_cap, uint64_t dict_len,
+                               int32_t *po, int32_t *pc, int32_t *ps,
+                               int32_t *pk, uint64_t max_pieces,
+                               uint64_t *lit_len_out, int device_pure,
+                               int max_frag, int32_t *kout_value) {
+  if (kout_value) *kout_value = ZXCH_KOUT;
+  return resolve_pieces_impl(ll, ml, off, n_seq, lit_full, lit_len, lit_cap,
+                             dict_len, po, pc, ps, pk, max_pieces,
+                             lit_len_out, device_pure, max_frag,
+                             nullptr, 0, nullptr, 1);
 }
 
 }  // extern "C"
@@ -4175,24 +4236,29 @@ int64_t decode_gnr_block(int is_glo, const uint8_t *pl, uint64_t plen,
           }
         }
       } else {
-        // GHI pair batch (reference 4x-batch shape, zxc_decompress.c:
-        // 469-543): one u64 load carries two sequence words; varint
-        // escapes handled INLINE under UNLIKELY with exact capacity
-        // checks and a whole-batch rollback on failure (re-emission
-        // through the checked path is idempotent: the output bytes are a
-        // pure function of (i, w, r, e)). Inline advance per batch
-        // <= 2*(254+259) = 1026 < 1300 margin, literals <= 508 < 560.
-        const uint64_t wlimg = block_size > 1300 ? block_size - 1300 : 0;
-        const uint64_t rlimg = n_lit > 560 ? n_lit - 560 : 0;
-        while (i + 2 <= n_seq && w < wlimg && r < rlimg) {
+        // GHI 4x batch (the reference DECODE_GHI 4x shape,
+        // zxc_decompress.c:469-543): one 16-byte load carries four
+        // sequence words; varint escapes handled INLINE under UNLIKELY
+        // with exact capacity checks and a whole-batch rollback on
+        // failure (re-emission through the checked path is idempotent:
+        // the output bytes are a pure function of (i, w, r, e)). Inline
+        // advance per batch <= 4*(254+259) = 2052 < 2600 margin,
+        // literals <= 1016 < 1100. (Round-5: widened from the 2x pair
+        // batch — the round-4 GLO 4x probe failed on rollback
+        // bookkeeping, but GHI's word-per-sequence format needs none.)
+        const uint64_t wlimg = block_size > 2600 ? block_size - 2600 : 0;
+        const uint64_t rlimg = n_lit > 1100 ? n_lit - 1100 : 0;
+        while (i + 4 <= n_seq && w < wlimg && r < rlimg) {
           const uint64_t i0 = i, w0 = w, r0 = r, e0 = e;
-          uint64_t wd2;
+          uint64_t wd2, wd3;
           memcpy(&wd2, sec_b + 4 * i, 8);
+          memcpy(&wd3, sec_b + 4 * i + 8, 8);
           __builtin_prefetch(lit + r + 384);
+          __builtin_prefetch(sec_b + 4 * i + 64);
           int fail = 0;
-#pragma GCC unroll 2
-          for (int k = 0; k < 2; k++) {
-            uint32_t wd = (uint32_t)(wd2 >> (32 * k));
+#pragma GCC unroll 4
+          for (int k = 0; k < 4; k++) {
+            uint32_t wd = (uint32_t)((k < 2 ? wd2 : wd3) >> (32 * (k & 1)));
             uint64_t l = wd >> 24, m = (wd >> 16) & 0xFF;
             uint64_t o = (wd & 0xFFFF) + 1;
             if (__builtin_expect(l == 255, 0)) {
@@ -4225,7 +4291,7 @@ int64_t decode_gnr_block(int is_glo, const uint8_t *pl, uint64_t plen,
             i = i0; w = w0; r = r0; e = e0;
             break;
           }
-          i += 2;
+          i += 4;
         }
       }
       if (i >= n_seq) break;
@@ -5268,9 +5334,15 @@ static int64_t v19_prep_block_impl(
     int64_t MAXQ, int64_t NG32, int64_t RLP,
     int64_t *out_nq, int64_t *out_maxrow, int64_t *out_litrows,
     int32_t *plan, int64_t plan_cap, int64_t *out_nplan,
-    int64_t *out_litlen) {
+    int64_t *out_litlen, int self_ref = 0) {
+  // self_ref = the v26 unified-window contract: KOUT pieces' sources
+  // pack as scratch rows RLP + out_row (the kernel's window is
+  // [lit8 rows 0..RLP) ++ decoded tiles [RLP, RLP+NR)); lit8 then holds
+  // literals + patterns only — materialization for earlier-supertile
+  // sources disappears from both host prep and H2D.
   if (block_size % 16384 || K < 1 || K > 4) return -1;
   const int64_t NST = (int64_t)(block_size / 16384);
+  const int64_t NROWS = (int64_t)(block_size / 128);
   *out_nq = 0; *out_maxrow = 128; *out_litrows = 0;
   if (out_nplan) *out_nplan = 0;
   static thread_local PrepTL T;
@@ -5441,7 +5513,7 @@ static int64_t v19_prep_block_impl(
                                    T.po, T.pc, T.ps, T.pk, T.piece_cap,
                                    &lit_out, /*device_pure=*/1,
                                    /*max_frag=*/1,
-                                   plan, plan_cap, out_nplan);
+                                   plan, plan_cap, out_nplan, self_ref);
   if (np == -10) { *out_litrows = (int64_t)((lit_out ? lit_out : lit_cap + (block_size >> 2)) + 127) / 128 + 8; return -10; }
   if (np < 0) return np;
   const int64_t litrows = (int64_t)((lit_out + 127) / 128);
@@ -5457,7 +5529,7 @@ static int64_t v19_prep_block_impl(
   int64_t cur_st = 0;       // next supertile to flush
   uint64_t bucket_n = 0;    // ops in the open supertile's bucket
   qs[0] = 0;
-  grow_i32(&T.counts, &T.counts_cap, (uint64_t)RLP + 1);
+  grow_i32(&T.counts, &T.counts_cap, (uint64_t)(RLP + NROWS) + 2);
   int64_t bkt_minrow = 1 << 30, bkt_maxrow = -1;
 
   // flush the open supertile bucket as quads; returns 0 or -10
@@ -5519,13 +5591,22 @@ static int64_t v19_prep_block_impl(
     const int64_t q_first = nq;
     int64_t i = 0;
     while (i < n_slots) {
-      const int32_t base = T.ssrc[i] & ~15;
+      int32_t base = T.ssrc[i] & ~15;
+      const int32_t base_cap = (int32_t)(RLP + NROWS - 128);
+      if (self_ref && base > base_cap) base = base_cap;  // window fits scratch
       int64_t j = i + 128 < n_slots ? i + 128 : n_slots;
       while (T.ssrc[j - 1] - base > 127) j--;
       if (nq >= MAXQ) { *out_nq = nq + 1; return -10; }
-      // scatter this quad
+      // scatter this quad. maxrow sizes the caller's RLP so lit windows
+      // fit; under self_ref, lit windows may poke into the scratch's
+      // zero-initialized out region (rows >= RLP) harmlessly, so the
+      // report caps at RLP and excludes OUT bases.
       qbase[nq] = base;
-      if (base + 128 > maxrow) maxrow = base + 128;
+      {
+        int64_t wend = base + 128;
+        if (self_ref) wend = (base < RLP) ? (wend < RLP ? wend : RLP) : 0;
+        if (wend > maxrow) maxrow = wend;
+      }
       uint8_t *tqrow = tq + nq * 128;
       const int64_t qn = j - i;
       for (int64_t c = 0; c < 128; c++) {
@@ -5605,6 +5686,7 @@ static int64_t v19_prep_block_impl(
       if (row_end > end) row_end = end;
       const int64_t src = (k >= ZXCH_KBIG) ? c + (q - sd)
                                            : c + ((q - sd) % k);
+      const int64_t row_off = (k == ZXCH_KOUT) ? RLP : 0;
       const int64_t src_lane = src & 127;
       int64_t len = row_end - q;
       if (len > 128 - src_lane) len = 128 - src_lane;
@@ -5619,7 +5701,7 @@ static int64_t v19_prep_block_impl(
       }
       int32_t *o = T.ops + bucket_n * 5;
       o[0] = (int32_t)row;   // full output row; tgt = (row&31) + 32*((row>>5)&3)
-      o[1] = (int32_t)(src >> 7);
+      o[1] = (int32_t)((src >> 7) + row_off);
       o[2] = (int32_t)((src_lane - s) & 127);
       o[3] = (int32_t)s;
       o[4] = (int32_t)(s + len);
@@ -5657,6 +5739,23 @@ int64_t zxch_v19_prep_block(
                              out_litrows, nullptr, 0, nullptr, nullptr);
 }
 
+// v26 unified-window prep: identical layout, but the resolver runs in
+// self_ref mode and KOUT sources pack as scratch rows RLP + out_row for
+// the v26 kernel ([lit8 ++ own decoded tiles] window). lit8 holds
+// literals + patterns only.
+int64_t zxch_v26_prep_block(
+    const uint8_t *pl, uint64_t plen, int block_type, uint64_t block_size,
+    const uint8_t *dict, uint64_t n_dict, const uint8_t *dict_cl,
+    int K, int quad_align,
+    int32_t *qs, int32_t *qbase, int32_t *pctrl, uint8_t *tq, uint8_t *lit8,
+    int64_t MAXQ, int64_t NG32, int64_t RLP,
+    int64_t *out_nq, int64_t *out_maxrow, int64_t *out_litrows) {
+  return v19_prep_block_impl(pl, plen, block_type, block_size, dict, n_dict,
+                             dict_cl, K, quad_align, qs, qbase, pctrl, tq,
+                             lit8, MAXQ, NG32, RLP, out_nq, out_maxrow,
+                             out_litrows, nullptr, 0, nullptr, nullptr, 1);
+}
+
 // Hint-producing prep (encode-time / first-decode cache): identical output
 // to zxch_v19_prep_block PLUS the lit8 replay plan — the control records
 // that rebuild the resolver-materialized tail of lit8 from the
@@ -5676,6 +5775,23 @@ int64_t zxch_v19_prep_block_plan(
                              lit8, MAXQ, NG32, RLP, out_nq, out_maxrow,
                              out_litrows, plan, plan_cap, out_nplan,
                              out_litlen);
+}
+
+// v26 hint-producing prep (self_ref geometry + replay plan).
+int64_t zxch_v26_prep_block_plan(
+    const uint8_t *pl, uint64_t plen, int block_type, uint64_t block_size,
+    const uint8_t *dict, uint64_t n_dict, const uint8_t *dict_cl,
+    int K, int quad_align,
+    int32_t *qs, int32_t *qbase, int32_t *pctrl, uint8_t *tq, uint8_t *lit8,
+    int64_t MAXQ, int64_t NG32, int64_t RLP,
+    int64_t *out_nq, int64_t *out_maxrow, int64_t *out_litrows,
+    int32_t *plan, int64_t plan_cap, int64_t *out_nplan,
+    int64_t *out_litlen) {
+  return v19_prep_block_impl(pl, plen, block_type, block_size, dict, n_dict,
+                             dict_cl, K, quad_align, qs, qbase, pctrl, tq,
+                             lit8, MAXQ, NG32, RLP, out_nq, out_maxrow,
+                             out_litrows, plan, plan_cap, out_nplan,
+                             out_litlen, 1);
 }
 
 // Hint-replay lit8 build: literal-section decode (the only data-bearing
