@@ -7,7 +7,13 @@ TPU pods the same worker measures the >= 80% multi-host target
 (BASELINE.json); this harness validates the measurement pipeline and the
 collective path end to end on one machine.
 
-Usage: python tools/dist_bench.py
+Usage: [DIST_NS=1,2,3,4] [DIST_BPD=16] [DIST_PIN=1] python tools/dist_bench.py
+
+DIST_BPD scales the per-device workload (blocks of 16 KiB per device;
+the round-4 verdict flagged the 16-block default as launch-overhead-
+dominated — DIST_BPD=256 gives a seconds-long sustained decode).
+DIST_PIN=1 pins worker i to core i (taskset) and caps XLA intra-op
+threads at 1 — the core-pressure control for the N=4 row.
 """
 import json
 import os
@@ -27,20 +33,25 @@ def _free_port() -> int:
     return port
 
 
-def run(nproc: int, ndev: int = 1, bpd: int = 16) -> dict:
+def run(nproc: int, ndev: int = 1, bpd: int = 16, pin: bool = False) -> dict:
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = (_REPO + os.pathsep + "/root/.axon_site"
                          + os.pathsep + env.get("PYTHONPATH", ""))
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    if pin:
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_cpu_multi_thread_eigen=false")
+        env["OMP_NUM_THREADS"] = "1"
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(pid), str(nproc), str(port), "bench",
-         str(ndev), str(bpd)],
+        ((["taskset", "-c", str(pid)] if pin else [])
+         + [sys.executable, WORKER, str(pid), str(nproc), str(port),
+            "bench", str(ndev), str(bpd)]),
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for pid in range(nproc)]
     result = None
     for p in procs:
-        out, err = p.communicate(timeout=600)
+        out, err = p.communicate(timeout=1800)
         if p.returncode != 0:
             raise RuntimeError(f"worker rc={p.returncode}:\n{err[-2000:]}")
         for line in out.splitlines():
@@ -58,9 +69,14 @@ def main():
     # blocks-per-device constant (weak scaling)
     import multiprocessing
     ncpu = multiprocessing.cpu_count()
-    ns = [n for n in (1, 2, 4) if n <= ncpu]
-    rows = [run(n, ndev=1, bpd=16) for n in ns]
+    ns = [int(x) for x in os.environ.get(
+        "DIST_NS", "1,2,3,4").split(",") if int(x) <= ncpu]
+    bpd = int(os.environ.get("DIST_BPD", "16"))
+    pin = os.environ.get("DIST_PIN", "0") == "1"
+    rows = [run(n, ndev=1, bpd=bpd, pin=pin) for n in ns]
     t1 = rows[0]["best_s"]
+    print(f"# bpd={bpd} (16 KiB blocks/device: "
+          f"{bpd * 16384 / 1e6:.1f} MB/device), pin={pin}")
     print(f"{'nproc':>6} {'devices':>8} {'bytes':>10} {'time_s':>9} "
           f"{'per-dev MB/s':>13} {'weak-scale eff':>15} {'bcast_ms':>9}")
     for r in rows:

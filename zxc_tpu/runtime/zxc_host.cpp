@@ -887,8 +887,9 @@ extern "C" {
 // dictionary prefix of `start` bytes. Own design in the reference's spirit
 // (split hash + chain over a 64KB window, probe budget per position, word-
 // at-a-time extension); lens[i]==0 means no match at start+i.
-int zxch_find_matches(const uint8_t *data, uint64_t n, uint64_t start,
-                      int max_probes, int32_t *lens, int32_t *offs) {
+static int zxch_find_matches_serial(const uint8_t *data, uint64_t n,
+                                    uint64_t start, int max_probes,
+                                    int32_t *lens, int32_t *offs) {
   const uint64_t WINDOW = 64 * 1024;
   const int HASH_BITS = 15;
   const uint64_t MIN_MATCH = 5;
@@ -1015,6 +1016,226 @@ done:
   return 0;
 }
 
+// Pairwise-interleaved DP candidate search (round 5): two positions'
+// chain walks run in one loop so their serial load-latency chains hide
+// each other — the walk is latency-bound (tag filter + one chain load
+// per probe, L2-resident working set), and at the archival depths
+// (64-192 probes) the OoO window cannot overlap consecutive positions'
+// walks on its own. BYTE-IDENTICAL to the serial search: position p+1's
+// walk sees the chain state *after* p's insert, which differs from the
+// pre-pair state only when both hash to the same bucket — candidate p
+// is then offered to p+1 explicitly, first, before the shared chain.
+// Long-match skips fall back to the serial tail logic (they rewrite the
+// following positions wholesale).
+int zxch_find_matches(const uint8_t *data, uint64_t n, uint64_t start,
+                      int max_probes, int32_t *lens, int32_t *offs) {
+  static const int force_serial = getenv("ZXCH_FM_SERIAL") != nullptr;
+  if (force_serial)
+    return zxch_find_matches_serial(data, n, start, max_probes, lens, offs);
+  const uint64_t WINDOW = 64 * 1024;
+  const int HASH_BITS = 15;
+  const uint64_t MIN_MATCH = 5;
+  if (n < MIN_MATCH + 1) {
+    for (uint64_t i = start; i < n; i++) { lens[i - start] = 0; offs[i - start] = 1; }
+    return 0;
+  }
+  static thread_local uint32_t head[1 << 15];
+  static thread_local uint32_t *fm_chain = nullptr;
+  static thread_local uint64_t fm_cap = 0;
+  if (n > fm_cap) {
+    delete[] fm_chain;
+    fm_cap = n * 2;
+    fm_chain = new uint32_t[fm_cap];
+  }
+  uint32_t *chain = fm_chain;
+  memset(head, 0xFF, sizeof(head));
+
+  const uint8_t *dat8end = data + (n >= 8 ? n - 8 : 0);
+  auto hash5t = [dat8end](const uint8_t *p) -> uint32_t {
+    uint64_t v;
+    if (p <= dat8end) {
+      memcpy(&v, p, 8);
+      v &= 0xFFFFFFFFFFull;
+    } else {
+      v = (uint64_t)p[0] | ((uint64_t)p[1] << 8) | ((uint64_t)p[2] << 16)
+        | ((uint64_t)p[3] << 24) | ((uint64_t)p[4] << 32);
+    }
+    uint64_t prod = v * 0x9E3779B97F4A7C15ull;
+    return ((uint32_t)(prod >> (64 - HASH_BITS)) << 8)
+         | (uint32_t)((prod >> 32) & 0xFF);
+  };
+
+  const uint64_t hend = n - (MIN_MATCH - 1);
+  for (uint64_t p = 0; p < start && p < hend; p++) {
+    uint32_t ht = hash5t(data + p);
+    chain[p] = head[ht >> 8];
+    head[ht >> 8] = ((ht & 0xFF) << 24) | (uint32_t)p;
+  }
+
+  // one probe of a walk; returns 1 while the walk stays active
+  auto extend = [&](uint64_t pp, uint64_t c, int &best_len,
+                    int64_t &best_off) -> int {
+    // returns 1 when the walk should STOP (sufficient/max-len)
+    const uint64_t max_len = n - pp;
+    uint64_t m = 0;
+    while (m + 8 <= max_len) {
+      uint64_t a, b;
+      memcpy(&a, data + c + m, 8);
+      memcpy(&b, data + pp + m, 8);
+      uint64_t x = a ^ b;
+      if (x) { m += (uint64_t)(__builtin_ctzll(x) >> 3); goto done; }
+      m += 8;
+    }
+    while (m < max_len && data[c + m] == data[pp + m]) m++;
+done:
+    if ((int)m > best_len) {
+      best_len = (int)m;
+      best_off = (int64_t)(pp - c);
+      if (m >= max_len || best_len >= 256) return 1;
+    }
+    return 0;
+  };
+
+  uint64_t p = start;
+  while (p < n) {
+    uint64_t i = p - start;
+    lens[i] = 0;
+    offs[i] = 1;
+    if (p >= hend) { p++; continue; }
+    const int paired = (p + 1 < hend);
+    uint32_t ht0 = hash5t(data + p);
+    const uint32_t h0 = ht0 >> 8, tag0 = ht0 & 0xFF;
+    uint32_t cand0 = head[h0];
+    int best0 = 0;
+    int64_t off0 = 1;
+    int probes0 = max_probes;
+    uint32_t h1 = 0, tag1 = 0, cand1 = 0xFFFFFFFFu;
+    int best1 = 0, probes1 = 0;
+    int64_t off1 = 1;
+    if (paired) {
+      lens[i + 1] = 0;
+      offs[i + 1] = 1;
+      uint32_t ht1 = hash5t(data + p + 1);
+      h1 = ht1 >> 8;
+      tag1 = ht1 & 0xFF;
+      probes1 = max_probes;
+      if (h1 == h0) {
+        // serial order: p+1's chain starts at p (inserted after p's
+        // search). Offer it explicitly, then continue on the shared
+        // pre-pair chain.
+        if (probes1-- > 0) {
+          int st = 0;
+          if (tag0 == tag1)         // tag gate (p's entry carries tag0)
+            st = extend(p + 1, p, best1, off1);
+          cand1 = st ? 0xFFFFFFFFu : head[h0];
+        }
+      } else {
+        cand1 = head[h1];
+      }
+    }
+    int stop0 = 0, stop1 = !paired;
+    while (!stop0 || !stop1) {
+      if (!stop0) {
+        if (cand0 == 0xFFFFFFFFu || probes0-- <= 0) {
+          stop0 = 1;
+        } else {
+          const uint64_t c = cand0 & 0xFFFFFF;
+          if (p - c > WINDOW) {
+            stop0 = 1;
+          } else {
+            const uint32_t nxt = chain[c];
+            __builtin_prefetch(&chain[nxt & 0xFFFFFF]);
+            __builtin_prefetch(data + (nxt & 0xFFFFFF));
+            const uint64_t max_len = n - p;
+            if ((cand0 >> 24) == tag0 &&
+                !(best0 > 0 &&
+                  ((uint64_t)best0 >= max_len ||
+                   c + (uint64_t)best0 >= n ||
+                   data[c + best0] != data[p + best0]))) {
+              if (extend(p, c, best0, off0)) stop0 = 1;
+            }
+            cand0 = nxt;
+          }
+        }
+      }
+      if (!stop1) {
+        if (cand1 == 0xFFFFFFFFu || probes1-- <= 0) {
+          stop1 = 1;
+        } else {
+          const uint64_t c = cand1 & 0xFFFFFF;
+          if (p + 1 - c > WINDOW) {
+            stop1 = 1;
+          } else {
+            const uint32_t nxt = chain[c];
+            __builtin_prefetch(&chain[nxt & 0xFFFFFF]);
+            __builtin_prefetch(data + (nxt & 0xFFFFFF));
+            const uint64_t max_len = n - (p + 1);
+            if ((cand1 >> 24) == tag1 &&
+                !(best1 > 0 &&
+                  ((uint64_t)best1 >= max_len ||
+                   c + (uint64_t)best1 >= n ||
+                   data[c + best1] != data[p + 1 + best1]))) {
+              if (extend(p + 1, c, best1, off1)) stop1 = 1;
+            }
+            cand1 = nxt;
+          }
+        }
+      }
+    }
+    if (best0 >= (int)MIN_MATCH) {
+      lens[i] = best0;
+      offs[i] = (int32_t)off0;
+    }
+    chain[p] = head[h0];
+    head[h0] = (tag0 << 24) | (uint32_t)p;
+    if (best0 >= 256) {
+      // serial long-match skip from p (rewrites p+1.. wholesale; the
+      // paired walk's p+1 results are discarded — serial parity)
+      const uint64_t keep = 64;
+      uint64_t endp = p + (uint64_t)best0 - keep;
+      uint64_t q = p + 1;
+      for (; q < endp && q < n; q++) {
+        uint64_t qi = q - start;
+        lens[qi] = best0 - (int)(q - p);
+        offs[qi] = (int32_t)off0;
+        if ((q & 3) == 0 && q < hend) {
+          uint32_t ht2 = hash5t(data + q);
+          chain[q] = head[ht2 >> 8];
+          head[ht2 >> 8] = ((ht2 & 0xFF) << 24) | (uint32_t)q;
+        }
+      }
+      p = q;
+      continue;
+    }
+    if (!paired) { p++; continue; }
+    if (best1 >= (int)MIN_MATCH) {
+      lens[i + 1] = best1;
+      offs[i + 1] = (int32_t)off1;
+    }
+    chain[p + 1] = head[h1];
+    head[h1] = (tag1 << 24) | (uint32_t)(p + 1);
+    if (best1 >= 256) {
+      const uint64_t keep = 64;
+      uint64_t endp = p + 1 + (uint64_t)best1 - keep;
+      uint64_t q = p + 2;
+      for (; q < endp && q < n; q++) {
+        uint64_t qi = q - start;
+        lens[qi] = best1 - (int)(q - p - 1);
+        offs[qi] = (int32_t)off1;
+        if ((q & 3) == 0 && q < hend) {
+          uint32_t ht2 = hash5t(data + q);
+          chain[q] = head[ht2 >> 8];
+          head[ht2 >> 8] = ((ht2 & 0xFF) << 24) | (uint32_t)q;
+        }
+      }
+      p = q;
+      continue;
+    }
+    p += 2;
+  }
+  return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
@@ -1073,10 +1294,13 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
   if (step_shift <= 0) step_shift = 30;
   if (cover_base <= 0) cover_base = 1;
   const uint64_t WINDOW = 64 * 1024;
-  const int HASH_BITS = 15;
+#ifndef ZXCH_FP_HASH_BITS
+#define ZXCH_FP_HASH_BITS 15
+#endif
+  const int HASH_BITS = ZXCH_FP_HASH_BITS;
   const uint64_t MIN_MATCH = 5;
-  static thread_local uint32_t head[1 << 15];
-  static thread_local uint8_t tags8[1 << 15];
+  static thread_local uint32_t head[1 << ZXCH_FP_HASH_BITS];
+  static thread_local uint8_t tags8[1 << ZXCH_FP_HASH_BITS];
   // fast tier (L1-2 params): filter-first on a 32KB L1-resident tag
   // table; on tag mismatch the bucket's chain is NOT extended (the
   // reference's fast-level economics, zxc_compress.c:219-239: losing
@@ -1090,13 +1314,20 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
   // paths cap dict_len at 65535 and block_size at 2 MiB; reject exotic
   // C-ABI dict windows instead of corrupting the tag byte.
   if (n > (1ull << 24)) return -10;
-  // dict-seed snapshot state (restored below when the same dict returns)
+  // dict-seed snapshot state (restored below when the same dict returns).
+  // seed_tier keys the snapshot on the hash index width: a fast-tier
+  // (14-bit) table restored into a 15-bit walk (or vice versa) would
+  // still verify matches byte-by-byte but tie-break differently
+  // depending on the PREVIOUS call's level — archives must not depend
+  // on call history.
   static thread_local uint8_t *seed_dict = nullptr;
   static thread_local uint32_t *seed_chain = nullptr;
   static thread_local uint32_t *seed_head = nullptr;
   static thread_local uint64_t seed_cap = 0, seed_start = 0;
+  static thread_local int seed_tier = -1;
   const uint64_t SB = start >= 4 ? start - 4 : 0;  // cache-covered prefix
   const bool seed_hit = start > 0 && SB > 0 && seed_start == start &&
+                        seed_tier == fast_tier &&
                         seed_dict && memcmp(seed_dict, data, start) == 0;
   if (!seed_hit) {
     memset(head, 0xFF, sizeof(head));  // 0xFFFFFFFF = empty (pos > any n)
@@ -1128,7 +1359,13 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
   // reference's hash_tags filter, zxc_compress.c:212-229). Entries in
   // head/chain pack [tag:8 | pos:24]; output is byte-identical with or
   // without the filter.
-  auto hash5t = [dat8end](const uint8_t *p) -> uint32_t {
+  // NOTE round-5 negative result: a fast-tier-only 14-bit index (64KB
+  // active head + 16KB tags, closer to L1-residency) measured 1.017-
+  // 1.026x in one interleaved A/B and 0.980-0.987x in the next at
+  // +0.07-0.24% size — inside harness noise, so the uniform 15-bit
+  // table stays (ZXCH_FP_HASH_BITS is the build-time A/B hook).
+  const int HB = HASH_BITS;
+  auto hash5t = [dat8end, HB](const uint8_t *p) -> uint32_t {
     uint64_t v;
     if (p <= dat8end) {  // single wide load except in the last 7 bytes
       memcpy(&v, p, 8);
@@ -1138,7 +1375,7 @@ int64_t zxch_find_parse(const uint8_t *data, uint64_t n, uint64_t start,
         | ((uint64_t)p[3] << 24) | ((uint64_t)p[4] << 32);
     }
     uint64_t prod = v * 0x9E3779B97F4A7C15ull;
-    uint32_t idx = (uint32_t)(prod >> (64 - HASH_BITS));
+    uint32_t idx = (uint32_t)(prod >> (64 - HB));
     uint32_t tag = (uint32_t)((prod >> 32) & 0xFF);
     return (idx << 8) | tag;
   };
@@ -1281,6 +1518,7 @@ done:
         memcpy(seed_chain, chain, SB * sizeof(uint32_t));
         memcpy(seed_dict, data, start);
         seed_start = start;
+        seed_tier = fast_tier;
       }
     }
     for (uint64_t p = SB; p < start; p++) insert(p);
