@@ -170,7 +170,7 @@ int main(void) {
     subprocess.run([str(exe)], check=True, timeout=120)
 
 
-@pytest.mark.skipif(shutil.which("npm") is None, reason="node/npm absent")
+@pytest.mark.skipif(shutil.which("npm") is None, reason="node/npm absent — contract executed via ctypes in test_binding_contracts.py (runtime-gated)")
 def test_node_binding(tmp_path):
     _ensure_so()
     cwd = os.path.join(_REPO, "wrappers", "nodejs")
@@ -178,14 +178,14 @@ def test_node_binding(tmp_path):
     subprocess.run(["npm", "test"], cwd=cwd, check=True, timeout=300)
 
 
-@pytest.mark.skipif(shutil.which("go") is None, reason="go absent")
+@pytest.mark.skipif(shutil.which("go") is None, reason="go absent — contract executed via ctypes in test_binding_contracts.py (runtime-gated)")
 def test_go_binding():
     _ensure_so()
     cwd = os.path.join(_REPO, "wrappers", "go")
     subprocess.run(["go", "test", "./..."], cwd=cwd, check=True, timeout=600)
 
 
-@pytest.mark.skipif(shutil.which("cargo") is None, reason="cargo absent")
+@pytest.mark.skipif(shutil.which("cargo") is None, reason="cargo absent — contract executed via ctypes in test_binding_contracts.py (runtime-gated)")
 def test_rust_binding():
     _ensure_so()
     cwd = os.path.join(_REPO, "wrappers", "rust", "zxc")
