@@ -242,3 +242,23 @@ def test_hints_dict_archive(tmp_path):
     out = DPL.decompress_e2e(arc, opts, dispatch=4, interpret=True,
                              hint=path)
     assert out == data
+
+
+def test_hints_v27_ragged_shipping(tmp_path):
+    """v27: the v26 hint drives the ragged-lit DMA kernel — bytes equal
+    plaintext and the v26 path, with ragged tail groups covered."""
+    from zxc_tpu.ops import hints as H
+    data = _mixed_body(14, 330_000)           # 6 blocks: ragged tail group
+    arc = ref_oracle.ref_compress(data, level=3, block_size=64 * 1024)
+    path = str(tmp_path / "a.zxh")
+    H.write_hints(arc, path)
+    hf = H.HintFile(path, arc)
+    assert hf.geo.variant == 26 and hf.geo.RLP % 32 == 0
+    out27 = DPL.decompress_e2e(arc, dispatch=4, interpret=True, hint=hf,
+                               variant=27)
+    assert out27 == data
+    fp26 = DPL.decompress_e2e(arc, dispatch=4, interpret=True, hint=hf,
+                              _collect="fingerprint", variant=26)
+    fp27 = DPL.decompress_e2e(arc, dispatch=4, interpret=True, hint=hf,
+                              _collect="fingerprint", variant=27)
+    assert fp26 == fp27

@@ -180,6 +180,22 @@ import threading
 
 _pool_lock = threading.Lock()
 _pool: dict = {}
+_flat_pool: dict = {}   # v27 ragged-lit flat buffers, keyed on rows_tot
+
+
+def _flat_acquire(rows_tot: int) -> np.ndarray:
+    with _pool_lock:
+        free = _flat_pool.get(rows_tot)
+        if free:
+            return free.pop()
+    return np.zeros((rows_tot, 128), np.uint8)
+
+
+def _flat_release(buf: np.ndarray, cap: int = 64) -> None:
+    with _pool_lock:
+        free = _flat_pool.setdefault(buf.shape[0], [])
+        if len(free) < cap:
+            free.append(buf)
 
 
 def _pool_acquire(B, NST, MAXQ, NG32, RLP, K) -> GroupBuffers:
@@ -219,8 +235,10 @@ class DevicePipeline:
         # 26 = unified self-referential window (lit8 = literals+patterns
         # only; matches from earlier supertiles read the kernel's own
         # decoded rows — round-5 contract, kernel-rate parity with v19 at
-        # 11% less lit8 H2D); 19 = the round-2..4 materializing contract
-        self.variant = variant
+        # 11% less lit8 H2D); 19 = the round-2..4 materializing contract;
+        # 27 = 26 + the ragged lit shipping layout (hint-only — it needs
+        # per-block litrows up front; degrades to 26 cold)
+        self.variant = 26 if variant == 27 else variant
         self.B = dispatch
         self.NST = walk.block_size // 16384
         self.workers = workers or min(os.cpu_count() or 1, 8)
@@ -231,6 +249,7 @@ class DevicePipeline:
         # piece-plan hint (ops/hints.py): control slices ship verbatim
         # from the mmap; host prep reduces to the lit8 build
         self.hint = hint
+        self.v27 = False
         if hint is not None:
             g = hint.geo
             if (g.block_size != walk.block_size or g.nb != walk.n_blocks):
@@ -241,7 +260,14 @@ class DevicePipeline:
             self.MAXQ = g.MAXQ
             self.RLP = g.RLP
             self.NG32 = g.NG32
-            self.variant = getattr(g, "variant", 19)
+            hv = getattr(g, "variant", 19)
+            # 27 = the v26 control contract with the RAGGED lit shipping
+            # layout (flat per-group buffer + per-block DMA): available
+            # whenever the hint carries v26 geometry and RLP is 32-aligned
+            self.v27 = (variant == 27 and hv == 26 and g.RLP % 32 == 0)
+            self.variant = 26 if self.v27 else hv
+            if self.v27:
+                _, self._lr32, self._rows_tot = hint.flat_geometry(dispatch)
 
     def release(self) -> None:
         """Return this pipeline's group buffers to the module pool. Only
@@ -250,6 +276,9 @@ class DevicePipeline:
         for b, key in self._held:
             _pool_release(b, *key)
         self._held = []
+        for f in getattr(self, "_held_flats", []):
+            _flat_release(f)
+        self._held_flats = []
 
     def drop_held(self) -> None:
         """Forget held buffers WITHOUT pooling them (retry path: device
@@ -341,6 +370,10 @@ class DevicePipeline:
         in_flight: list = [None] * len(bufs)
 
         hint = self.hint
+        v27 = self.v27
+        if v27:
+            flats = [_flat_acquire(self._rows_tot) for _ in bufs]
+            hint_loff = hint.flat_geometry(B)[0]
 
         def prep_block(g: int, j: int):
             i = g * B + j
@@ -354,19 +387,30 @@ class DevicePipeline:
                 return
             if hint is not None:
                 # hint path: control ships from the mmap; only lit8 is
-                # built here (archive literal decode + plan replay)
+                # built here (archive literal decode + plan replay).
+                # v27: the block's rows land at its offset in the
+                # group's flat buffer (ragged shipping layout)
                 p0 = int(w.pos[i])
                 payload = self.src[p0:p0 + int(w.comp[i])]
+                if v27:
+                    lo = int(hint_loff[i])
+                    dst = flats[g % len(bufs)][lo:lo + self.RLP]
+                else:
+                    dst = buf.lit8[j]
                 lr = runtime.v19_lit8_load(
                     payload, int(w.typ[i]), w.block_size,
                     hint.plan_slice(i), int(hint.plan_off[i + 1]
                                             - hint.plan_off[i]),
-                    int(hint.litlen[i]), buf.lit8[j], self.RLP,
+                    int(hint.litlen[i]), dst, self.RLP,
                     dict_buf=w.dict_buf, dict_cl=w.dict_cl)
                 if lr is None or lr < 0:
                     raise ZxcError(int(lr or ERROR_CORRUPT_DATA),
                                    "hint lit8 replay")
                 buf.totals[j] = int(hint.totals[i])
+                if v27:
+                    # zero the 32-row-alignment tail (pool staleness)
+                    dst[lr:int(self._lr32[i])] = 0
+                    return
                 if buf.lit_hi[j] > lr:   # zero stale pool rows (H2D zlib)
                     buf.lit8[j, lr:buf.lit_hi[j]] = 0
                 buf.lit_hi[j] = lr
@@ -414,9 +458,18 @@ class DevicePipeline:
                     # control pages are device-resident (cached on the
                     # HintFile, built on first decode): repeat decodes
                     # ship ONLY lit8 — the data bytes derived from the
-                    # archive — over H2D
-                    dev_args = hint.device_ctrl(g, B, device) + (
-                        jax.device_put(buf.lit8, device),)
+                    # archive — over H2D. v27 ships it RAGGED (flat
+                    # buffer + per-block offsets; ~half the volume).
+                    ctrl = hint.device_ctrl(g, B, device)
+                    if v27:
+                        dev_args = (ctrl[0], ctrl[1],
+                                    hint.device_loff(g, B, device),
+                                    ctrl[2], ctrl[3],
+                                    jax.device_put(
+                                        flats[g % len(bufs)], device))
+                    else:
+                        dev_args = ctrl + (
+                            jax.device_put(buf.lit8, device),)
                 else:
                     dev_args = tuple(
                         jax.device_put(a, device)
@@ -424,12 +477,18 @@ class DevicePipeline:
                                   buf.lit8))
                 carry = consume(dev_args, buf.totals.copy(), g, carry)
                 in_flight[g % len(bufs)] = (dev_args, carry)
+        if v27:
+            self._held_flats = getattr(self, "_held_flats", []) + flats
         return carry
 
 
 def _kernel_for(block: int, MAXQ: int, RLP: int, K: int,
-                interpret: bool = False, variant: int = 19):
+                interpret: bool = False, variant: int = 19,
+                rows_tot: int = 0):
     from . import pallas_decode
+    if variant == 27:
+        return pallas_decode.v27_kernel(block, MAXQ, RLP, rows_tot, K,
+                                        interpret)
     fn = (pallas_decode.v26_kernel if variant == 26
           else pallas_decode.v19_kernel)
     return fn(block, MAXQ, RLP, K, interpret)
@@ -440,13 +499,13 @@ import functools
 
 @functools.lru_cache(maxsize=32)
 def _group_fns(block: int, MAXQ: int, RLP: int, K: int, dispatch: int,
-               interpret: bool, variant: int = 19):
+               interpret: bool, variant: int = 19, rows_tot: int = 0):
     """Jitted per-group kernel+fingerprint / kernel+reshape callables,
     cached on shape — a fresh @jax.jit closure per decompress_e2e call
     would retrace (and re-hit the compile cache) every archive."""
     import jax
     import jax.numpy as jnp
-    kern = _kernel_for(block, MAXQ, RLP, K, interpret, variant)
+    kern = _kernel_for(block, MAXQ, RLP, K, interpret, variant, rows_tot)
     NR = block // 128
     flatpos = jnp.arange(NR * 128, dtype=jnp.uint32)
     wgt = (flatpos % 8191).astype(jnp.uint32)
@@ -515,7 +574,7 @@ def decompress_e2e(archive: bytes, opts: DecodeOpts | None = None,
         from .hints import HintFile
         hint = HintFile(os.fspath(hint), archive)
     if variant is None:
-        variant = int(os.environ.get("ZXC_E2E_VARIANT", "26"))
+        variant = int(os.environ.get("ZXC_E2E_VARIANT", "27"))
     w = walk_frame(archive, opts)
     pipe = DevicePipeline(w, archive, K=K, dispatch=dispatch,
                           workers=workers, hint=hint, variant=variant)
@@ -531,7 +590,8 @@ def decompress_e2e(archive: bytes, opts: DecodeOpts | None = None,
                 _phases.setdefault("walk_size", time.time() - t0)
             group_fp, group_out, mega_fp = _group_fns(
                 w.block_size, pipe.MAXQ, pipe.RLP, K, dispatch, interpret,
-                variant)
+                27 if pipe.v27 else variant,
+                getattr(pipe, "_rows_tot", 0))
 
             if _collect == "fingerprint" and submit == "batch":
                 # stage device-put groups; kernels submitted in chunked

@@ -141,6 +141,7 @@ class HintFile:
         n_plan = int(self.plan_off[-1]) if g.nb else 0
         self.plans = view(np.int32, (n_plan, 4))
         self._dev_groups: dict = {}
+        self._flat_geo: dict = {}
 
     def plan_slice(self, i: int) -> np.ndarray:
         return self.plans[int(self.plan_off[i]):int(self.plan_off[i + 1])]
@@ -182,6 +183,46 @@ class HintFile:
         ctrl = tuple(jax.device_put(a, device) for a in host)
         groups[g] = ctrl
         return ctrl
+
+    def flat_geometry(self, B: int):
+        """v27 ragged-lit shipping layout: per-block 32-row-aligned
+        offsets into each dispatch group's flat lit buffer, plus the
+        common (max-group) row count all groups pad to. Cached on B."""
+        cached = self._flat_geo.get(B)
+        if cached is not None:
+            return cached
+        lr = np.asarray(self.litrows, np.int64)
+        lr32 = ((np.maximum(lr, 1) + 31) // 32) * 32
+        nb = self.geo.nb
+        n_groups = -(-nb // B) if nb else 0
+        loff = np.zeros(nb, np.int32)
+        rows_max = 1
+        for g in range(n_groups):
+            i0, i1 = g * B, min((g + 1) * B, nb)
+            offs = np.zeros(i1 - i0, np.int64)
+            offs[1:] = np.cumsum(lr32[i0:i1 - 1])
+            loff[i0:i1] = offs
+            rows_max = max(rows_max, int(offs[-1] + lr32[i1 - 1]))
+        rows_tot = rows_max + self.geo.RLP   # tail: last block's DMA window
+        cached = (loff, lr32.astype(np.int32), int(rows_tot))
+        self._flat_geo[B] = cached
+        return cached
+
+    def device_loff(self, g: int, B: int, device):
+        """Device copy of group ``g``'s block row offsets (v27 scalar
+        prefetch operand), cached like device_ctrl."""
+        import jax
+        key = ("loff", B, device)
+        groups = self._dev_groups.setdefault(key, {})
+        arr = groups.get(g)
+        if arr is None:
+            loff, lr32, rows_tot = self.flat_geometry(B)
+            nb = self.geo.nb
+            i0, i1 = g * B, min((g + 1) * B, nb)
+            host = np.zeros(B, np.int32)
+            host[:i1 - i0] = loff[i0:i1]
+            arr = groups[g] = jax.device_put(host, device)
+        return arr
 
     def release_device(self) -> None:
         """Drop every cached device control page (frees device memory)."""
@@ -262,14 +303,19 @@ def write_hints(archive, path: str, opts=None, K: int = 2,
                 continue
             if total < 0:
                 raise ZxcError(int(total), f"hint sizing block {i}")
-            geom[i] = (nq, max(maxrow, litrows), litrows, n_plan)
+            # v26: RLP sizes from litrows only — lit windows may poke
+            # into the scratch's zero-initialized out region, so maxrow
+            # (window ends) must not inflate the shipped lit8 height
+            geom[i] = (nq, litrows if variant == 26
+                       else max(maxrow, litrows), litrows, n_plan)
             return
 
     with ThreadPoolExecutor(workers) as ex:
         list(ex.map(size_one, range(nb)))
 
     MAXQ = _round_up(int(geom[:, 0].max(initial=1)) + 1, 32)
-    RLP = _round_up(int(geom[:, 1].max(initial=1)) + 1, 128)
+    RLP = _round_up(int(geom[:, 1].max(initial=1)) + 1,
+                    32 if variant == 26 else 128)  # 32: v27 DMA tiling
     NG32 = 32 * _round_up(MAXQ * 4, 128) // 128
 
     # pass 2: final prep into the pinned-layout arrays

@@ -1045,6 +1045,156 @@ def v26_kernel(block: int, MAXQ: int, RLP: int, K: int = 2,
     return jax.jit(call)
 
 
+# ---------------------------------------------------------------------------
+# v27: v26 with a RAGGED lit8 shipping layout — the decode-server H2D form.
+#
+# v26 ships lit8 as (B, RLP, 128) where RLP is the batch max: at L3 the
+# mean block uses ~50% of it, so ~half the H2D volume is padding (and
+# through the tunnel's client zlib, H2D cost scales with INPUT bytes
+# regardless of content). v27 ships one flat (ROWS_TOT, 128) u8 buffer
+# holding each block's rows back to back (32-row aligned) plus a per-
+# block row offset; the kernel DMAs its RLP-row window from HBM into a
+# VMEM stage, casts to bf16 into the unified window, and proceeds
+# exactly as v26. Control (qbase etc.) is UNCHANGED — offsets live only
+# in the shipping layout, so a v26 hint drives v27 directly.
+# ---------------------------------------------------------------------------
+
+
+def v27_flat_layout(litrows, RLP: int):
+    """Per-block 32-row-aligned offsets + total rows for the flat lit
+    buffer (plus an RLP-row tail so the fixed-size window DMA of the
+    last block stays in bounds)."""
+    lr32 = [-(-max(int(r), 1) // 32) * 32 for r in litrows]
+    loff = np.zeros(len(lr32) + 1, np.int32)
+    loff[1:] = np.cumsum(lr32)
+    return loff, int(loff[-1]) + RLP
+
+
+def _make_kernel_v27(K: int, RLP: int):
+    def _kernel_v27(qs_ref, qbase_ref, loff_ref, pctrl_ref, tq_ref,
+                    flat_ref, out_ref, stage_ref, win_ref, sem):
+        b = pl.program_id(0)
+        NST = out_ref.shape[1] // 128
+        G32 = pctrl_ref.shape[1] // K
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        rowiota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        row128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+        # DMA this block's lit rows from the flat HBM buffer (fixed
+        # RLP-row window from a 32-aligned dynamic offset; the flat
+        # buffer carries an RLP-row tail so the read stays in bounds)
+        off = pl.multiple_of(loff_ref[b], 32)
+        cp = pltpu.make_async_copy(flat_ref.at[pl.ds(off, RLP)],
+                                   stage_ref, sem)
+        cp.start()
+        cp.wait()
+        # Mosaic has no direct u8 -> bf16 cast; bounce through i32
+        win_ref[0:RLP, :] = \
+            stage_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+        NRv = out_ref.shape[1]
+        win_ref[RLP:RLP + NRv, :] = jnp.zeros((NRv, 128), jnp.bfloat16)
+
+        def contrib_quad(q):
+            base = pl.multiple_of(qbase_ref[b, q], 16)
+            win = win_ref[pl.ds(base, 128), :]
+
+            def plane_bc(j):
+                bcs = []
+                for u in range(4):
+                    bat = 4 * q + u
+                    grp = pctrl_ref[0, pl.ds(j * G32 + (bat >> 7) * 32, 32),
+                                    :]
+                    bcs.append(jnp.take_along_axis(
+                        grp, jnp.full((32, 128), bat & 127, jnp.int32),
+                        axis=1))
+                return jnp.concatenate(bcs, axis=0)
+
+            bc0 = plane_bc(0)
+            rowrel = jax.lax.shift_right_logical(bc0, 21)
+            onehot = jnp.where(rowiota == rowrel[:, :1],
+                               jnp.float32(1), jnp.float32(0))
+            gath = jax.lax.dot_general(
+                onehot.astype(jnp.bfloat16), win, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            m = ((lane128 >= ((bc0 >> 7) & 127))
+                 & (lane128 <= ((bc0 >> 14) & 127)))
+            bsel = bc0
+            for j in range(1, K):
+                bcj = plane_bc(j)
+                mj = ((lane128 >= ((bcj >> 7) & 127))
+                      & (lane128 <= ((bcj >> 14) & 127)))
+                bsel = jnp.where(mj, bcj, bsel)
+                m = m | mj
+            sh = jnp.take_along_axis(gath, (lane128 + (bsel & 127)) & 127,
+                                     axis=1)
+            c = jnp.where(m, sh, 0)
+            tgt = tq_ref[0, q, :][None, :]
+            pt = jnp.where(row128 == tgt, jnp.float32(1), jnp.float32(0))
+            return jax.lax.dot_general(
+                pt.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+
+        for t in range(NST):
+            q0 = qs_ref[b, t]
+            q1 = qs_ref[b, t + 1]
+
+            def qbody(g, acc):
+                q = q0 + 2 * g
+                return acc + contrib_quad(q) + contrib_quad(q + 1)
+
+            tile = jax.lax.fori_loop(0, (q1 - q0) >> 1, qbody,
+                                     jnp.zeros((128, 128), jnp.int32))
+            out_ref[0, t * 128:(t + 1) * 128, :] = tile
+            win_ref[RLP + t * 128:RLP + (t + 1) * 128, :] = \
+                tile.astype(jnp.bfloat16)
+
+    return _kernel_v27
+
+
+@functools.lru_cache(maxsize=32)
+def v27_kernel(block: int, MAXQ: int, RLP: int, ROWS_TOT: int, K: int = 2,
+               interpret: bool = False):
+    NR = block // 128
+    NB = MAXQ * 4
+    G32 = 32 * (-(-NB // 128))
+    # control (OUT qbase = RLP + out_row) is packed against RLP, so the
+    # window coordinate space cannot shift: v27 requires 32-aligned RLP
+    # (the u8 DMA stage tiles at 32 rows)
+    assert RLP % 32 == 0, "v27 needs RLP % 32 == 0"
+    body = _make_kernel_v27(K, RLP)
+
+    def call(qs, qbase, loff, pctrl, tq, flat):
+        tq = tq.astype(jnp.int32)
+        B = pctrl.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, K * G32, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, MAXQ, 128), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # flat lit (HBM)
+            ],
+            out_specs=pl.BlockSpec((1, NR, 128), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((RLP, 128), jnp.uint8),         # DMA stage
+                pltpu.VMEM((RLP + NR, 128), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        return pl.pallas_call(
+            body,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, NR, 128), jnp.int32),
+            interpret=interpret,
+        )(qs, qbase, loff, pctrl, tq, flat)
+
+    return jax.jit(call)
+
+
 def _make_kernel_v19(K: int):
     def _kernel_v19(qs_ref, qbase_ref, pctrl_ref, tq_ref, litb_ref,
                     out_ref):
