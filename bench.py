@@ -400,7 +400,12 @@ def bench_serial(data: bytes, plan, dev, t_plan: float,
             # honest-metrics environment-artifact rule, PERF.md 5 — on
             # attached hardware the 1.5x-of-plaintext lit8 stream binds
             # only below ~5 GB/s of PCIe).
-            n_workers = min(os.cpu_count() or 1, 8)
+            # leave two cores for the device stream (jax dispatch +
+            # runtime threads): a round-5 sweep measured the concurrent
+            # pipeline at 1.45 / 1.70 / 1.92 GB/s with 4 / 3 / 2 prep
+            # threads on this 4-core box — oversubscribing the prep
+            # stream slows BOTH streams
+            n_workers = max(1, min((os.cpu_count() or 2) - 2, 8))
             from concurrent.futures import ThreadPoolExecutor as _TPE
             g2 = hf.geo
             _l8pool = [np.zeros((g2.RLP, 128), np.uint8)
