@@ -283,7 +283,10 @@ def bench_serial(data: bytes, plan, dev, t_plan: float,
         # attached hardware), so it is a conservative lower bound.
         if os.environ.get("ZXC_BENCH_E2E", "1") != "0":
             from zxc_tpu.ops import device_pipeline as DPL
-            e2e_disp = int(os.environ.get("ZXC_BENCH_E2E_DISPATCH", "64"))
+            # 256-block dispatch groups: a round-5 sweep measured the
+            # v27 hint decode at 0.524/0.389/0.349 s for 64/128/256
+            # (fewer put fixed costs + less group-max padding)
+            e2e_disp = int(os.environ.get("ZXC_BENCH_E2E_DISPATCH", "256"))
             ph = {}
             t0 = time.time()
             r0 = DPL.decompress_e2e(archive_bytes, dispatch=e2e_disp,
