@@ -283,10 +283,14 @@ def bench_serial(data: bytes, plan, dev, t_plan: float,
         # attached hardware), so it is a conservative lower bound.
         if os.environ.get("ZXC_BENCH_E2E", "1") != "0":
             from zxc_tpu.ops import device_pipeline as DPL
-            # 256-block dispatch groups: a round-5 sweep measured the
-            # v27 hint decode at 0.524/0.389/0.349 s for 64/128/256
-            # (fewer put fixed costs + less group-max padding)
-            e2e_disp = int(os.environ.get("ZXC_BENCH_E2E_DISPATCH", "256"))
+            # cold e2e keeps 64-block groups (its wall is per-decode
+            # prep into the pooled control buffers — 256-slot pools
+            # measured SLOWER cold: 1.42 -> 2.06-2.99 s); the hint path
+            # below uses 256 (its wall is H2D: fewer puts, less padding
+            # — 0.524/0.389/0.349 s at 64/128/256 measured)
+            e2e_disp = int(os.environ.get("ZXC_BENCH_E2E_DISPATCH", "64"))
+            e2e_disp_h = int(os.environ.get("ZXC_BENCH_E2E_DISPATCH_HINT",
+                                            "256"))
             ph = {}
             t0 = time.time()
             r0 = DPL.decompress_e2e(archive_bytes, dispatch=e2e_disp,
@@ -360,7 +364,7 @@ def bench_serial(data: bytes, plan, dev, t_plan: float,
                   f"build {t_hint:.2f}s; host prep {prep_hint:.2f} GB/s/core"
                   f" (cold fused prep ~0.10 GB/s/core, PERF.md)",
                   file=sys.stderr)
-            r0 = DPL.decompress_e2e(archive_bytes, dispatch=e2e_disp,
+            r0 = DPL.decompress_e2e(archive_bytes, dispatch=e2e_disp_h,
                                     device=dev, _collect="fingerprint",
                                     hint=hf)
             assert r0[0] == fp1 & 0xFFFFFFFF and r0[1] == fp2 & 0xFFFFFFFF, \
@@ -373,7 +377,7 @@ def bench_serial(data: bytes, plan, dev, t_plan: float,
             walls_h = []
             for _ in range(max(REPS - 1, 2)):
                 t0 = time.time()
-                r = DPL.decompress_e2e(archive_bytes, dispatch=e2e_disp,
+                r = DPL.decompress_e2e(archive_bytes, dispatch=e2e_disp_h,
                                        device=dev, _collect="fingerprint",
                                        hint=hf)
                 walls_h.append(time.time() - t0)
@@ -413,20 +417,23 @@ def bench_serial(data: bytes, plan, dev, t_plan: float,
             g2 = hf.geo
             _l8pool = [np.zeros((g2.RLP, 128), np.uint8)
                        for _ in range(n_workers)]
+            _zero_off = np.zeros(wk.n_blocks, np.int32)  # all into row 0
+            _po64 = np.ascontiguousarray(hf.plan_off, np.int64)
+            _ll64 = np.ascontiguousarray(hf.litlen, np.int64)
             _prep_ex = _TPE(n_workers)   # persistent: thread spin-up must
             # not land inside the timed region
 
             def _prep_range(wid: int, reps: int):
+                # ONE native call per stripe per rep (zxch_v19_lit8_load
+                # _batch): the per-block python dispatch was a measured
+                # term in the concurrent-pipeline slope
                 buf = _l8pool[wid]
                 for _ in range(reps):
-                    for i in range(wid, wk.n_blocks, n_workers):
-                        p0 = int(wk.pos[i])
-                        lr = _rt.v19_lit8_load(
-                            _src[p0:p0 + int(wk.comp[i])], int(wk.typ[i]),
-                            g2.block_size, hf.plan_slice(i),
-                            int(hf.plan_off[i + 1] - hf.plan_off[i]),
-                            int(hf.litlen[i]), buf, g2.RLP)
-                        assert lr is not None and lr >= 0
+                    rc = _rt.v19_lit8_load_batch(
+                        _src, wk.pos, wk.comp, wk.typ, wid, wk.n_blocks,
+                        n_workers, g2.block_size, hf.plans, _po64, _ll64,
+                        buf, _zero_off, g2.RLP)
+                    assert rc == 0, rc
 
             def _prep_all(reps: int):
                 fs = [_prep_ex.submit(_prep_range, wdx, reps)

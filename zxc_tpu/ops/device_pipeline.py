@@ -373,7 +373,22 @@ class DevicePipeline:
         v27 = self.v27
         if v27:
             flats = [_flat_acquire(self._rows_tot) for _ in bufs]
-            hint_loff = hint.flat_geometry(B)[0]
+            hint_loff, hint_lr32, _ = hint.flat_geometry(B)
+
+        def prep_stripe(g: int, wk: int, nw: int):
+            # v27 fast path: ONE native call per worker stripe (the
+            # per-block python/FFI dispatch measured as a real term in
+            # the concurrent-pipeline slope)
+            i0, i1 = g * B, min((g + 1) * B, nb)
+            rc = runtime.v19_lit8_load_batch(
+                self.src, w.pos, w.comp, w.typ, i0 + wk, i1, nw,
+                w.block_size, hint.plans, np.asarray(hint.plan_off),
+                np.asarray(hint.litlen), flats[g % len(bufs)],
+                hint_loff, self.RLP, zrows=hint_lr32,
+                dict_buf=w.dict_buf, dict_cl=w.dict_cl)
+            if rc is None or rc < 0:
+                raise ZxcError(int(rc or ERROR_CORRUPT_DATA),
+                               "hint lit8 batch replay")
 
         def prep_block(g: int, j: int):
             i = g * B + j
@@ -443,7 +458,17 @@ class DevicePipeline:
                     if in_flight[slot] is not None:
                         jax.block_until_ready(in_flight[slot])
                         in_flight[slot] = None
-                    futs[g] = [ex.submit(prep_block, g, j) for j in range(B)]
+                    if v27:
+                        buf = bufs[slot]
+                        i0, i1 = g * B, min((g + 1) * B, nb)
+                        buf.totals[:i1 - i0] = hint.totals[i0:i1]
+                        buf.totals[i1 - i0:] = 0
+                        nw = self.workers
+                        futs[g] = [ex.submit(prep_stripe, g, k, nw)
+                                   for k in range(nw)]
+                    else:
+                        futs[g] = [ex.submit(prep_block, g, j)
+                                   for j in range(B)]
 
             submit(0)
             for g in range(n_groups):

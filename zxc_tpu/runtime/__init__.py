@@ -243,6 +243,10 @@ def lib() -> ctypes.CDLL | None:
                                          vp, i64, i64, vp, i64]
         L.zxch_v26_prep_block.restype = i64
         L.zxch_v26_prep_block.argtypes = L.zxch_v19_prep_block.argtypes
+        L.zxch_v19_lit8_load_batch.restype = i64
+        L.zxch_v19_lit8_load_batch.argtypes = [
+            vp, vp, vp, vp, i64, i64, i64, u64, vp, u64, vp,
+            vp, vp, vp, vp, vp, i64, vp]
         L.zxch_v26_prep_block_plan.restype = i64
         L.zxch_v26_prep_block_plan.argtypes = \
             L.zxch_v19_prep_block_plan.argtypes
@@ -1023,3 +1027,29 @@ def v19_lit8_load(payload: np.ndarray, block_type: int, block_size: int,
         P(pl), len(pl), block_type, block_size,
         d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr,
         P(plan), n_plan, lit_len, P(lit8_row), RLP))
+
+
+def v19_lit8_load_batch(src: np.ndarray, pos: np.ndarray, comp: np.ndarray,
+                        typ: np.ndarray, i0: int, i1: int, stride: int,
+                        block_size: int, plans: np.ndarray,
+                        plan_off: np.ndarray, litlen: np.ndarray,
+                        lit8_base: np.ndarray, loff: np.ndarray, RLP: int,
+                        zrows: np.ndarray | None = None,
+                        dict_buf: np.ndarray | None = None,
+                        dict_cl: np.ndarray | None = None):
+    """Batched hint replay over a worker stripe (blocks i0, i0+stride,
+    ... < i1): one FFI call instead of one per block — the decode
+    server's prep stream loses its per-block python dispatch term.
+    ``loff`` gives each block's row offset within ``lit8_base``; rows
+    [litrows, zrows[b]) are zeroed when ``zrows`` is given. Returns 0,
+    a negative ZXC error, or None without the native library."""
+    L = lib()
+    if L is None:
+        return None
+    d8, cl8, cl_ptr = _as_dict_args(dict_buf, dict_cl)
+    P = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    return int(L.zxch_v19_lit8_load_batch(
+        P(src), P(pos), P(comp), P(typ), i0, i1, stride, block_size,
+        d8.ctypes.data_as(ctypes.c_void_p), len(d8), cl_ptr,
+        P(plans), P(plan_off), P(litlen), P(lit8_base), P(loff), RLP,
+        None if zrows is None else P(zrows)))

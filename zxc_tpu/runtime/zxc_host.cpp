@@ -6090,6 +6090,37 @@ int64_t zxch_v19_lit8_load(
   return litrows;
 }
 
+// Batched hint replay: one call handles blocks i0, i0+stride, ... < i1
+// (a worker's stripe), so the decode server's prep stream pays ONE
+// FFI/python dispatch per worker per decode instead of one per block
+// (~15 us of python glue x 512 blocks measured as a real term in the
+// concurrent-pipeline slope). Per block b: payload at src+pos[b], plan
+// records plans[4*plan_off[b] ..], destination lit8_base + loff[b]*128
+// with capacity RLP rows; rows [litrows, zrows[b]) are zeroed when
+// zrows is non-null (the v27 32-row alignment tail / pool staleness).
+// Returns 0 or the first failing block's negative error code.
+int64_t zxch_v19_lit8_load_batch(
+    const uint8_t *src, const uint64_t *pos, const uint64_t *comp,
+    const uint8_t *typ, int64_t i0, int64_t i1, int64_t stride,
+    uint64_t block_size,
+    const uint8_t *dict, uint64_t n_dict, const uint8_t *dict_cl,
+    const int32_t *plans, const int64_t *plan_off, const int64_t *litlen,
+    uint8_t *lit8_base, const int32_t *loff, int64_t RLP,
+    const int32_t *zrows) {
+  if (stride <= 0) return -12;
+  for (int64_t b = i0; b < i1; b += stride) {
+    uint8_t *dst = lit8_base + (int64_t)loff[b] * 128;
+    int64_t lr = zxch_v19_lit8_load(
+        src + pos[b], comp[b], (int)typ[b], block_size, dict, n_dict,
+        dict_cl, plans + 4 * plan_off[b], plan_off[b + 1] - plan_off[b],
+        litlen[b], dst, RLP);
+    if (lr < 0) return lr;
+    if (zrows && zrows[b] > lr)
+      memset(dst + lr * 128, 0, (size_t)(zrows[b] - lr) * 128);
+  }
+  return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
