@@ -262,3 +262,46 @@ def test_hints_v27_ragged_shipping(tmp_path):
     fp27 = DPL.decompress_e2e(arc, dispatch=4, interpret=True, hint=hf,
                               _collect="fingerprint", variant=27)
     assert fp26 == fp27
+
+
+def test_lit8_load_batch_equivalence(tmp_path):
+    """zxch_v19_lit8_load_batch (one call per worker stripe) must write
+    exactly what per-block zxch_v19_lit8_load writes, including the
+    alignment-tail zeroing."""
+    from zxc_tpu.ops import hints as H
+    from zxc_tpu import runtime as rt
+    data = _mixed_body(15, 400_000)
+    arc = ref_oracle.ref_compress(data, level=3, block_size=64 * 1024)
+    path = str(tmp_path / "a.zxh")
+    H.write_hints(arc, path)
+    hf = H.HintFile(path, arc)
+    w = DPL.walk_frame(arc)
+    nb = w.n_blocks
+    B = nb  # one group
+    loff, lr32, rows_tot = hf.flat_geometry(B)
+    RLP = hf.geo.RLP
+    src = np.frombuffer(arc, np.uint8)
+    # per-block reference
+    ref_flat = np.full((rows_tot, 128), 0xAB, np.uint8)
+    for i in range(nb):
+        lo = int(loff[i])
+        p0 = int(w.pos[i])
+        lr = rt.v19_lit8_load(
+            src[p0:p0 + int(w.comp[i])], int(w.typ[i]), 65536,
+            hf.plan_slice(i), int(hf.plan_off[i + 1] - hf.plan_off[i]),
+            int(hf.litlen[i]), ref_flat[lo:lo + RLP], RLP)
+        ref_flat[lo + lr:lo + int(lr32[i])] = 0
+    # batch, two interleaved stripes (stride 2) over a dirty buffer
+    got = np.full((rows_tot, 128), 0xAB, np.uint8)
+    po64 = np.ascontiguousarray(hf.plan_off, np.int64)
+    ll64 = np.ascontiguousarray(hf.litlen, np.int64)
+    for wk in range(2):
+        rc = rt.v19_lit8_load_batch(src, w.pos, w.comp, w.typ, wk, nb, 2,
+                                    65536, hf.plans, po64, ll64, got,
+                                    loff, RLP, zrows=lr32)
+        assert rc == 0
+    # compare every block's [0, lr32) rows (bytes beyond stay untouched)
+    for i in range(nb):
+        lo = int(loff[i])
+        assert np.array_equal(got[lo:lo + int(lr32[i])],
+                              ref_flat[lo:lo + int(lr32[i])]), f"block {i}"
