@@ -305,3 +305,51 @@ def test_lit8_load_batch_equivalence(tmp_path):
         lo = int(loff[i])
         assert np.array_equal(got[lo:lo + int(lr32[i])],
                               ref_flat[lo:lo + int(lr32[i])]), f"block {i}"
+
+
+def test_hints_index_validation(tmp_path):
+    """Garbage index arrays inside an otherwise-plausible hint must be
+    rejected at load — the batch replay path derives pointers from
+    plan_off, so the structural validation is load-bearing, not
+    cosmetic. The tampered body rides the uncompressed format (flags
+    without FLAG_BODY_ZXC) so bytes can be flipped surgically, with the
+    leading-4KiB body hash recomputed to PASS."""
+    import struct
+    from zxc_tpu.ops import hints as H
+    from zxc_tpu.errors import ZxcError
+    from zxc_tpu.format import hashes
+    data = _mixed_body(16, 200_000)
+    arc = ref_oracle.ref_compress(data, level=3, block_size=64 * 1024)
+    path = str(tmp_path / "a.zxh")
+    H.write_hints(arc, path)
+    hf = H.HintFile(path, arc)
+    g = hf.geo
+    # rebuild the file UNCOMPRESSED with a corrupted plan_off
+    nb = g.nb
+    parts = [np.asarray(hf.totals), np.asarray(hf.litlen),
+             np.asarray(hf.litrows), np.asarray(hf.plan_off).copy(),
+             np.asarray(hf.qs), np.asarray(hf.qbase),
+             np.asarray(hf.tq), np.asarray(hf.pctrl),
+             np.asarray(hf.plans)]
+    parts[3][1] = 1 << 30          # plan_off spike -> wild pointer if used
+    body = b"".join(np.ascontiguousarray(a).tobytes() for a in parts)
+    hdr = H._HDR.pack(H.MAGIC, H.VERSION, H.FLAG_V26, len(arc),
+                      H._archive_hash(arc), g.block_size, nb, g.K,
+                      g.quad_align, g.MAXQ, g.NG32, g.RLP, g.NST,
+                      hashes.rapidhash64(body[:4096]) ^ len(body))
+    bad = str(tmp_path / "bad.zxh")
+    open(bad, "wb").write(hdr + body)
+    with pytest.raises(ZxcError):
+        H.HintFile(bad, arc)
+    # sanity: the same rebuild WITHOUT tampering loads fine
+    parts[3][1] = int(np.asarray(hf.plan_off)[1])
+    body = b"".join(np.ascontiguousarray(a).tobytes() for a in parts)
+    hdr = H._HDR.pack(H.MAGIC, H.VERSION, H.FLAG_V26, len(arc),
+                      H._archive_hash(arc), g.block_size, nb, g.K,
+                      g.quad_align, g.MAXQ, g.NG32, g.RLP, g.NST,
+                      hashes.rapidhash64(body[:4096]) ^ len(body))
+    ok = str(tmp_path / "ok.zxh")
+    open(ok, "wb").write(hdr + body)
+    hf2 = H.HintFile(ok, arc)
+    assert DPL.decompress_e2e(arc, dispatch=4, interpret=True,
+                              hint=hf2) == data

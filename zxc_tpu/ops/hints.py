@@ -139,9 +139,32 @@ class HintFile:
         self.tq = view(np.uint8, (g.nb, g.MAXQ, 128))
         self.pctrl = view(np.int32, (g.nb, g.K * g.NG32, 128))
         n_plan = int(self.plan_off[-1]) if g.nb else 0
+        if n_plan < 0:
+            raise ZxcError(ERROR_CORRUPT_DATA, "hint plan_off corrupt")
         self.plans = view(np.int32, (n_plan, 4))
         self._dev_groups: dict = {}
         self._flat_geo: dict = {}
+        # structural validation of the index arrays: the body hash covers
+        # the leading 4 KiB only and the compressed body carries no
+        # content checksum, so a deep bit flip could decode to garbage
+        # indices — and the BATCH replay path derives raw pointers from
+        # plan_off before the per-record bounds checks run. Reject any
+        # hint whose indices are not self-consistent.
+        if g.nb:
+            po = np.asarray(self.plan_off)
+            if po[0] != 0 or (np.diff(po) < 0).any() or po[-1] != n_plan:
+                raise ZxcError(ERROR_CORRUPT_DATA,
+                               "hint plan_off not monotonic")
+            lr = np.asarray(self.litrows)
+            ll = np.asarray(self.litlen)
+            if ((lr < 0) | (lr > g.RLP)).any() or \
+                    ((ll < 0) | (ll > g.RLP * 128)).any():
+                raise ZxcError(ERROR_CORRUPT_DATA,
+                               "hint litrows/litlen out of range")
+            tt = np.asarray(self.totals)
+            if ((tt < 0) | (tt > g.block_size)).any():
+                raise ZxcError(ERROR_CORRUPT_DATA,
+                               "hint totals out of range")
 
     def plan_slice(self, i: int) -> np.ndarray:
         return self.plans[int(self.plan_off[i]):int(self.plan_off[i + 1])]
