@@ -165,6 +165,16 @@ class HintFile:
             if ((tt < 0) | (tt > g.block_size)).any():
                 raise ZxcError(ERROR_CORRUPT_DATA,
                                "hint totals out of range")
+            qs = np.asarray(self.qs)
+            if (qs[:, 0] != 0).any() or (np.diff(qs, axis=1) < 0).any() \
+                    or (qs > g.MAXQ).any():
+                raise ZxcError(ERROR_CORRUPT_DATA,
+                               "hint qs not a quad prefix")
+            qb = np.asarray(self.qbase)
+            hi = g.RLP + (g.block_size // 128)   # v26 scratch height
+            if ((qb & ~(1 << 24)) > hi).any() or (qb < 0).any():
+                raise ZxcError(ERROR_CORRUPT_DATA,
+                               "hint qbase out of range")
 
     def plan_slice(self, i: int) -> np.ndarray:
         return self.plans[int(self.plan_off[i]):int(self.plan_off[i + 1])]
