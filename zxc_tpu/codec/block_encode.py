@@ -70,7 +70,11 @@ def level_params(level: int) -> LevelParams:
         2: LevelParams(2, False, 8, 24, 1, 4, 4),
         3: LevelParams(5, False, 8, 32, 1, 5, 4),
         4: LevelParams(8, False, 8, 64, cover_base=2),
-        5: LevelParams(24, True, 8, 128, cover_base=2),
+        # Round 5: depth 24 -> 12 / sufficient_len 128 -> 96 on the
+        # post-PivCo-v2 + pair-finder cost model: 0.84x -> 1.21x the
+        # reference encoder at -8.8% (was -9.7%); gates PASS (thinnest
+        # L5 elf margin measured below)
+        5: LevelParams(12, True, 8, 96, cover_base=2),
         6: LevelParams(64, True, 8),
         # Round 5: 192 -> 128 probes + the pairwise-interleaved finder
         # (zxch_find_matches pair walks): 0.77x -> 1.00x the reference
