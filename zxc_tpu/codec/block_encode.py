@@ -75,6 +75,11 @@ def level_params(level: int) -> LevelParams:
         # reference encoder at -8.8% (was -9.7%); gates PASS (thinnest
         # L5 elf margin measured below)
         5: LevelParams(12, True, 8, 96, cover_base=2),
+        # L6 stays at depth 64: probes=48 measured 0.99x reference
+        # speed (from 0.76-0.84x) but the size gate margins collapse to
+        # pinned -0.16% / elf -0.00% / json -0.17% — L6's mission is
+        # ratio, and a zero elf margin is one held-out binary away from
+        # losing to the reference. Declined (round 5).
         6: LevelParams(64, True, 8),
         # Round 5: 192 -> 128 probes + the pairwise-interleaved finder
         # (zxch_find_matches pair walks): 0.77x -> 1.00x the reference
