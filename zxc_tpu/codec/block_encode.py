@@ -66,8 +66,15 @@ def level_params(level: int) -> LevelParams:
         # depth-1 tier (no hash chain, store-only inserts — PERF 2); L2
         # moved 3 -> 2 candidates for it, spending 2 pp of its fattest-
         # in-ladder size margin for 0.60x -> 0.77x reference speed.
-        1: LevelParams(2, False, 8, 16, 1, 4, 4),
-        2: LevelParams(2, False, 8, 24, 1, 4, 4),
+        # Round 5: sufficient_len -> 12 AND cover_base -> 6 together
+        # (interleaved A/B x2 sessions: L1 1.09-1.17x, L2 1.13-1.21x at
+        # -0.02..-0.17% size — the pair interacts; either alone is a
+        # wash). Sparser insert coverage cuts the store-only insert
+        # events (0.28/byte, the largest event class in the round-4
+        # counter profile) and the lower sufficient-stop trims the
+        # single head candidate's verify.
+        1: LevelParams(2, False, 8, 12, 1, 4, 6),
+        2: LevelParams(2, False, 8, 12, 1, 4, 6),
         3: LevelParams(5, False, 8, 32, 1, 5, 4),
         4: LevelParams(8, False, 8, 64, cover_base=2),
         # Round 5: depth 24 -> 12 / sufficient_len 128 -> 96 on the
